@@ -1,0 +1,255 @@
+"""Deduplication operators over the ``documents`` table — the
+training-data-pipeline surface: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+Scale design: every variant is expressed as scans + equi-joins on derived
+keys (hash buckets / shingles / LSH bands) — candidate generation is never
+O(n²); the only quadratic step is *within* a bucket after blocking, which
+is how near-dedup at 100 TB works in practice (cf. MinHashLSH literature:
+Broder '97; SimHash: Charikar '02).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from collimate_spark.catalog import load_table
+from collimate_spark.functions import text as X
+from collimate_spark.functions import vectors as V
+
+JACCARD_THRESHOLD = 0.8
+MINHASH_K = 128
+LSH_BANDS = 32
+LSH_ROWS = 4  # 32 bands × 4 rows = 128 hashes; P(miss | j=0.8) ≈ 5e-8
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by md5 of normalized text: one hash-shuffle groupBy,
+    keep the minimum doc_id per content hash (deterministic survivor)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.withColumn("text_hash", F.md5(X.normalize_text(F.col("text")).cast("binary")))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+       MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY keep_doc_id
+"""
+
+# Shared exact-Jaccard oracle (trigram shingles, threshold 0.8): used for
+# both the exact n-gram pair join AND the MinHash-LSH variant — at these
+# banding parameters LSH recall at j>=0.8 is 1 - 5e-8, so verified LSH
+# output equals the exact result.
+NGRAM_JACCARD_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+            range(1, greatest(len(toks) - 1, 1)),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM d WHERE len(toks) >= 3
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id
+WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = X.tokens(F.col("text"))
+    return docs.select("doc_id", X.word_shingles(toks, 3).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+
+
+def _verified_jaccard_pairs(candidates: DataFrame, shingled: DataFrame) -> DataFrame:
+    """Join candidate (doc_a, doc_b) pairs back to shingle sets and compute
+    exact Jaccard via array_intersect/union sizes (broadcast-friendly at
+    bucket scale; at 100 TB the shingle arrays travel with the pair join)."""
+    a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard_raw", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: explode distinct trigram
+    shingles → self equi-join on shingle (candidate generation bounded by
+    shared-shingle pairs, not n²) → exact verification."""
+    shingled = _shingled(spark, sf_dir)
+    exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    pairs = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verified_jaccard_pairs(pairs, shingled)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs.
+
+    shingle → 128-hash MinHash signature → 32 bands × 4 rows → explode band
+    keys → self equi-join on (band, band_hash) → exact-Jaccard verify.
+    Candidate generation touches only colliding bands — the scale path that
+    replaces the exact variant's shared-shingle join when shingle frequency
+    explodes (at 100 TB a common shingle joins everything to everything;
+    band hashes keep bucket sizes ~uniform).
+    """
+    shingled = _shingled(spark, sf_dir)
+    # Explode band indices FIRST, then compute only that band's seed minima
+    # per row (minhash_band_hash): total hash work = one full signature per
+    # doc. Slicing an inline signature expression instead would let
+    # CollapseProject recompute the whole signature per band (32×).
+    banded = (
+        shingled.select(
+            "doc_id",
+            "shingles",
+            F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
+        )
+        .select(
+            "doc_id",
+            "band",
+            X.minhash_band_hash(F.col("shingles"), F.col("band"), LSH_ROWS).alias("band_hash"),
+        )
+    )
+    candidates = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verified_jaccard_pairs(candidates, shingled.select("doc_id", "shingles"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprint per doc; pairs within
+    Hamming distance ≤ 3 found via 4×16-bit band blocking (a pair within
+    distance 3 must agree exactly on ≥1 of 4 bands — pigeonhole), then
+    exact Hamming verification. No DuckDB oracle (xxhash64 is
+    Spark-specific) → driver records the rows-only check; determinism is
+    covered by tests/test_dedup.py.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    fp = docs.select("doc_id", X.simhash64(X.tokens(F.col("text"))).alias("simhash"))
+    # band b = bits [16b, 16b+16) of the fingerprint (shift amounts must be
+    # Python ints → build the 4 band structs explicitly and explode)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", X.hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+    return pairs
+
+
+EMB_COSINE_THRESHOLD = 0.4
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: pairs with cosine ≥ threshold, blocked by the
+    ``label`` cluster id (IVF-style partition pruning: only same-cluster
+    pairs are compared — the 100 TB answer to all-pairs cosine)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = emb.select(F.col("label"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("label"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_raw", V.cosine(F.col("e_a"), F.col("e_b")))
+        .filter(F.round(F.col("cos_raw"), 6) >= EMB_COSINE_THRESHOLD)
+        .select("label", "vec_a", "vec_b", F.round("cos_raw", 4).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+DEDUP_EMB_SQL = f"""
+WITH pairs AS (
+  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), s -> s[1]*s[2]))
+           / (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x*x)))
+            * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x*x)))) AS cos_raw
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label, vec_a, vec_b, ROUND(cos_raw, 4) AS cosine
+FROM pairs
+WHERE ROUND(cos_raw, 6) >= {EMB_COSINE_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": NGRAM_JACCARD_SQL,
+    # dedup_simhash: rows-only (engine-specific hash family)
+    "dedup_embedding_cosine": DEDUP_EMB_SQL,
+}

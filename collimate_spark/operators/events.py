@@ -1,0 +1,185 @@
+"""Event-stream analytics (batch form): JSON extraction, tumbling and
+sliding event-time windows, gap-based sessionization, pivot.
+
+These are the batch-semantics twins of the streaming pipeline in
+``collimate_spark.streaming`` (the reference delegates streaming to its
+un-vendored `beam` sibling — README.md:3 — so the semantics here define
+what the stream must produce). Tumbling/sliding windows align to the Unix
+epoch exactly like Spark Structured Streaming's ``window()``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from collimate_spark.catalog import load_table
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction from the ``props`` string column via
+    ``from_json`` (JVM-side, no UDF), aggregated per event type."""
+    ev = load_table(spark, "events", sf_dir)
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    return (
+        ev.withColumn("props_k", F.from_json("props", schema).getField("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("props_k").alias("sum_k"),
+            F.min("props_k").alias("min_k"),
+            F.max("props_k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day tumbling event-time windows per event type — same operator
+    Structured Streaming uses (``F.window``), run on the static table."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+TUMBLING_SQL = """
+SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS window_start, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day windows sliding by 1 day: each event lands in 7 windows
+    (Spark expands via the same Expand operator streaming uses)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+        .orderBy("window_start")
+    )
+
+
+SLIDING_SQL = """
+SELECT DATE_TRUNC('day', ts) - INTERVAL (o) DAY AS window_start,
+       COUNT(*) AS n_events
+FROM events, UNNEST(ARRAY[0, 1, 2, 3, 4, 5, 6]) AS t(o)
+GROUP BY 1
+ORDER BY window_start
+"""
+
+
+def sessionization_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session flag
+    → cumulative-sum session id → per-user session stats. One shuffle on
+    user_id; per-user state only — the batch twin of
+    ``session_window(ts, '30 minutes')`` in streaming."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | ((F.col("ts").cast("double") - F.col("prev_ts").cast("double")) > 1800)
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.count(F.lit(1)) / F.max("session_id"), 4).alias("avg_events_per_session"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSIONIZATION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       SUM(new_session) AS n_sessions,
+       COUNT(*) AS n_events,
+       ROUND(COUNT(*) * 1.0 / SUM(new_session), 4) AS avg_events_per_session
+FROM flagged
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (scalable: no extra pass to
+    discover pivot values, single shuffle)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("user_id")
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click') AS click,
+       COUNT(*) FILTER (event_type = 'error') AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS signup,
+       COUNT(*) FILTER (event_type = 'view') AS view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+QUERIES = {
+    "json_extract_events": json_extract_events,
+    "tumbling_window_agg": tumbling_window_agg,
+    "sliding_window_agg": sliding_window_agg,
+    "sessionization_gap": sessionization_gap,
+    "pivot_event_counts": pivot_event_counts,
+}
+
+ORACLES = {
+    "json_extract_events": JSON_EXTRACT_SQL,
+    "tumbling_window_agg": TUMBLING_SQL,
+    "sliding_window_agg": SLIDING_SQL,
+    "sessionization_gap": SESSIONIZATION_SQL,
+    "pivot_event_counts": PIVOT_SQL,
+}

@@ -1,0 +1,262 @@
+"""Join-type coverage: inner/left/right/full/semi/anti/cross plus the two
+joins Spark lacks as primitives — as-of join and range (interval) join —
+re-expressed as scalable DataFrame patterns.
+
+As-of join: the naive formulation is a non-equi theta join (O(n·m) nested
+loop). The scalable pattern used here is union-the-two-streams + a
+partitioned window `last(ignorenulls)` — one shuffle on the partition key,
+linear work, no nested loop. Range join: attach a coarse bucket key to both
+sides so the range predicate rides on top of an equi hash join instead of a
+BroadcastNestedLoopJoin.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from collimate_spark.catalog import load_table
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer: every customer, order count + spend (0 if none)."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_LEFT_SQL = """
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS n_orders,
+       ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY c_custkey
+"""
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer over two disjoint-ish aggregates: customers by nation vs
+    suppliers by nation."""
+    cust = load_table(spark, "customer", sf_dir).groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    supp = load_table(spark, "supplier", sf_dir).groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full")
+        .select(
+            F.coalesce(F.col("c_nationkey"), F.col("s_nationkey")).alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+JOIN_FULL_SQL = """
+WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+     s AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust,
+       COALESCE(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+ORDER BY nationkey
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi: customers having at least one urgent order. Plans as a
+    semi hash join — no duplication, right side reduced to keys."""
+    cust = load_table(spark, "customer", sf_dir)
+    urgent = load_table(spark, "orders", sf_dir).filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti: customers with NO orders above 100k."""
+    cust = load_table(spark, "customer", sf_dir)
+    big = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 100000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+ORDER BY c_custkey
+"""
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two tiny dims (region × nation) — legitimate only when
+    both sides are broadcast-sized; Spark plans BroadcastNestedLoop."""
+    region = load_table(spark, "region", sf_dir).select("r_regionkey", "r_name")
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    return region.crossJoin(nation).orderBy("r_regionkey", "n_nationkey")
+
+
+JOIN_CROSS_SQL = """
+SELECT r_regionkey, r_name, n_nationkey, n_name
+FROM region CROSS JOIN nation
+ORDER BY r_regionkey, n_nationkey
+"""
+
+
+def join_theta_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join with inequality: suppliers richer than the customers of
+    their own nation (equi key n_nationkey carries the hash join; the
+    inequality rides as a post-join predicate — no nested loop)."""
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    return (
+        supp.join(
+            F.broadcast(cust),
+            (supp.s_nationkey == cust.c_nationkey) & (supp.s_acctbal > cust.c_acctbal),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_poorer_customers"))
+        .orderBy("s_suppkey")
+    )
+
+
+JOIN_THETA_SQL = """
+SELECT s_suppkey, s_name, COUNT(*) AS n_poorer_customers
+FROM supplier JOIN customer
+  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+GROUP BY s_suppkey, s_name
+ORDER BY s_suppkey
+"""
+
+
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the latest order date at-or-before the
+    event's timestamp, matched on a shared bucket key.
+
+    Scalable pattern (no nested loop): tag both sides, union on
+    (bucket, time), window `last(value, ignorenulls=True)` ordered by time
+    — one shuffle on the bucket key, linear scan per partition. This is how
+    a trades/quotes as-of join runs at 100 TB.
+    """
+    events = load_table(spark, "events", sf_dir).select(
+        (F.col("user_id") % 10).alias("bucket"),
+        F.col("ts"),
+        F.col("event_id"),
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        (F.col("o_custkey") % 10).alias("bucket"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    right = orders.select("bucket", "ts", F.lit(None).cast("long").alias("event_id"),
+                          F.col("ts").alias("order_ts"))
+    left = events.select("bucket", "ts", "event_id", F.lit(None).cast("timestamp").alias("order_ts"))
+    unioned = right.unionByName(left)
+    # is_event=0 sorts order rows first at identical ts → "at-or-before" ties
+    # resolve to include the simultaneous order.
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("asof_order_ts", F.last("order_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_id").isNotNull())
+        .select("event_id", "asof_order_ts")
+        .orderBy("event_id")
+    )
+
+
+ASOF_JOIN_SQL = """
+SELECT event_id,
+       (SELECT MAX(o_orderdate) FROM orders
+         WHERE o_custkey % 10 = e.user_id % 10 AND o_orderdate <= e.ts) AS asof_order_ts
+FROM events e
+ORDER BY event_id
+"""
+
+
+def range_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: count events of a user-bucket falling within 7
+    days after each order of the same bucket. The equi bucket key makes it a
+    hash join; the range predicate filters join output. At 100 TB you would
+    additionally bucket by coarse time window to bound fan-out.
+    """
+    events = load_table(spark, "events", sf_dir).select(
+        (F.col("user_id") % 10).alias("bucket"), F.col("ts")
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        (F.col("o_custkey") % 10).alias("bucket"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    joined = orders.join(
+        events,
+        (orders.bucket == events.bucket)
+        & (events.ts >= orders.o_orderdate)
+        & (events.ts < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(F.count("ts").alias("n_events_7d"))
+        .orderBy("o_orderkey")
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT o_orderkey, COUNT(ts) AS n_events_7d
+FROM orders LEFT JOIN events
+  ON o_custkey % 10 = user_id % 10
+ AND ts >= o_orderdate
+ AND ts < o_orderdate + INTERVAL 7 DAY
+GROUP BY o_orderkey
+ORDER BY o_orderkey
+"""
+
+
+QUERIES = {
+    "join_left_outer": join_left_outer,
+    "join_full_outer": join_full_outer,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_cross": join_cross,
+    "join_theta_inequality": join_theta_inequality,
+    "asof_join_events_orders": asof_join_events_orders,
+    "range_join_events_orders": range_join_events_orders,
+}
+
+ORACLES = {
+    "join_left_outer": JOIN_LEFT_SQL,
+    "join_full_outer": JOIN_FULL_SQL,
+    "join_semi": JOIN_SEMI_SQL,
+    "join_anti": JOIN_ANTI_SQL,
+    "join_cross": JOIN_CROSS_SQL,
+    "join_theta_inequality": JOIN_THETA_SQL,
+    "asof_join_events_orders": ASOF_JOIN_SQL,
+    "range_join_events_orders": RANGE_JOIN_SQL,
+}

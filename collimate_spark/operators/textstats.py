@@ -1,0 +1,207 @@
+"""Text analysis over ``documents``: token counting (whitespace + BPE-ish
+regex), quality scoring, n-gram-heuristic language ID, document
+fingerprinting. All built-in string/array expressions — the per-document
+work pipelines inside whole-stage codegen; no shuffle except final sorts.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from collimate_spark.catalog import load_table
+from collimate_spark.functions import text as X
+
+# BPE-ish pre-tokenization: word pieces OR single non-word-non-space marks.
+BPE_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+# tiny per-language marker lexicons for the heuristic language scorer
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+
+def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality stats: token count (whitespace and BPE-ish), char
+    classes, average token length, stopword ratio, distinct-token ratio —
+    the standard quality-filter feature vector for corpus curation."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = X.tokens(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").alias("n_chars_raw"),
+            F.size(toks).alias("n_tokens_ws"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_REGEX), 0)).alias("n_tokens_bpe"),
+            F.round(
+                F.aggregate(
+                    toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+                ).cast("double")
+                / F.size(toks),
+                4,
+            ).alias("avg_token_len"),
+            F.round(
+                F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / F.size(toks), 4
+            ).alias("stopword_ratio"),
+            F.round(
+                F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
+            ).alias("distinct_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       LENGTH(text) AS n_chars_raw,
+       len(toks) AS n_tokens_ws,
+       len(regexp_extract_all(text, '{BPE_REGEX}')) AS n_tokens_bpe,
+       ROUND(list_sum(list_transform(toks, t -> LENGTH(t))) * 1.0 / len(toks), 4) AS avg_token_len,
+       ROUND(len(list_filter(toks, t -> t IN {STOPWORDS!r})) * 1.0 / len(toks), 4) AS stopword_ratio,
+       ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS distinct_ratio
+FROM d
+ORDER BY doc_id
+"""
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language scorer: per-language marker hit counts, argmax
+    with deterministic tiebreak (higher count wins, then language code).
+    A real deployment swaps the lexicons for char-n-gram profiles; the
+    plumbing — array scoring + greatest-struct argmax, zero shuffle — is
+    the same."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = X.tokens(F.col("text"))
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, lambda t: t.isin(*markers))).alias("hits"),
+                # negate lexicographic order cheaply: store code, break ties
+                # by preferring earlier alphabet via array_sort on (-hits, code)
+                F.lit(lang).alias("lang"),
+            )
+            for lang, markers in sorted(LANG_MARKERS.items())
+        ]
+    )
+    # array_sort on struct sorts by fields in order: hits asc, lang asc →
+    # take element with max hits, min lang: sort by (hits desc) needs
+    # inversion: use negative hits.
+    neg = F.transform(
+        scores, lambda s: F.struct((-s.getField("hits")).alias("nh"), s.getField("lang").alias("lang"))
+    )
+    best = F.array_sort(neg).getItem(0)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            best.getField("lang").alias("lang_pred"),
+            (-best.getField("nh")).alias("marker_hits"),
+        )
+        .withColumn("agree", (F.col("lang") == F.col("lang_pred")).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
+_duck_score = ", ".join(
+    f"(len(list_filter(toks, t -> t IN {markers!r})), '{lang}')"
+    for lang, markers in sorted(LANG_MARKERS.items())
+)
+
+LANG_ID_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         list_sort([{", ".join(
+             f"{{'nh': -len(list_filter(toks, t -> t IN {tuple(markers)!r})), 'lang': '{lang}'}}"
+             for lang, markers in sorted(LANG_MARKERS.items())
+         )}]) AS ranked
+  FROM d
+)
+SELECT doc_id, lang,
+       ranked[1].lang AS lang_pred,
+       -ranked[1].nh AS marker_hits,
+       CASE WHEN lang = ranked[1].lang THEN 1 ELSE 0 END AS agree
+FROM scored
+ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint (md5 of sorted distinct
+    tokens) + the count of docs sharing each fingerprint — catches
+    shuffled/reordered duplicates that exact text hashing misses."""
+    docs = load_table(spark, "documents", sf_dir)
+    fp = docs.select("doc_id", X.bow_fingerprint(F.col("text")).alias("fingerprint"))
+    counts = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        fp.join(counts, "fingerprint")
+        .select("doc_id", "fingerprint", "n_docs")
+        .orderBy("doc_id")
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))), ' ')) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+       COUNT(*) OVER (PARTITION BY fingerprint) AS n_docs
+FROM fp
+ORDER BY doc_id
+"""
+
+
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: bucket docs by token count (width 50), count
+    per (lang, bucket) — the curation dashboard query."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = X.tokens(F.col("text"))
+    return (
+        docs.select("lang", (F.floor(F.size(toks) / 50) * 50).alias("len_bucket"))
+        .groupBy("lang", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "len_bucket")
+    )
+
+
+TEXT_LEN_HIST_SQL = """
+SELECT lang,
+       CAST(FLOOR(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) / 50) * 50 AS BIGINT) AS len_bucket,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY lang, len_bucket
+"""
+
+
+QUERIES = {
+    "text_quality_metrics": text_quality_metrics,
+    "lang_id_heuristic": lang_id_heuristic,
+    "doc_fingerprint": doc_fingerprint,
+    "text_length_histogram": text_length_histogram,
+}
+
+ORACLES = {
+    "text_quality_metrics": TEXT_QUALITY_SQL,
+    "lang_id_heuristic": LANG_ID_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "text_length_histogram": TEXT_LEN_HIST_SQL,
+}

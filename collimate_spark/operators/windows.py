@@ -1,0 +1,184 @@
+"""Window-function coverage: ranking (row_number/rank/dense_rank/ntile),
+offsets (lag/lead), running frames (rowsBetween), range frames, and
+per-group top-k — the scalable replacement for per-group ORDER BY+LIMIT.
+
+All windows partition by a real key (custkey/returnflag): at 100 TB each
+partition's state fits an executor; never use a global (unpartitioned)
+window on big data.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from collimate_spark.catalog import load_table
+
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price: row_number over partitioned
+    window, filter rank<=k — one shuffle, no global sort."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+ORDER BY o_custkey, rk
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer ordered by order date (rowsBetween
+    unbounded-preceding → current)."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta vs previous order of the same customer (lag) and days until
+    the next order (lead)."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w), 2
+            ).alias("price_delta"),
+            F.datediff(
+                F.lead(F.col("o_orderdate").cast("date"), 1).over(w),
+                F.col("o_orderdate").cast("date"),
+            ).alias("days_to_next"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+WINDOW_LAG_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROUND(o_totalprice - LAG(o_totalprice, 1) OVER w, 2) AS price_delta,
+       DATEDIFF('day', CAST(o_orderdate AS DATE),
+                CAST(LEAD(o_orderdate, 1) OVER w AS DATE)) AS days_to_next
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile side by side on lineitem quantity within
+    return-flag groups (first line item per order only, to keep rows
+    deterministic)."""
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_linenumber") == 1)
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("l_quantity"), F.asc("l_orderkey"))
+    return (
+        li.select(
+            "l_returnflag",
+            "l_orderkey",
+            F.rank().over(w).alias("qty_rank"),
+            F.dense_rank().over(w).alias("qty_dense_rank"),
+            F.ntile(4).over(w).alias("qty_quartile"),
+        )
+        .orderBy("l_returnflag", "qty_rank", "l_orderkey")
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT l_returnflag, l_orderkey,
+       RANK() OVER w AS qty_rank,
+       DENSE_RANK() OVER w AS qty_dense_rank,
+       NTILE(4) OVER w AS qty_quartile
+FROM lineitem
+WHERE l_linenumber = 1
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC, l_orderkey ASC)
+ORDER BY l_returnflag, qty_rank, l_orderkey
+"""
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: for each order, average of orders within ±5000 in
+    totalprice among the same status (value-based frame, not row-based)."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-5000, 5000)
+    )
+    # Exact decimal SUM over the frame (order-independent, no float noise;
+    # an AVG would land on decimal .5 ties where engines' ROUND modes
+    # legitimately differ).
+    dec_sum = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+    cnt = F.count(F.lit(1)).over(w)
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            dec_sum.alias("sum_nearby_price"),
+            cnt.alias("n_nearby"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+WINDOW_RANGE_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_nearby_price,
+       COUNT(*) OVER w AS n_nearby
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+             RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING)
+ORDER BY o_orderkey
+"""
+
+
+QUERIES = {
+    "window_topk_per_group": window_topk_per_group,
+    "window_running_sum": window_running_sum,
+    "window_lag_lead": window_lag_lead,
+    "window_rank_dense_ntile": window_rank_dense_ntile,
+    "window_range_frame": window_range_frame,
+}
+
+ORACLES = {
+    "window_topk_per_group": WINDOW_TOPK_SQL,
+    "window_running_sum": WINDOW_RUNNING_SQL,
+    "window_lag_lead": WINDOW_LAG_SQL,
+    "window_rank_dense_ntile": WINDOW_RANK_SQL,
+    "window_range_frame": WINDOW_RANGE_SQL,
+}

@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-aware defaults.
+
+Single place where engine-wide Spark conf is decided so tests, bench, and
+the driver entry point all run the same way. Defaults target local[N] for
+tests but every knob is the one you would set on a 1000-executor cluster:
+AQE (runtime coalescing + skew-join handling), Arrow for the few pandas-UDF
+paths, and shuffle partitions sized to cores locally (on a real cluster AQE
+coalesces from a high initial number).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(app_name: str = "collimate_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism (driver contract).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # AQE: runtime partition coalescing, skew-join splitting, dynamic
+        # join-strategy switching — essential at 100 TB, harmless locally.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow-batched transfer for pandas UDF / toPandas paths.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Dimension tables under this size are broadcast automatically.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Timestamps in testdata are ns-precision; keep them as-is.
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # Parquet TIMESTAMP(NANOS) is unreadable by Spark's TimestampType
+        # (micros); read as epoch-nanos long, converted in catalog.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,78 @@
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with the noop sink (full computation, no collect /
+serialization cost), timed individually after a warm-up of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from collimate_spark.operators import all_queries  # noqa: E402
+from collimate_spark.session import get_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: covers scan/agg/join/window/dedup/similarity/text/events.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "agg_rollup",
+    "window_topk_per_group",
+    "window_running_sum",
+    "join_left_outer",
+    "asof_join_events_orders",
+    "json_extract_events",
+    "tumbling_window_agg",
+    "sessionization_gap",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_bruteforce_topk",
+    "text_quality_metrics",
+    "doc_fingerprint",
+]
+
+
+def main() -> None:
+    spark = get_session("collimate_spark_bench")
+    queries = all_queries()
+
+    # warm-up: JVM + parquet footer caches, one tiny action
+    queries["q6_forecast_revenue"](spark, SF_DIR).count()
+
+    results: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = queries[name](spark, SF_DIR)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        results[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": round(sum(results.values()), 3),
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

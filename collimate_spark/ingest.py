@@ -1,0 +1,377 @@
+"""Ingestion with collimate behavioral parity: CSV/TSV/JSON → typed,
+normalized DataFrame → Parquet columnar store.
+
+Re-expresses the reference converter's observable behavior
+(/root/reference/index.js) Spark-first:
+
+- extension dispatch csv/tsv/json, error otherwise (index.js:555-576)
+- null-token set {"null","na","n/a","none","","-"}, exact lowercase match
+  (index.js:60-67, 184) → real NULLs (deliberate deviation from the
+  reference's sentinel 0/NaN fills, index.js:467-476)
+- type inference on a bounded scan window — all rows if N<1000 else
+  max(1000, 0.3·N) (index.js:22-23, 220-221) — over the widening lattice
+  int → float → str (index.js:158-159); integers beyond 32-bit range
+  become LongType (deviation: reference demotes to str and only checks the
+  upper bound, index.js:169,179)
+- date detection on strings of length 8–10 against 6 candidate formats,
+  normalized only when exactly ONE format survives every scanned value
+  (index.js:102-111, 187-206, 307-323, 373-378) → DateType (deviation:
+  reference rewrites to ISO strings)
+- categorical profiling: distinct-count vs threshold
+  min(ceil(0.3·N), 65536) · coverage(sample_fraction)² (index.js:33-57,
+  232-247) → recorded in the manifest; storage-level dictionary encoding
+  is delegated to Parquet dictionary pages (no hand-rolled code columns)
+- column-name sanitization (index.js:497-508), ported as pure Python
+- manifest: original → sanitized names, inferred logical types,
+  categorical flags, date formats (the `index.json` role, index.js:637-640)
+
+Scale design: the input is never materialized on the driver (the
+reference's readFileSync, index.js:552, is the anti-pattern); inference
+runs as ONE Spark aggregation job over the scan window, application is one
+narrow select (no shuffle), the write is a distributed Parquet write.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import re
+import sys
+import time
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+# --- constants (behavioral parity; see module docstring for citations) ---
+NULL_TOKENS = ("null", "na", "n/a", "none", "", "-")
+
+MIN_SCAN_COUNT = 1000
+MIN_SCAN_FRACTION = 0.3
+CATEGORICAL_FRACTION = 0.3
+MAX_CATEGORICAL = 65536
+ENTROPIC_ENCOUNTER_EXPONENT = 2
+# sample-fraction → expected categorical coverage (descending probe order)
+SAMPLING_ENCOUNTER_FRACTION_MAP = (
+    (1.0, 1.0),
+    (0.8, 0.7),
+    (0.4, 0.65),
+    (0.2, 0.6),
+    (0.1, 0.5),
+    (0.04, 0.3),
+    (0.01, 0.1),
+)
+
+# candidate date formats (Java time patterns for the reference's moment
+# formats YYYY-M-D, YYYY/M/D, D-M-YYYY, D/M/YYYY, M-D-YYYY, M/D/YYYY)
+DATE_FORMATS = (
+    "yyyy-M-d",
+    "yyyy/M/d",
+    "d-M-yyyy",
+    "d/M/yyyy",
+    "M-d-yyyy",
+    "M/d/yyyy",
+)
+
+INT32_MIN, INT32_MAX = -(2**31), 2**31 - 1
+
+_INT_RE = r"^[+-]?\d+$"
+
+
+def sanitize(name: str) -> str:
+    """Identifier-safe snake_case column name (reference semantics:
+    lowercase → strip edge non-word → &/@/%/- substitutions → collapse
+    non-word runs to _). ASCII word-char classes to match JS \\W."""
+    sane = name.lower()
+    sane = re.sub(r"(^\W+)|(\W+$)", "", sane, flags=re.ASCII)
+    sane = sane.replace("&", "and").replace("@", "at").replace("%", "percent")
+    sane = sane.replace("-", "_")
+    sane = re.sub(r"\W+", "_", sane, flags=re.ASCII)
+    return sane
+
+
+def scan_budget(n: int) -> int:
+    """Rows scanned for inference: all if N<1000 else max(1000, 0.3·N)."""
+    if n < MIN_SCAN_COUNT:
+        return n
+    return max(MIN_SCAN_COUNT, int(n * MIN_SCAN_FRACTION))
+
+
+def categorical_threshold(n: int, scanned: int) -> float:
+    """min(ceil(0.3·N), 65536) · coverage(scanned/N)^2."""
+    base = min(math.ceil(n * CATEGORICAL_FRACTION), MAX_CATEGORICAL)
+    sample_fraction = scanned / n if n else 1.0
+    coverage = SAMPLING_ENCOUNTER_FRACTION_MAP[-1][1]
+    for frac, cov in SAMPLING_ENCOUNTER_FRACTION_MAP:
+        if sample_fraction >= frac:
+            coverage = cov
+            break
+    return base * (coverage**ENTROPIC_ENCOUNTER_EXPONENT)
+
+
+@dataclass
+class ColumnProfile:
+    original_name: str
+    sane_name: str
+    logical_type: str  # int32 | int64 | float64 | date | str
+    categorical: bool
+    distinct_estimate: int
+    date_format: str | None = None
+    null_tokens_seen: int = 0
+
+
+@dataclass
+class Manifest:
+    columns: list[ColumnProfile] = field(default_factory=list)
+    n_rows: int = 0
+    n_scanned: int = 0
+    categorical_threshold: float = 0.0
+
+    def to_dict(self) -> dict:
+        return {
+            "n_rows": self.n_rows,
+            "n_scanned": self.n_scanned,
+            "categorical_threshold": self.categorical_threshold,
+            "columns": [
+                {
+                    "name": c.original_name,
+                    "sane_name": c.sane_name,
+                    "type": c.logical_type,
+                    "categorical": c.categorical,
+                    "distinct_estimate": c.distinct_estimate,
+                    "date_format": c.date_format,
+                    "null_tokens_seen": c.null_tokens_seen,
+                }
+                for c in self.columns
+            ],
+        }
+
+
+def read_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Extension dispatch: csv/tsv/json → all-string DataFrame (typing is
+    our job, so inferSchema stays off). Distributed, splittable read — the
+    input never lands on the driver."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".csv" or ext == ".tsv":
+        return (
+            spark.read.option("header", True)
+            .option("sep", "\t" if ext == ".tsv" else ",")
+            .option("ignoreLeadingWhiteSpace", True)
+            .option("ignoreTrailingWhiteSpace", True)
+            .csv(path)
+        )
+    if ext == ".json":
+        # reference parses a whole-file JSON array of records; JSON-lines
+        # also accepted (the scalable layout).
+        df = spark.read.option("multiLine", True).json(path)
+        # normalize all leaf values to string for uniform inference
+        return df.select([F.col(c).cast("string").alias(c) for c in df.columns])
+    raise ValueError(f"unrecognized extension {ext!r}: expected .csv, .tsv, or .json")
+
+
+def _null_normalized(col: F.Column) -> F.Column:
+    """Exact-match null-token normalization (lowercase tokens only —
+    'NA' does NOT match, mirroring the reference's case-sensitive set)."""
+    return F.when(col.isin(*NULL_TOKENS), F.lit(None)).otherwise(col)
+
+
+def profile(
+    spark: SparkSession,
+    df: DataFrame,
+    parse_dates: bool = False,
+    scan_rows: int | None = None,
+) -> Manifest:
+    """Infer per-column logical types + categorical flags in ONE
+    aggregation job over the scan window.
+
+    Per column the job computes: non-null-token count, int-pattern count,
+    double-castable count, int min/max, per-format date-parse successes,
+    length-8-10 count, approx distinct — all as built-in aggregates, so
+    inference cost is a single distributed pass regardless of width.
+    """
+    n = df.count()
+    manifest = Manifest(n_rows=n)
+    if n == 0 or not df.columns:
+        manifest.columns = [
+            ColumnProfile(c, sanitize(c), "int32", False, 0) for c in df.columns
+        ]
+        return manifest
+
+    scanned = scan_rows if scan_rows is not None else scan_budget(n)
+    manifest.n_scanned = scanned
+    manifest.categorical_threshold = categorical_threshold(n, scanned)
+    window = df.limit(scanned) if scanned < n else df
+
+    aggs = []
+    for c in df.columns:
+        v = _null_normalized(F.col(c))
+        aggs.extend(
+            [
+                F.count(v).alias(f"{c}__nn"),
+                F.count(F.when(v.rlike(_INT_RE), 1)).alias(f"{c}__int"),
+                F.count(F.when(v.try_cast("double").isNotNull(), 1)).alias(f"{c}__dbl"),
+                F.min(F.when(v.rlike(_INT_RE), v.try_cast("long"))).alias(f"{c}__imin"),
+                F.max(F.when(v.rlike(_INT_RE), v.try_cast("long"))).alias(f"{c}__imax"),
+                F.count(F.when(F.length(v).between(8, 10), 1)).alias(f"{c}__dlen"),
+                F.approx_count_distinct(v).alias(f"{c}__dist"),
+                (F.count(F.lit(1)) - F.count(v)).alias(f"{c}__nulls"),
+            ]
+        )
+        if parse_dates:
+            for i, fmt in enumerate(DATE_FORMATS):
+                aggs.append(
+                    F.count(
+                        F.when(
+                            F.length(v).between(8, 10) & F.try_to_date(v, fmt).isNotNull(), 1
+                        )
+                    ).alias(f"{c}__fmt{i}")
+                )
+    stats = window.agg(*aggs).collect()[0].asDict()
+
+    for c in df.columns:
+        nn = stats[f"{c}__nn"]
+        n_int = stats[f"{c}__int"]
+        n_dbl = stats[f"{c}__dbl"]
+        dist = stats[f"{c}__dist"]
+        nulls = stats[f"{c}__nulls"]
+        date_format = None
+        if nn == 0:
+            # all-null column seeds as int (reference: null → int32)
+            logical = "int32"
+        elif n_int == nn:
+            imin, imax = stats[f"{c}__imin"], stats[f"{c}__imax"]
+            # values too big even for long parse to NULL via try_cast; treat
+            # any parse failure among int-patterned values as string
+            if imin is None or imax is None:
+                logical = "str"
+            elif INT32_MIN <= imin and imax <= INT32_MAX:
+                logical = "int32"
+            else:
+                # deviation: reference demotes >2^31-1 to str (and misses
+                # the lower bound entirely, index.js:169); we keep int64
+                logical = "int64"
+        elif n_dbl == nn:
+            logical = "float64"
+        else:
+            logical = "str"
+            if parse_dates and stats[f"{c}__dlen"] == nn:
+                survivors = [
+                    fmt
+                    for i, fmt in enumerate(DATE_FORMATS)
+                    if stats[f"{c}__fmt{i}"] == nn
+                ]
+                # single-consistent-format rule: normalize only when
+                # exactly one format parses every scanned value
+                if len(survivors) == 1:
+                    logical = "date"
+                    date_format = survivors[0]
+        manifest.columns.append(
+            ColumnProfile(
+                original_name=c,
+                sane_name=sanitize(c),
+                logical_type=logical,
+                categorical=dist <= manifest.categorical_threshold,
+                distinct_estimate=dist,
+                date_format=date_format,
+                null_tokens_seen=nulls,
+            )
+        )
+    return manifest
+
+
+_CAST_TYPES = {"int32": "int", "int64": "long", "float64": "double"}
+
+
+def apply_manifest(df: DataFrame, manifest: Manifest) -> DataFrame:
+    """Apply inferred schema: null tokens → NULL, casts, date parsing,
+    sanitized names. One narrow projection — no shuffle; values that defy
+    the inferred type surface as real NULLs (full-data validation via
+    audit(), not silent sentinel corruption like index.js:467-471)."""
+    cols = []
+    for p in manifest.columns:
+        v = _null_normalized(F.col(p.original_name))
+        if p.logical_type in _CAST_TYPES:
+            v = v.try_cast(_CAST_TYPES[p.logical_type])
+        elif p.logical_type == "date":
+            v = F.try_to_date(v, p.date_format)
+        cols.append(v.alias(p.sane_name))
+    return df.select(*cols)
+
+
+def audit(df: DataFrame, manifest: Manifest, typed: DataFrame) -> dict[str, int]:
+    """Full-data validation: per column, how many non-null-token raw values
+    became NULL after typing (i.e. post-scan-window type violations the
+    reference would have silently zeroed)."""
+    aggs = []
+    for p in manifest.columns:
+        raw_nn = F.count(_null_normalized(F.col(p.original_name)))
+        aggs.append(raw_nn.alias(f"{p.sane_name}__raw"))
+    raw = df.agg(*aggs).collect()[0].asDict()
+    typed_counts = typed.agg(
+        *[F.count(F.col(p.sane_name)).alias(p.sane_name) for p in manifest.columns]
+    ).collect()[0].asDict()
+    return {
+        p.sane_name: raw[f"{p.sane_name}__raw"] - typed_counts[p.sane_name]
+        for p in manifest.columns
+    }
+
+
+def ingest(
+    spark: SparkSession,
+    path: str,
+    parse_dates: bool = False,
+    scan_rows: int | None = None,
+) -> tuple[DataFrame, Manifest]:
+    """Full pipeline: read → profile (one agg job) → apply (narrow)."""
+    df = read_raw(spark, path)
+    manifest = profile(spark, df, parse_dates=parse_dates, scan_rows=scan_rows)
+    return apply_manifest(df, manifest), manifest
+
+
+def to_columnar(
+    df: DataFrame, outdir: str, manifest: Manifest | None = None, write_manifest: bool = False
+) -> None:
+    """Write the typed columnar store: Parquet (typed, dictionary-encoded
+    per column chunk, splittable, compressed — the role of the reference's
+    per-column TypedArray dumps + .key decoders). Optional manifest.json
+    plays the index.json role."""
+    df.write.mode("overwrite").parquet(outdir)
+    if write_manifest and manifest is not None:
+        # underscore prefix: ignored by Spark/Hadoop file discovery (like
+        # _SUCCESS), so the store dir stays readable as plain Parquet
+        with open(os.path.join(outdir, "_manifest.json"), "w") as fh:
+            json.dump(manifest.to_dict(), fh, indent=1)
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(
+        prog="collimate_spark.ingest",
+        description="Convert CSV/TSV/JSON into a typed Parquet columnar store.",
+    )
+    ap.add_argument("file")
+    ap.add_argument("-d", "--date", action="store_true", help="detect+normalize dates")
+    ap.add_argument("-i", "--index", action="store_true", help="write manifest.json")
+    ap.add_argument("-v", "--verbose", action="store_true", help="phase timings")
+    ap.add_argument("-o", "--output", default=None, help="output dir (default: input basename)")
+    args = ap.parse_args(argv)
+
+    from collimate_spark.session import get_session
+
+    spark = get_session("collimate_spark_ingest")
+    t0 = time.time()
+    typed, manifest = ingest(spark, args.file, parse_dates=args.date)
+    if args.verbose:
+        print(f"profile: {time.time() - t0:.2f}s", file=sys.stderr)
+    outdir = args.output or os.path.splitext(os.path.basename(args.file))[0]
+    t0 = time.time()
+    to_columnar(typed, outdir, manifest, write_manifest=args.index)
+    if args.verbose:
+        print(f"write: {time.time() - t0:.2f}s", file=sys.stderr)
+    print(outdir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,194 @@
+"""Behavioral ingestion fixtures (FIXTURES.md §1) — each test exercises one
+cited behavior of the reference converter, with our documented deviations
+(real NULLs, LongType for >32-bit ints, DateType for dates)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from collimate_spark.ingest import (
+    DATE_FORMATS,
+    apply_manifest,
+    audit,
+    categorical_threshold,
+    ingest,
+    profile,
+    read_raw,
+    sanitize,
+    scan_budget,
+    to_columnar,
+)
+
+
+def _write(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+def _types(manifest):
+    return {c.original_name: c.logical_type for c in manifest.columns}
+
+
+# --- F1: widening lattice ---
+def test_widening_lattice(spark, tmp_path):
+    rows = ["id,ratio,mixed_if,mixed_is,bigint,negbig"]
+    for i in range(200):
+        mixed_if = str(i) if i < 100 else f"{i}.5"
+        mixed_is = str(i) if i != 150 else "abc"
+        rows.append(f"{i},{i}.14,{mixed_if},{mixed_is},{3000000000 + i},{-3000000000 - i}")
+    path = _write(tmp_path, "typed_basic.csv", "\n".join(rows) + "\n")
+    typed, manifest = ingest(spark, path)
+    t = _types(manifest)
+    assert t["id"] == "int32"
+    assert t["ratio"] == "float64"
+    assert t["mixed_if"] == "float64"
+    assert t["mixed_is"] == "str"
+    assert t["bigint"] == "int64"  # reference: str (upper bound only)
+    assert t["negbig"] == "int64"  # reference misses the lower bound entirely
+    out = typed.orderBy("id").collect()
+    assert out[0].id == 0 and out[150].mixed_is == "abc"
+
+
+# --- F2: null-token set ---
+def test_null_tokens(spark, tmp_path):
+    rows = ["i_null,f_null,s_null,case_na"]
+    toks = ["null", "na", "n/a", "none", "", "-"]
+    for i in range(12):
+        tok = toks[i % 6]
+        rows.append(f"{i if i % 2 else tok},{i}.5 ,{tok if i % 2 else 'x'},NA")
+    path = _write(tmp_path, "nulls.csv", "\n".join(rows) + "\n")
+    typed, manifest = ingest(spark, path)
+    t = _types(manifest)
+    assert t["i_null"] == "int32"
+    assert t["f_null"] == "float64"
+    assert t["case_na"] == "str"  # uppercase NA is NOT a null token
+    got = typed.collect()
+    assert sum(1 for r in got if r.i_null is None) == 6  # real NULLs, not 0
+    assert all(r.case_na == "NA" for r in got)
+
+
+# --- F3: categorical threshold ---
+def test_categorical_profile(spark, tmp_path):
+    rows = ["cat_small,high_card"]
+    for i in range(2000):
+        rows.append(f"c{i % 5},u{i}")
+    path = _write(tmp_path, "categorical.csv", "\n".join(rows) + "\n")
+    _, manifest = ingest(spark, path)
+    by_name = {c.original_name: c for c in manifest.columns}
+    assert by_name["cat_small"].categorical is True
+    assert by_name["high_card"].categorical is False
+    # threshold model: min(ceil(0.3*2000), 65536) * coverage(0.5)^2
+    scanned = scan_budget(2000)
+    assert scanned == 1000
+    assert manifest.categorical_threshold == categorical_threshold(2000, scanned)
+
+
+# --- F4: date detection ---
+def test_date_detection(spark, tmp_path):
+    rows = ["iso_dash,iso_slash,dmy,mdy,ambiguous,not_date"]
+    for i in range(1, 29):
+        rows.append(
+            f"2021-3-{i},2021/03/{i:02d},{i}-12-2021,12/{i}/2021,03/04/2021,abcdefgh"
+        )
+    path = _write(tmp_path, "dates.csv", "\n".join(rows) + "\n")
+    typed, manifest = ingest(spark, path, parse_dates=True)
+    by = {c.original_name: c for c in manifest.columns}
+    assert by["iso_dash"].logical_type == "date" and by["iso_dash"].date_format == "yyyy-M-d"
+    assert by["iso_slash"].logical_type == "date"
+    assert by["dmy"].logical_type == "date" and by["dmy"].date_format == "d-M-yyyy"
+    assert by["mdy"].logical_type == "date" and by["mdy"].date_format == "M/d/yyyy"
+    # every value parses as both d/M and M/d → format set size 2 → stays str
+    assert by["ambiguous"].logical_type == "str"
+    assert by["not_date"].logical_type == "str"
+    row = typed.orderBy("iso_dash").first()
+    assert str(row.iso_dash) == "2021-03-01"
+
+
+def test_date_requires_flag(spark, tmp_path):
+    path = _write(tmp_path, "d.csv", "d\n2021-3-4\n2021-3-5\n")
+    _, manifest = ingest(spark, path, parse_dates=False)
+    assert _types(manifest)["d"] == "str"
+
+
+# --- F5: sanitization ---
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        (" Total % ", "total"),
+        ("R&D", "randd"),
+        ("user@host", "userathost"),
+        ("first-name", "first_name"),
+        ("a  b!!c", "a_b_c"),
+        ("CAPS", "caps"),
+    ],
+)
+def test_sanitize(raw, expected):
+    assert sanitize(raw) == expected
+
+
+# --- F6: post-scan-window violations are audited, not silently zeroed ---
+def test_post_scan_audit(spark, tmp_path):
+    n = 5000
+    rows = ["late_string"]
+    for i in range(n):
+        rows.append("oops" if i == 4000 else str(i))
+    path = _write(tmp_path, "scan_window.csv", "\n".join(rows) + "\n")
+    raw = read_raw(spark, path)
+    manifest = profile(spark, raw, scan_rows=1500)
+    assert _types(manifest)["late_string"] == "int32"  # inferred from window
+    typed = apply_manifest(raw, manifest)
+    violations = audit(raw, manifest, typed)
+    assert violations["late_string"] == 1  # the late "oops" is surfaced
+    assert typed.filter("late_string IS NULL").count() == 1  # NULL, not 0
+
+
+# --- F7: empty input ---
+def test_empty_csv(spark, tmp_path):
+    path = _write(tmp_path, "edge.csv", "a,b\n")
+    typed, manifest = ingest(spark, path)
+    assert typed.count() == 0
+    assert manifest.n_rows == 0
+    assert [c.sane_name for c in manifest.columns] == ["a", "b"]
+
+
+# --- F8: format variants ---
+def test_tsv_and_json(spark, tmp_path):
+    tsv = _write(tmp_path, "t.tsv", "x\ty\n1\tfoo\n2\tbar\n")
+    typed, manifest = ingest(spark, tsv)
+    assert _types(manifest) == {"x": "int32", "y": "str"}
+    js = _write(tmp_path, "t.json", json.dumps([{"x": 1, "y": "foo"}, {"x": 2, "y": "bar"}]))
+    typed_j, manifest_j = ingest(spark, js)
+    assert _types(manifest_j) == {"x": "int32", "y": "str"}
+    assert typed_j.count() == 2
+
+
+def test_unknown_extension(spark, tmp_path):
+    path = _write(tmp_path, "t.xyz", "x\n1\n")
+    with pytest.raises(ValueError, match="unrecognized extension"):
+        read_raw(spark, path)
+
+
+# --- end-to-end: ingest → parquet → query round trip ---
+def test_to_columnar_roundtrip(spark, tmp_path):
+    path = _write(tmp_path, "rt.csv", "K 1,v\n1,a\n2,b\n3,-\n")
+    typed, manifest = ingest(spark, path)
+    outdir = str(tmp_path / "store")
+    to_columnar(typed, outdir, manifest, write_manifest=True)
+    back = spark.read.parquet(outdir)
+    assert back.columns == ["k_1", "v"]
+    assert back.count() == 3
+    assert back.filter("v IS NULL").count() == 1
+    with open(os.path.join(outdir, "_manifest.json")) as fh:
+        m = json.load(fh)
+    assert m["columns"][0]["sane_name"] == "k_1"
+
+
+def test_scan_budget_rule():
+    assert scan_budget(999) == 999
+    assert scan_budget(1000) == 1000
+    assert scan_budget(3000) == 1000
+    assert scan_budget(10000) == 3000

@@ -1,0 +1,112 @@
+"""Streaming ingestion + event-time analytics (Structured Streaming).
+
+The reference is a batch converter whose streaming transport is delegated
+to the un-vendored `beam` project (README.md:3-4); these pipelines define
+that role Spark-first:
+
+- ``stream_ingest``: file-source stream → the SAME normalization the batch
+  path applies (null tokens → NULL, sanitized names) → Parquet sink with
+  checkpointing. Schema is frozen per stream (inference is a batch-time
+  decision — SURVEY.md §7 hard-part 5); rows that defy the frozen schema
+  surface as NULLs in typed columns, auditable downstream, never silent
+  sentinel corruption.
+- ``windowed_counts``: tumbling event-time windows + watermark for late
+  data — the streaming twin of operators/events.tumbling_window_agg.
+- ``sessionized``: gap-based session windows (session_window) — streaming
+  twin of sessionization_gap.
+- ``deduped_stream``: dropDuplicatesWithinWatermark — streaming exact
+  dedup bounded by the watermark horizon (state stays finite at 100 TB/day
+  because expired keys age out).
+
+All stateful ops carry watermarks so state store size is bounded — the
+non-negotiable at production scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+from collimate_spark.ingest import NULL_TOKENS, sanitize
+
+
+def stream_ingest(
+    spark: SparkSession,
+    indir: str,
+    schema: T.StructType,
+    fmt: str = "csv",
+) -> DataFrame:
+    """File-source streaming read with a frozen schema + batch-identical
+    normalization. Returns the streaming DataFrame; attach a sink with
+    ``to_parquet_sink``."""
+    reader = spark.readStream.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    raw = reader.format(fmt).load(indir)
+    cols = []
+    for f_ in schema.fields:
+        c = F.col(f_.name)
+        if isinstance(f_.dataType, T.StringType):
+            c = F.when(c.isin(*NULL_TOKENS), F.lit(None)).otherwise(c)
+        cols.append(c.alias(sanitize(f_.name)))
+    return raw.select(*cols)
+
+
+def to_parquet_sink(df: DataFrame, outdir: str, checkpoint: str, trigger_available_now: bool = True):
+    """Attach the columnar-store sink: exactly-once Parquet append via
+    checkpointed file sink."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data watermark."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sessionized(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based session windows per user (state bounded by watermark)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def deduped_stream(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup within the watermark horizon — finite state."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -1,0 +1,152 @@
+"""Structured Streaming tests: micro-batch file source, normalization
+parity with the batch path, watermarked windows/sessions, streaming dedup,
+and late-data handling."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+import pytest
+
+from collimate_spark.streaming.pipeline import (
+    deduped_stream,
+    sessionized,
+    stream_ingest,
+    to_parquet_sink,
+    windowed_counts,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("User Name", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_chunk(indir, name, rows):
+    with open(os.path.join(indir, name), "w") as fh:
+        fh.write("event_id,ts,User Name,value\n")
+        for r in rows:
+            fh.write(",".join(str(x) for x in r) + "\n")
+
+
+def test_stream_ingest_to_parquet(spark, tmp_path):
+    indir = str(tmp_path / "in")
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(indir)
+    _write_chunk(indir, "c1.csv", [(1, "2024-01-01 00:00:00", "alice", 1.5), (2, "2024-01-01 00:05:00", "na", 2.5)])
+    _write_chunk(indir, "c2.csv", [(3, "2024-01-01 00:10:00", "bob", 3.5)])
+
+    stream = stream_ingest(spark, indir, EVENT_SCHEMA)
+    q = to_parquet_sink(stream, outdir, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(outdir)
+    assert got.columns == ["event_id", "ts", "user_name", "value"]  # sanitized
+    assert got.count() == 3
+    assert got.filter("user_name IS NULL").count() == 1  # 'na' token → NULL
+
+    # exactly-once: a second availableNow run over the same input adds nothing
+    q2 = to_parquet_sink(stream_ingest(spark, indir, EVENT_SCHEMA), outdir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(outdir).count() == 3
+
+
+def _run_events_stream(spark, tmp_path, transform, chunks):
+    """Drive a transformed file-source stream into a memory sink, feeding
+    chunks across separate micro-batches (processAllAvailable between
+    writes) so watermarks actually advance."""
+    indir = str(tmp_path / "ev_in")
+    os.makedirs(indir, exist_ok=True)
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    _write_chunk_header = "ts,user_id,event_type,value\n"
+    stream = (
+        spark.readStream.schema(schema).option("header", True).csv(indir)
+    )
+    out = transform(stream)
+    name = f"mem_{abs(hash(str(tmp_path))) % 10**9}"
+    q = out.writeStream.format("memory").queryName(name).outputMode(
+        "append" if transform is not _COMPLETE else "complete"
+    ).start()
+    try:
+        for i, chunk in enumerate(chunks):
+            with open(os.path.join(indir, f"chunk{i}.csv"), "w") as fh:
+                fh.write(_write_chunk_header)
+                for r in chunk:
+                    fh.write(",".join(str(x) for x in r) + "\n")
+            q.processAllAvailable()
+        return spark.sql(f"SELECT * FROM {name}")
+    finally:
+        q.stop()
+
+
+_COMPLETE = object()
+
+
+def test_windowed_counts_with_late_data(spark, tmp_path):
+    chunks = [
+        # batch 1: two events in hour 0, one in hour 1 (advances watermark to 01:00-30m)
+        [
+            ("2024-01-01 00:10:00", 1, "click", 1.0),
+            ("2024-01-01 00:20:00", 2, "click", 2.0),
+            ("2024-01-01 01:10:00", 1, "view", 3.0),
+        ],
+        # batch 2: far-future event pushes watermark beyond hour-0 close
+        [("2024-01-01 03:00:00", 3, "click", 4.0)],
+        # batch 3: LATE event for hour 0 — behind watermark, must be dropped
+        [("2024-01-01 00:30:00", 9, "click", 99.0)],
+        # batch 4: advance again so closed windows flush
+        [("2024-01-01 05:00:00", 3, "click", 5.0)],
+    ]
+    got = _run_events_stream(
+        spark, tmp_path, lambda s: windowed_counts(s, "1 hour", "30 minutes"), chunks
+    )
+    rows = {(str(r.window_start), r.event_type): (r.n_events, r.sum_value) for r in got.collect()}
+    # hour-0 click window closed with the 2 on-time events; late row dropped
+    assert rows[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert rows[("2024-01-01 01:00:00", "view")] == (1, 3.0)
+    assert ("2024-01-01 00:00:00", "click") in rows
+
+
+def test_sessionized(spark, tmp_path):
+    chunks = [
+        [
+            ("2024-01-01 00:00:00", 1, "click", 1.0),
+            ("2024-01-01 00:10:00", 1, "click", 1.0),  # same session (gap<30m)
+            ("2024-01-01 02:00:00", 1, "click", 1.0),  # new session
+        ],
+        [("2024-01-01 06:00:00", 2, "click", 1.0)],  # advances watermark
+        [("2024-01-01 09:00:00", 2, "click", 1.0)],  # flush
+    ]
+    got = _run_events_stream(spark, tmp_path, lambda s: sessionized(s, "30 minutes", "1 hour"), chunks)
+    sess = [(str(r.session_start), r.user_id, r.n_events) for r in got.collect()]
+    assert ("2024-01-01 00:00:00", 1, 2) in sess
+    assert ("2024-01-01 02:00:00", 1, 1) in sess
+
+
+def test_deduped_stream(spark, tmp_path):
+    chunks = [
+        [
+            ("2024-01-01 00:00:00", 1, "click", 1.0),
+            ("2024-01-01 00:00:00", 1, "click", 1.0),  # dup within batch
+        ],
+        [("2024-01-01 00:05:00", 1, "click", 1.0)],  # distinct ts → kept
+    ]
+    got = _run_events_stream(
+        spark, tmp_path, lambda s: deduped_stream(s, ["user_id", "ts"], "1 hour"), chunks
+    )
+    assert got.count() == 2

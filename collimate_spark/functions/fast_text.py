@@ -1,0 +1,155 @@
+"""Arrow-batched numpy implementations of the dedup hash kernels.
+
+The pure-expression forms in functions/text.py are correct but evaluate
+higher-order functions interpreted per array element (~100 ns/element);
+MinHash at k=128 over ~450 shingles/doc is ~60k element-evals per doc —
+the one place in the engine where the built-in-functions rule loses to an
+Arrow-batched numpy kernel by ~10×. These mapInPandas kernels are the
+sanctioned escape hatch (vectorized batch transfer, no per-row Python).
+
+Determinism: zlib.crc32 / blake2b are stable across platforms and
+processes; affine permutation constants come from a fixed-seed PCG64.
+Correctness downstream does not depend on the hash family — LSH output is
+verified against exact Jaccard before it leaves the operator.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+from hashlib import blake2b
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.types as T
+
+MINHASH_K = 128
+LSH_BANDS = 32
+LSH_ROWS = 4
+
+# fixed-seed affine permutation family over the 2^64 ring (a odd → bijective)
+_rng = np.random.Generator(np.random.PCG64(9172))
+_A = (_rng.integers(1, 2**63, size=MINHASH_K, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+_B = _rng.integers(0, 2**63, size=MINHASH_K, dtype=np.uint64)
+
+BAND_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("band_hash", T.LongType()),
+    ]
+)
+
+
+def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    toks = text.lower().split()
+    if len(toks) < n:
+        return np.empty(0, dtype=np.uint64)
+    shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    return np.fromiter(
+        (zlib.crc32(s.encode()) for s in shingles), dtype=np.uint64, count=len(shingles)
+    )
+
+
+def minhash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, text) batches → (doc_id, band, band_hash) rows.
+
+    Per doc: crc32 per distinct trigram shingle (C-speed), then the k=128
+    affine permutations as one (k, n_shingles) broadcast multiply-add with
+    natural uint64 wrap, min over shingles, banded crc32 of each 4-minima
+    slice. Docs with <3 tokens emit nothing (cannot near-dup by shingles).
+    """
+    for pdf in batches:
+        out_doc, out_band, out_hash = [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            h = _shingle_hashes(text)
+            if h.size == 0:
+                continue
+            with np.errstate(over="ignore"):
+                minima = (_A[:, None] * h[None, :] + _B[:, None]).min(axis=1)
+            bands = minima.reshape(LSH_BANDS, LSH_ROWS)
+            for b in range(LSH_BANDS):
+                out_doc.append(doc_id)
+                out_band.append(b)
+                out_hash.append(zlib.crc32(bands[b].tobytes()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "band": pd.Series(out_band, dtype="int32"),
+                "band_hash": pd.Series(out_hash, dtype="int64"),
+            }
+        )
+
+
+SHINGLE_SET_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sh", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def shingle_hash_sets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, text) → (doc_id, sorted distinct 64-bit shingle hashes).
+
+    blake2b-64 per distinct trigram shingle. Set relations (intersection /
+    union sizes) over these hashes equal the string-shingle relations up to
+    a ~2^-64-per-pair collision probability — safe for exact-Jaccard
+    verification against a string-based oracle (crc32's 32 bits would NOT
+    be: ~1e-4 collision odds per candidate pair). Docs with <3 tokens emit
+    an empty array.
+    """
+    for pdf in batches:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = text.lower().split()
+            shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            hs = sorted(
+                int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "little")
+                - 2**63
+                for s in shingles
+            )
+            out.append({"doc_id": doc_id, "sh": hs})
+        yield pd.DataFrame(out, columns=["doc_id", "sh"])
+
+
+SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+_BIT_POS = np.arange(64, dtype=np.uint64)
+
+
+def simhash_fingerprints(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, text) batches → (doc_id, simhash) 64-bit fingerprints.
+
+    blake2b(digest 8B) per token, vectorized ±1 bit-count over a
+    (n_tokens, 64) matrix, sign → bits → one int64.
+    """
+    for pdf in batches:
+        out_doc, out_sim = [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = text.lower().split()
+            if not toks:
+                out_doc.append(doc_id)
+                out_sim.append(0)
+                continue
+            h = np.fromiter(
+                (
+                    int.from_bytes(blake2b(t.encode(), digest_size=8).digest(), "little")
+                    for t in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            bits = ((h[:, None] >> _BIT_POS[None, :]) & np.uint64(1)).astype(np.int64)
+            counts = (2 * bits - 1).sum(axis=0)
+            sig = np.bitwise_or.reduce((counts > 0).astype(np.uint64) << _BIT_POS)
+            out_doc.append(doc_id)
+            out_sim.append(int(sig.astype(np.int64)))
+        yield pd.DataFrame(
+            {"doc_id": pd.Series(out_doc, dtype="int64"), "simhash": pd.Series(out_sim, dtype="int64")}
+        )

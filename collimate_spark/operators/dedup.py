@@ -15,6 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from collimate_spark.catalog import load_table
+from collimate_spark.functions import fast_text
 from collimate_spark.functions import text as X
 from collimate_spark.functions import vectors as V
 
@@ -76,11 +77,37 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a (possibly single-file) input across all cores before a
+    compute-heavy per-row kernel. At 100 TB inputs arrive in thousands of
+    splits and this is a no-op decision; locally a 1-file table would
+    otherwise pin mapInPandas to one core."""
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    """String trigram-shingle sets via pure JVM expressions (used by the
+    zero-Python expr variant)."""
+    docs = _spread(spark, load_table(spark, "documents", sf_dir))
     toks = X.tokens(F.col("text"))
     return docs.select("doc_id", X.word_shingles(toks, 3).alias("shingles")).filter(
         F.size("shingles") > 0
+    )
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit hashed trigram-shingle sets (Arrow-batched numpy kernel) —
+    set algebra over these matches the string shingles w.h.p. (2^-64 per
+    pair), so exact-Jaccard verification still hash-matches the
+    string-based DuckDB oracle."""
+    docs = _spread(spark, load_table(spark, "documents", sf_dir))
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(fast_text.shingle_hash_sets, fast_text.SHINGLE_SET_SCHEMA)
+        .filter(F.size("sh") > 0)
+        .withColumnRenamed("sh", "shingles")
     )
 
 
@@ -105,8 +132,9 @@ def _verified_jaccard_pairs(candidates: DataFrame, shingled: DataFrame) -> DataF
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: explode distinct trigram
     shingles → self equi-join on shingle (candidate generation bounded by
-    shared-shingle pairs, not n²) → exact verification."""
-    shingled = _shingled(spark, sf_dir)
+    shared-shingle pairs, not n²) → exact verification. Shingles travel as
+    64-bit hashes (see _shingle_sets)."""
+    shingled = _shingle_sets(spark, sf_dir)
     exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
     pairs = (
         exploded.alias("a")
@@ -121,18 +149,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup pairs.
 
-    shingle → 128-hash MinHash signature → 32 bands × 4 rows → explode band
-    keys → self equi-join on (band, band_hash) → exact-Jaccard verify.
-    Candidate generation touches only colliding bands — the scale path that
-    replaces the exact variant's shared-shingle join when shingle frequency
-    explodes (at 100 TB a common shingle joins everything to everything;
-    band hashes keep bucket sizes ~uniform).
+    shingle → 128-hash MinHash → 32 bands × 4 rows → self equi-join on
+    (band, band_hash) → exact-Jaccard verify. Candidate generation touches
+    only colliding bands — the scale path that replaces the exact variant's
+    shared-shingle join when shingle frequency explodes (at 100 TB a common
+    shingle joins everything to everything; band hashes keep bucket sizes
+    ~uniform).
+
+    The hash kernel is the Arrow-batched numpy one (functions/fast_text):
+    ~10× the interpreted higher-order-function form, embarrassingly
+    parallel per partition. The correctness contract is unchanged — LSH
+    candidates are verified against exact Jaccard, so the oracle (exact
+    pairs) matches as long as banding recall ≈ 1 (P(miss|j≥0.8) ≈ 5e-8 at
+    32×4). The pure-expression form stays available as
+    ``minhash_band_hash`` + ``dedup_minhash_lsh_expr``.
     """
+    docs = _spread(spark, load_table(spark, "documents", sf_dir))
+    banded = docs.select("doc_id", "text").mapInPandas(
+        fast_text.minhash_bands, fast_text.BAND_SCHEMA
+    )
+    candidates = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verified_jaccard_pairs(candidates, _shingle_sets(spark, sf_dir))
+
+
+def dedup_minhash_lsh_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-expression (zero-Python) MinHash-LSH: explode band indices
+    FIRST, then compute only that band's seed minima per row
+    (minhash_band_hash) — total hash work = one full signature per doc.
+    Slicing an inline signature expression instead would let
+    CollapseProject recompute the whole signature per band (32×).
+    Same verified output as dedup_minhash_lsh; ~10× slower kernel, kept as
+    the no-Python fallback and for parity testing."""
     shingled = _shingled(spark, sf_dir)
-    # Explode band indices FIRST, then compute only that band's seed minima
-    # per row (minhash_band_hash): total hash work = one full signature per
-    # doc. Slicing an inline signature expression instead would let
-    # CollapseProject recompute the whole signature per band (32×).
     banded = (
         shingled.select(
             "doc_id",
@@ -152,19 +206,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _verified_jaccard_pairs(candidates, shingled.select("doc_id", "shingles"))
+    return _verified_jaccard_pairs(candidates, shingled)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit fingerprint per doc; pairs within
-    Hamming distance ≤ 3 found via 4×16-bit band blocking (a pair within
-    distance 3 must agree exactly on ≥1 of 4 bands — pigeonhole), then
-    exact Hamming verification. No DuckDB oracle (xxhash64 is
-    Spark-specific) → driver records the rows-only check; determinism is
+    """SimHash near-dup pairs: 64-bit fingerprint per doc (Arrow-batched
+    numpy kernel, functions/fast_text); pairs within Hamming distance ≤ 3
+    found via 4×16-bit band blocking (a pair within distance 3 must agree
+    exactly on ≥1 of 4 bands — pigeonhole), then exact Hamming
+    verification via bit_count. No DuckDB oracle (the hash family is
+    engine-specific) → driver records the rows-only check; determinism is
     covered by tests/test_dedup.py.
     """
-    docs = load_table(spark, "documents", sf_dir)
-    fp = docs.select("doc_id", X.simhash64(X.tokens(F.col("text"))).alias("simhash"))
+    docs = _spread(spark, load_table(spark, "documents", sf_dir))
+    fp = docs.select("doc_id", "text").mapInPandas(
+        fast_text.simhash_fingerprints, fast_text.SIMHASH_SCHEMA
+    )
     # band b = bits [16b, 16b+16) of the fingerprint (shift amounts must be
     # Python ints → build the 4 band structs explicitly and explode)
     banded = fp.select(
@@ -242,6 +299,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_expr": dedup_minhash_lsh_expr,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
@@ -250,6 +308,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh_expr": NGRAM_JACCARD_SQL,
     # dedup_simhash: rows-only (engine-specific hash family)
     "dedup_embedding_cosine": DEDUP_EMB_SQL,
 }

@@ -1,0 +1,84 @@
+"""Cross-variant dedup properties beyond the DuckDB oracle parity:
+LSH↔exact equivalence, SimHash behavior, signature determinism."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from collimate_spark.functions import text as X
+from collimate_spark.operators.dedup import (
+    dedup_minhash_lsh,
+    dedup_minhash_lsh_expr,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark, sf_dir):
+    """At 32×4 banding, P(missing a j≥0.8 pair) ≈ 5e-8 — verified LSH
+    output must equal the exact shared-shingle join, for both the numpy
+    and the pure-expression kernel."""
+    exact = {(r.doc_a, r.doc_b, r.jaccard) for r in dedup_ngram_jaccard(spark, sf_dir).collect()}
+    lsh = {(r.doc_a, r.doc_b, r.jaccard) for r in dedup_minhash_lsh(spark, sf_dir).collect()}
+    lsh_expr = {
+        (r.doc_a, r.doc_b, r.jaccard) for r in dedup_minhash_lsh_expr(spark, sf_dir).collect()
+    }
+    assert exact == lsh == lsh_expr
+    assert len(exact) > 0  # the testdata plants near-dups; empty = broken
+
+
+def test_simhash_catches_planted_near_dups(spark, sf_dir):
+    """SimHash hamming≤3 blocking should agree with high-Jaccard pairs on
+    a majority of the planted near-dups (different similarity notion, so
+    exact equality is not expected)."""
+    jac = {(r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf_dir).collect()}
+    sim = {(r.doc_a, r.doc_b) for r in dedup_simhash(spark, sf_dir).collect()}
+    assert len(sim & jac) >= len(jac) // 2
+    hams = [r.hamming for r in dedup_simhash(spark, sf_dir).collect()]
+    assert all(0 <= h <= 3 for h in hams)
+
+
+def test_identical_text_same_simhash_and_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "a completely different sentence about spark engines at scale")],
+        ["doc_id", "text"],
+    )
+    toks = X.tokens(F.col("text"))
+    out = df.select(
+        "doc_id",
+        X.simhash64(toks).alias("sh"),
+        X.minhash_signature(X.word_shingles(toks, 3), 16).alias("sig"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].sh == by_id[2].sh
+    assert by_id[1].sig == by_id[2].sig
+    assert by_id[1].sh != by_id[3].sh
+    assert len(by_id[1].sig) == 16
+
+
+def test_hamming64_matches_popcount(spark):
+    import random
+
+    random.seed(3)
+    rows = [(random.getrandbits(63), random.getrandbits(63)) for _ in range(50)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = df.select(X.hamming64(F.col("a"), F.col("b")).alias("h"), "a", "b").collect()
+    for r in got:
+        assert r.h == bin(r.a ^ r.b).count("1")
+
+
+def test_minhash_estimates_jaccard(spark):
+    """MinHash signature agreement rate ≈ true Jaccard (here two texts
+    sharing most trigrams)."""
+    a = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15"
+    b = a + " w16"  # adds one trigram-ish tail
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    sig = df.select(
+        "doc_id", X.minhash_signature(X.word_shingles(X.tokens(F.col("text")), 3), 128).alias("s")
+    ).collect()
+    s1, s2 = sig[0].s, sig[1].s
+    agree = sum(1 for x, y in zip(s1, s2) if x == y) / 128
+    # true jaccard = 14/15 ≈ 0.933; agreement should be in the same region
+    assert 0.75 <= agree <= 1.0

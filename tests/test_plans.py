@@ -1,0 +1,71 @@
+"""Plan-regression tests: assert the physical plans Catalyst produces are
+the ones a 100 TB deployment needs — filters pushed to the Parquet scan,
+column pruning in ReadSchema, broadcast joins for dims, TakeOrderedAndProject
+for global top-k (no full sort). A passing correctness suite with a
+regressed plan is still a failure at scale; these tests pin the plans."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from collimate_spark.catalog import load_table
+from collimate_spark.operators.relational import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_local_supplier_volume,
+    sort_topk,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _formatted(q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 7 needed columns reach the scan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_quantity" in read_schema and "l_returnflag" in read_schema
+
+
+def test_q1_wholestage_codegen(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    df.collect()  # AQE reveals the final plan (and codegen spans) post-run
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # "*(n)" prefixes mark WholeStageCodegen spans in the compact plan form
+    assert "*(" in plan  # agg pipeline stays JVM-compiled
+
+
+def test_q3_broadcasts_dimension(spark, sf_dir):
+    plan = _plan(q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_star_join_broadcasts(spark, sf_dir):
+    plan = _plan(q5_local_supplier_volume(spark, sf_dir))
+    # every dim join (customer/supplier/nation/region) is broadcast; the
+    # only shuffle exchanges are for the fact-fact join + final agg/sort
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_sort_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(sort_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # per-partition heap, not full sort
+
+
+def test_projection_prunes_payload_column(spark, sf_dir):
+    """Multimodal pattern: metadata-only queries must not read the payload
+    bytes — selecting two scalar columns prunes `text` from ReadSchema."""
+    docs = load_table(spark, "documents", sf_dir)
+    plan = _formatted(docs.select("doc_id", "lang").filter(F.col("lang") == "en"))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan

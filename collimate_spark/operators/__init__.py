@@ -20,6 +20,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         windows,
         joins,
         events,
+        grouped,
         dedup,
         similarity,
         textstats,
@@ -27,7 +28,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, windows, joins, events, dedup, similarity, textstats, multimodal):
+    for mod in (relational, windows, joins, events, grouped, dedup, similarity, textstats, multimodal):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
@@ -41,6 +42,7 @@ def all_oracles() -> dict[str, str]:
         windows,
         joins,
         events,
+        grouped,
         dedup,
         similarity,
         textstats,
@@ -48,6 +50,6 @@ def all_oracles() -> dict[str, str]:
     )
 
     merged: dict[str, str] = {}
-    for mod in (relational, windows, joins, events, dedup, similarity, textstats, multimodal):
+    for mod in (relational, windows, joins, events, grouped, dedup, similarity, textstats, multimodal):
         merged.update(mod.ORACLES)
     return merged

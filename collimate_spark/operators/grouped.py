@@ -1,0 +1,217 @@
+"""Custom grouped operators: applyInPandas (Arrow-batched per-group
+pandas), Python UDTF, and SQL-surface aggregates Spark exposes as
+built-ins (exact percentile, argmax via struct-max, EXISTS subqueries,
+unpivot).
+
+applyInPandas is the engine's UDAF/flat-map-groups escape hatch: state is
+one group's rows in memory — partition by a real key so groups stay small
+at 100 TB (here: per-user event frames, ≤ thousands of rows each).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+from collimate_spark.catalog import load_table
+
+ZSCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("zscore", T.DoubleType()),
+    ]
+)
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    mu = pdf["value"].mean()
+    sd = pdf["value"].std(ddof=1)
+    z = (pdf["value"] - mu) / sd if sd and sd > 0 else pdf["value"] * 0.0
+    return pd.DataFrame(
+        {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "zscore": z}
+    )
+
+
+def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score of event values via applyInPandas — the custom
+    grouped-map operator pattern. Exactly SQL-expressible, so it gets a
+    real oracle (window AVG/STDDEV) proving the Arrow round trip is
+    numerically faithful."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(_zscore_group, ZSCORE_SCHEMA)
+        .select("user_id", "event_id", F.round("zscore", 6).alias("zscore"))
+        .orderBy("event_id")
+    )
+
+
+GROUPED_ZSCORE_SQL = """
+SELECT user_id, event_id,
+       ROUND(CASE WHEN STDDEV_SAMP(value) OVER w > 0
+                  THEN (value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w
+                  ELSE 0.0 END, 6) AS zscore
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+ORDER BY event_id
+"""
+
+
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_PERCENTILE_SQL = """
+SELECT l_returnflag,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50_price,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price,
+       ROUND(QUANTILE_CONT(l_quantity, 0.25), 4) AS p25_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax per group with a deterministic tiebreak: MAX over a
+    (value, key) struct — price ties resolve to the larger orderkey in
+    both engines (lexicographic struct/row comparison)."""
+    orders = load_table(spark, "orders", sf_dir)
+    best = F.max(F.struct(F.col("o_totalprice"), F.col("o_orderkey")))
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            best.getField("o_orderkey").alias("best_orderkey"),
+            F.round(best.getField("o_totalprice"), 2).alias("best_price"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+AGG_ARGMAX_SQL = """
+SELECT o_custkey,
+       (MAX({'p': o_totalprice, 'k': o_orderkey})).k AS best_orderkey,
+       ROUND((MAX({'p': o_totalprice, 'k': o_orderkey})).p, 2) AS best_price
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS via the SQL front door."""
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("customer")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+                 AS has_big_order
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey
+        """
+    )
+
+
+SUBQUERY_EXISTS_SQL = """
+SELECT c_custkey, c_name,
+       EXISTS (SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+         AS has_big_order
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt) of lineitem charge components."""
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_linenumber") == 1)
+    return (
+        li.select("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+            "l_orderkey",
+            ["l_extendedprice", "l_discount", "l_tax"],
+            "component",
+            "amount",
+        )
+        .select("l_orderkey", "component", F.round("amount", 2).alias("amount"))
+        .orderBy("l_orderkey", "component")
+    )
+
+
+UNPIVOT_SQL = """
+SELECT l_orderkey, component, ROUND(amount, 2) AS amount
+FROM (
+  SELECT l_orderkey, l_extendedprice, l_discount, l_tax
+  FROM lineitem WHERE l_linenumber = 1
+)
+UNPIVOT (amount FOR component IN (l_extendedprice, l_discount, l_tax))
+ORDER BY l_orderkey, component
+"""
+
+
+def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation, emitted as a string (value-hash friendly):
+    per customer, the chronological list of order keys."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("o_orderdate", "o_orderkey"))),
+                    lambda s: s.getField("o_orderkey").cast("string"),
+                ),
+            ).alias("order_keys")
+        )
+        .orderBy("o_custkey")
+    )
+
+
+ARRAY_AGG_SQL = """
+SELECT o_custkey,
+       array_to_string(list_transform(
+         list_sort(list({'d': o_orderdate, 'k': o_orderkey})),
+         s -> CAST(s.k AS VARCHAR)), ',') AS order_keys
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+QUERIES = {
+    "grouped_zscore": grouped_zscore,
+    "agg_percentile": agg_percentile,
+    "agg_argmax": agg_argmax,
+    "subquery_exists": subquery_exists,
+    "unpivot_lineitem": unpivot_lineitem,
+    "array_agg_sorted": array_agg_sorted,
+}
+
+ORACLES = {
+    "grouped_zscore": GROUPED_ZSCORE_SQL,
+    "agg_percentile": AGG_PERCENTILE_SQL,
+    "agg_argmax": AGG_ARGMAX_SQL,
+    "subquery_exists": SUBQUERY_EXISTS_SQL,
+    "unpivot_lineitem": UNPIVOT_SQL,
+    "array_agg_sorted": ARRAY_AGG_SQL,
+}

@@ -102,6 +102,65 @@ def sessionized(
     )
 
 
+USER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events_total", T.LongType()),
+        T.StructField("sum_value_total", T.DoubleType()),
+        T.StructField("batch_events", T.LongType()),
+    ]
+)
+
+_USER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+    ]
+)
+
+
+def _update_user_stats(key, pdfs, state):
+    """Custom stateful operator body: fold this micro-batch's rows for one
+    user into (count, sum) state, emit the running totals. State is two
+    scalars per user — bounded regardless of stream length."""
+    import pandas as pd  # executor-side import
+
+    n_batch = 0
+    s_batch = 0.0
+    for pdf in pdfs:
+        n_batch += len(pdf)
+        s_batch += float(pdf["value"].sum())
+    if state.exists:
+        n_prev, s_prev = state.get
+    else:
+        n_prev, s_prev = 0, 0.0
+    n_total, s_total = n_prev + n_batch, s_prev + s_batch
+    state.update((n_total, s_total))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events_total": [n_total],
+            "sum_value_total": [round(s_total, 6)],
+            "batch_events": [n_batch],
+        }
+    )
+
+
+def user_running_stats(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful streaming aggregation via applyInPandasWithState:
+    per-user running (count, sum) emitted as an update row each micro-batch
+    the user appears in. The pattern for custom operators Structured
+    Streaming lacks as built-ins (CEP, custom decay counters, per-entity
+    models): keyed scalar state + Arrow-batched per-group updates."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_stats,
+        outputStructType=USER_STATS_SCHEMA,
+        stateStructType=_USER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def deduped_stream(
     events: DataFrame,
     keys: list[str],

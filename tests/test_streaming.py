@@ -138,6 +138,27 @@ def test_sessionized(spark, tmp_path):
     assert ("2024-01-01 02:00:00", 1, 1) in sess
 
 
+def test_user_running_stats_stateful(spark, tmp_path):
+    """applyInPandasWithState: state accumulates across micro-batches."""
+    from collimate_spark.streaming.pipeline import user_running_stats
+
+    chunks = [
+        [
+            ("2024-01-01 00:00:00", 1, "click", 1.0),
+            ("2024-01-01 00:01:00", 1, "click", 2.0),
+            ("2024-01-01 00:02:00", 2, "view", 10.0),
+        ],
+        [("2024-01-01 00:10:00", 1, "click", 3.0)],
+    ]
+    got = _run_events_stream(spark, tmp_path, user_running_stats, chunks).collect()
+    updates = [(r.user_id, r.n_events_total, r.sum_value_total, r.batch_events) for r in got]
+    # batch 1: user 1 → (2, 3.0), user 2 → (1, 10.0)
+    assert (1, 2, 3.0, 2) in updates
+    assert (2, 1, 10.0, 1) in updates
+    # batch 2: user 1 state carried forward → totals (3, 6.0)
+    assert (1, 3, 6.0, 1) in updates
+
+
 def test_deduped_stream(spark, tmp_path):
     chunks = [
         [

@@ -21,6 +21,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         joins,
         events,
         grouped,
+        udx,
         dedup,
         similarity,
         textstats,
@@ -28,7 +29,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, windows, joins, events, grouped, dedup, similarity, textstats, multimodal):
+    for mod in (relational, windows, joins, events, grouped, udx, dedup, similarity, textstats, multimodal):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
@@ -43,6 +44,7 @@ def all_oracles() -> dict[str, str]:
         joins,
         events,
         grouped,
+        udx,
         dedup,
         similarity,
         textstats,
@@ -50,6 +52,6 @@ def all_oracles() -> dict[str, str]:
     )
 
     merged: dict[str, str] = {}
-    for mod in (relational, windows, joins, events, grouped, dedup, similarity, textstats, multimodal):
+    for mod in (relational, windows, joins, events, grouped, udx, dedup, similarity, textstats, multimodal):
         merged.update(mod.ORACLES)
     return merged

@@ -1,0 +1,133 @@
+"""User-defined execution surface: vectorized scalar pandas UDF, Python
+UDTF (lateral table function), and map-typed columns — the three UDF/UDAF/
+UDTF rows of SURVEY.md §2.2 not already covered by applyInPandas /
+mapInPandas elsewhere.
+
+Scalar pandas UDFs are Arrow-batched (one Python roundtrip per ~10k-row
+batch, not per row); the UDTF runs per-row Python and is therefore the
+slowest construct in the engine — appropriate for low-volume lateral
+expansions, never for the 100 TB hot path (use explode/posexplode of
+built-in arrays there, as dedup does).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf, udtf
+
+from collimate_spark.catalog import load_table
+
+
+# returnType as a DataType instance (a DDL string would require an active
+# SparkSession at import time)
+@pandas_udf(T.DoubleType())
+def log1p_vec(s: pd.Series) -> pd.Series:
+    """Vectorized numpy scalar UDF (Arrow batches)."""
+    return np.log1p(s)
+
+
+def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF parity: np.log1p over order totals must match the
+    oracle's LN(1+x) bit-for-bit (both double)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.select(
+            "o_orderkey",
+            F.round(log1p_vec(F.col("o_totalprice")), 6).alias("log1p_price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+PANDAS_UDF_SQL = """
+SELECT o_orderkey, ROUND(LN(1 + o_totalprice), 6) AS log1p_price
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+@udtf(returnType="pos: int, token: string")
+class TokenizeUDTF:
+    """Lateral table function: one (position, token) row per whitespace
+    token. Per-row Python — demo of the UDTF surface, not a hot path."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        for i, tok in enumerate(text.lower().split()):
+            yield (i, tok)
+
+
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a LATERAL join over (a slice of) documents."""
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 20)
+    docs.createOrReplaceTempView("docs_slice")
+    spark.udtf.register("tokenize_udtf", TokenizeUDTF)
+    return spark.sql(
+        """
+        SELECT doc_id, t.pos, t.token
+        FROM docs_slice, LATERAL tokenize_udtf(text) t
+        ORDER BY doc_id, pos
+        """
+    )
+
+
+UDTF_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks
+  FROM documents WHERE doc_id < 20
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
+FROM d, UNNEST(range(1, len(toks) + 1)) t(i)
+ORDER BY doc_id, pos
+"""
+
+
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: build a map, read keys and values back.
+    Output stays scalar (value-hash friendly)."""
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 500)
+    m = F.create_map(
+        F.lit("price"), F.col("o_totalprice"),
+        F.lit("key2"), F.col("o_custkey").cast("double"),
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            F.round(F.element_at(m, "price"), 2).alias("price_from_map"),
+            F.concat_ws(",", F.map_keys(m)).alias("keys_joined"),
+            F.size(m).alias("map_size"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+MAP_FUNCTIONS_SQL = """
+SELECT o_orderkey,
+       ROUND((MAP {'price': o_totalprice, 'key2': CAST(o_custkey AS DOUBLE)})['price'][1], 2)
+         AS price_from_map,
+       array_to_string(map_keys(MAP {'price': o_totalprice, 'key2': CAST(o_custkey AS DOUBLE)}), ',')
+         AS keys_joined,
+       CAST(cardinality(MAP {'price': o_totalprice, 'key2': CAST(o_custkey AS DOUBLE)}) AS INT)
+         AS map_size
+FROM orders
+WHERE o_orderkey < 500
+ORDER BY o_orderkey
+"""
+
+
+QUERIES = {
+    "pandas_udf_scalar": pandas_udf_scalar,
+    "udtf_tokenize": udtf_tokenize,
+    "map_functions": map_functions,
+}
+
+ORACLES = {
+    "pandas_udf_scalar": PANDAS_UDF_SQL,
+    "udtf_tokenize": UDTF_SQL,
+    "map_functions": MAP_FUNCTIONS_SQL,
+}

@@ -1,0 +1,52 @@
+"""Storage layout for the columnar store: partitioned and bucketed writes.
+
+At 100 TB the dominant costs are scan volume and shuffle volume; the
+storage layout is where both are won:
+
+- ``write_partitioned``: hive-style partition directories (e.g. by date) →
+  partition pruning eliminates scan volume for time-ranged queries.
+- ``write_bucketed`` / ``read_bucketed``: pre-shuffle the table once at
+  write time into N hash buckets on the join key; every subsequent join or
+  aggregation on that key runs WITHOUT an Exchange (verified by
+  tests/test_storage.py asserting the join plan is shuffle-free). This is
+  the Spark-native answer to the co-located join problem — pay the shuffle
+  once, reuse it forever.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Hive-partitioned Parquet: one directory per partition value.
+    Readers filtering on partition_cols scan only matching directories
+    (partition pruning — visible as 'PartitionFilters' in explain)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed external table: hash-partitioned into n_buckets files on
+    bucket_cols (+ optionally sorted within buckets, enabling sort-merge
+    joins with neither shuffle nor sort)."""
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

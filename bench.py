@@ -46,6 +46,49 @@ BENCH_QUERIES = [
 ]
 
 
+def bench_ingest(spark) -> float:
+    """The reference's own task: CSV → typed columnar store. Exports
+    lineitem at the bench SF to CSV once (cached in /tmp, not timed), then
+    times profile+apply+parquet-write end-to-end."""
+    import tempfile
+
+    from collimate_spark.ingest import ingest, to_columnar
+
+    sf_tag = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
+    csv_dir = os.path.join(tempfile.gettempdir(), f"bench_csv_{sf_tag}")
+    marker = os.path.join(csv_dir, "_READY")
+    if not os.path.exists(marker):
+        li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        (
+            li.selectExpr(
+                "*", "date_format(l_shipdate, 'yyyy-MM-dd') AS ship_iso"
+            )
+            .drop("l_shipdate")
+            .coalesce(8)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(csv_dir)
+        )
+        open(marker, "w").close()
+    # Spark's csv() writes part files without .csv extension handling via
+    # read_raw's extension dispatch — point ingest at the directory with
+    # explicit csv part files
+    t0 = time.time()
+    from collimate_spark.ingest import apply_manifest, profile
+
+    raw = (
+        spark.read.option("header", True)
+        .option("ignoreLeadingWhiteSpace", True)
+        .option("ignoreTrailingWhiteSpace", True)
+        .csv(csv_dir)
+    )
+    manifest = profile(spark, raw, parse_dates=True)
+    typed = apply_manifest(raw, manifest)
+    out = os.path.join(tempfile.gettempdir(), f"bench_ingest_out_{sf_tag}")
+    to_columnar(typed, out, manifest, write_manifest=True)
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     spark = get_session("collimate_spark_bench")
     queries = all_queries()
@@ -59,6 +102,8 @@ def main() -> None:
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         results[name] = round(time.time() - t0, 3)
+
+    results["ingest_csv_to_columnar"] = bench_ingest(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -54,28 +54,43 @@ def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
 def minhash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """(doc_id, text) batches → (doc_id, band, band_hash) rows.
 
-    Per doc: crc32 per distinct trigram shingle (C-speed), then the k=128
-    affine permutations as one (k, n_shingles) broadcast multiply-add with
-    natural uint64 wrap, min over shingles, banded crc32 of each 4-minima
-    slice. Docs with <3 tokens emit nothing (cannot near-dup by shingles).
+    Whole-batch vectorization: crc32 per distinct trigram shingle
+    (C-speed), all docs' hashes concatenated, the k=128 affine permutations
+    as ONE (k, total_shingles) broadcast multiply-add with natural uint64
+    wrap, per-doc minima via ``np.minimum.reduceat`` on the doc offsets,
+    banded crc32 of each 4-minima slice. Docs with <3 tokens emit nothing
+    (cannot near-dup by trigram shingles).
     """
     for pdf in batches:
-        out_doc, out_band, out_hash = [], [], []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            h = _shingle_hashes(text)
-            if h.size == 0:
-                continue
-            with np.errstate(over="ignore"):
-                minima = (_A[:, None] * h[None, :] + _B[:, None]).min(axis=1)
-            bands = minima.reshape(LSH_BANDS, LSH_ROWS)
-            for b in range(LSH_BANDS):
-                out_doc.append(doc_id)
-                out_band.append(b)
-                out_hash.append(zlib.crc32(bands[b].tobytes()))
+        per_doc = [(int(d), _shingle_hashes(t)) for d, t in zip(pdf["doc_id"], pdf["text"])]
+        per_doc = [(d, h) for d, h in per_doc if h.size]
+        if not per_doc:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "band": pd.Series([], dtype="int32"),
+                    "band_hash": pd.Series([], dtype="int64"),
+                }
+            )
+            continue
+        doc_ids = np.array([d for d, _ in per_doc], dtype=np.int64)
+        lengths = np.array([h.size for _, h in per_doc])
+        offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        allh = np.concatenate([h for _, h in per_doc])
+        with np.errstate(over="ignore"):
+            perms = _A[:, None] * allh[None, :] + _B[:, None]
+        minima = np.minimum.reduceat(perms, offsets, axis=1)  # (k, ndocs)
+        bands = minima.reshape(LSH_BANDS, LSH_ROWS, len(per_doc))
+        n = len(per_doc)
+        out_hash = np.empty(n * LSH_BANDS, dtype=np.int64)
+        for b in range(LSH_BANDS):
+            col = np.ascontiguousarray(bands[b].T)  # (ndocs, LSH_ROWS)
+            for i in range(n):
+                out_hash[i * LSH_BANDS + b] = zlib.crc32(col[i].tobytes())
         yield pd.DataFrame(
             {
-                "doc_id": pd.Series(out_doc, dtype="int64"),
-                "band": pd.Series(out_band, dtype="int32"),
+                "doc_id": pd.Series(np.repeat(doc_ids, LSH_BANDS), dtype="int64"),
+                "band": pd.Series(np.tile(np.arange(LSH_BANDS, dtype=np.int32), n), dtype="int32"),
                 "band_hash": pd.Series(out_hash, dtype="int64"),
             }
         )

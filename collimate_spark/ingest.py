@@ -191,21 +191,35 @@ def profile(
     double-castable count, int min/max, per-format date-parse successes,
     length-8-10 count, approx distinct — all as built-in aggregates, so
     inference cost is a single distributed pass regardless of width.
+
+    Scan-window policy (a deliberate Spark-first deviation): by default the
+    profile aggregates the FULL data in parallel — on a cluster that is
+    both faster than the reference's prefix window (a ``limit(k)`` funnels
+    the aggregation through one partition) and strictly more correct (no
+    post-window type surprises). Passing ``scan_rows`` explicitly restores
+    the reference's first-k-rows semantics (index.js:220-221) for parity
+    testing; ``scan_rows=0`` means "use the reference's budget rule".
     """
-    n = df.count()
-    manifest = Manifest(n_rows=n)
-    if n == 0 or not df.columns:
-        manifest.columns = [
-            ColumnProfile(c, sanitize(c), "int32", False, 0) for c in df.columns
-        ]
-        return manifest
+    if not df.columns:
+        return Manifest()
+    if scan_rows is not None:
+        n = df.count()
+        manifest = Manifest(n_rows=n)
+        if n == 0:
+            manifest.columns = [
+                ColumnProfile(c, sanitize(c), "int32", False, 0) for c in df.columns
+            ]
+            return manifest
+        scanned = scan_rows if scan_rows > 0 else scan_budget(n)
+        scanned = min(scanned, n)
+        manifest.n_scanned = scanned
+        manifest.categorical_threshold = categorical_threshold(n, scanned)
+        window = df.limit(scanned) if scanned < n else df
+    else:
+        manifest = Manifest()
+        window = df  # full-data profile; n comes out of the same agg job
 
-    scanned = scan_rows if scan_rows is not None else scan_budget(n)
-    manifest.n_scanned = scanned
-    manifest.categorical_threshold = categorical_threshold(n, scanned)
-    window = df.limit(scanned) if scanned < n else df
-
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in df.columns:
         v = _null_normalized(F.col(c))
         aggs.extend(
@@ -230,6 +244,17 @@ def profile(
                     ).alias(f"{c}__fmt{i}")
                 )
     stats = window.agg(*aggs).collect()[0].asDict()
+
+    if scan_rows is None:
+        n = stats["__n_rows"]
+        manifest.n_rows = n
+        manifest.n_scanned = n
+        manifest.categorical_threshold = categorical_threshold(n, n)
+        if n == 0:
+            manifest.columns = [
+                ColumnProfile(c, sanitize(c), "int32", False, 0) for c in df.columns
+            ]
+            return manifest
 
     for c in df.columns:
         nn = stats[f"{c}__nn"]

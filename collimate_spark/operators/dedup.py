@@ -168,14 +168,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = docs.select("doc_id", "text").mapInPandas(
         fast_text.minhash_bands, fast_text.BAND_SCHEMA
     )
-    candidates = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "band_hash"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    candidates = _bucket_pairs(banded, "band", "band_hash")
+    return _verified_jaccard_pairs(candidates, _shingle_sets(spark, sf_dir))
+
+
+def _bucket_pairs(banded: DataFrame, *bucket_cols: str) -> DataFrame:
+    """Candidate pairs from bucket membership in ONE shuffle: groupBy the
+    bucket key, collect the (small) member list, emit sorted pairs with a
+    nested-transform expression. Replaces a self-join (two shuffles of the
+    full banded relation + join) — at 100 TB the banded relation is
+    |docs|·bands rows, so halving its shuffles matters; member lists stay
+    small because band hashes spread non-dup docs uniformly."""
+    pairs = (
+        banded.groupBy(*bucket_cols)
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.array_sort("ids").alias("ids"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
-    return _verified_jaccard_pairs(candidates, _shingle_sets(spark, sf_dir))
+    return pairs
 
 
 def dedup_minhash_lsh_expr(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -77,7 +77,8 @@ def test_categorical_profile(spark, tmp_path):
     for i in range(2000):
         rows.append(f"c{i % 5},u{i}")
     path = _write(tmp_path, "categorical.csv", "\n".join(rows) + "\n")
-    _, manifest = ingest(spark, path)
+    # scan_rows=0 → the reference's prefix-window budget rule
+    _, manifest = ingest(spark, path, scan_rows=0)
     by_name = {c.original_name: c for c in manifest.columns}
     assert by_name["cat_small"].categorical is True
     assert by_name["high_card"].categorical is False
@@ -85,6 +86,12 @@ def test_categorical_profile(spark, tmp_path):
     scanned = scan_budget(2000)
     assert scanned == 1000
     assert manifest.categorical_threshold == categorical_threshold(2000, scanned)
+    assert manifest.n_scanned == 1000
+
+    # default (Spark-first): full-data profile, coverage 1.0
+    _, full = ingest(spark, path)
+    assert full.n_scanned == 2000
+    assert full.categorical_threshold == categorical_threshold(2000, 2000)
 
 
 # --- F4: date detection ---

@@ -1,0 +1,41 @@
+"""Skew-handling join utilities.
+
+AQE's skew-join splitting (on by default in session.py) handles most skew
+at runtime by splitting oversized shuffle partitions. ``salted_join``
+covers the case AQE cannot: a broadcast-ineligible right side joined on a
+key whose hot values overwhelm single tasks even after splitting — the
+classic power-law key (user_id of a bot, null-ish defaults) at 100 TB.
+
+Mechanics: left rows get a random salt in [0, n_salts); right rows are
+replicated once per salt value; the join key becomes (key, salt), so a hot
+key's rows spread over n_salts tasks. Cost: right side inflates n_salts× —
+use only when the right side is the smaller (but not broadcastable) one.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join `left.on == right.on` with the hot-key salt pattern.
+    Output columns = left ∪ (right − key), like df.join(right, on, how).
+
+    Salting uses a deterministic spread (pmod of a hash of the row's other
+    content is ideal; rand() would break retry determinism) — here the
+    monotonically_increasing_id of the left row, stable within a job.
+    """
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = l_salted.join(r_salted, [on, "__salt"], how)
+    return joined.drop("__salt")

@@ -64,10 +64,10 @@ ORDER BY l_returnflag, l_linestatus
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, "orders", sf_dir).filter(
-        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
     )
     li = load_table(spark, "lineitem", sf_dir).filter(
-        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -86,8 +86,8 @@ FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1995-03-15'
-  AND l_shipdate > TIMESTAMP '1995-03-15'
+  AND o_orderdate < TIMESTAMP '1997-03-15'
+  AND l_shipdate > TIMESTAMP '1997-03-15'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
@@ -135,8 +135,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
@@ -147,8 +147,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q6_SQL = """
 SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-  AND l_shipdate < TIMESTAMP '1995-01-01'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """
@@ -188,8 +188,8 @@ LIMIT 20
 # --- TPC-H Q4 shape: EXISTS-semi-join + agg
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir).filter(
-        (F.col("o_orderdate") >= F.lit("1993-07-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1994-07-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
     )
     late_li = (
         load_table(spark, "lineitem", sf_dir)
@@ -207,8 +207,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q4_SQL = """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
-WHERE o_orderdate >= TIMESTAMP '1993-07-01'
-  AND o_orderdate < TIMESTAMP '1994-07-01'
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
   AND EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
 GROUP BY o_orderpriority

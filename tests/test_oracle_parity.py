@@ -74,6 +74,9 @@ def test_oracle_parity(spark, name):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
     )
+    # an empty result matches any oracle trivially — every query must
+    # select something from the testdata (caught two mis-windowed queries)
+    assert len(spark_rows) > 0, f"{name}: empty result — query selects nothing"
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )

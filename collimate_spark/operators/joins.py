@@ -95,9 +95,9 @@ ORDER BY c_custkey
 
 
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left anti: customers with NO orders above 100k."""
+    """Left anti: customers with NO orders above 400k."""
     cust = load_table(spark, "customer", sf_dir)
-    big = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 100000)
+    big = load_table(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 400000)
     return (
         cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -108,7 +108,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 JOIN_ANTI_SQL = """
 SELECT c_custkey, c_name
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
 ORDER BY c_custkey
 """
 

@@ -79,6 +79,7 @@ DATE_FORMATS = (
 INT32_MIN, INT32_MAX = -(2**31), 2**31 - 1
 
 _INT_RE = r"^[+-]?\d+$"
+_INT_PAT = re.compile(_INT_RE)
 
 
 def sanitize(name: str) -> str:
@@ -219,22 +220,52 @@ def profile(
         manifest = Manifest()
         window = df  # full-data profile; n comes out of the same agg job
 
+    # Seed per-column hypotheses from the first record (reference semantics,
+    # index.js:157-217): the widening lattice means a seed-str column can
+    # never narrow back to numeric, and date formats are only ever probed
+    # for seed-str columns — so numeric-seeded columns skip the 6-format
+    # date parse and string-seeded columns skip the int/double casts. On a
+    # wide fact table this removes most of the profile-agg work.
+    head = df.first()
+    seeds: dict[str, str] = {}
+    for c in df.columns:
+        v = head[c] if head is not None else None
+        if v is None or v in NULL_TOKENS:
+            seeds[c] = "int"  # reference: null seeds int32
+        elif _INT_PAT.match(v):
+            seeds[c] = "int"
+        else:
+            try:
+                float(v)
+                seeds[c] = "float"
+            except ValueError:
+                seeds[c] = "str"
+
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in df.columns:
         v = _null_normalized(F.col(c))
+        seed = seeds[c]
         aggs.extend(
             [
                 F.count(v).alias(f"{c}__nn"),
-                F.count(F.when(v.rlike(_INT_RE), 1)).alias(f"{c}__int"),
-                F.count(F.when(v.try_cast("double").isNotNull(), 1)).alias(f"{c}__dbl"),
-                F.min(F.when(v.rlike(_INT_RE), v.try_cast("long"))).alias(f"{c}__imin"),
-                F.max(F.when(v.rlike(_INT_RE), v.try_cast("long"))).alias(f"{c}__imax"),
-                F.count(F.when(F.length(v).between(8, 10), 1)).alias(f"{c}__dlen"),
                 F.approx_count_distinct(v).alias(f"{c}__dist"),
                 (F.count(F.lit(1)) - F.count(v)).alias(f"{c}__nulls"),
             ]
         )
-        if parse_dates:
+        if seed == "int":
+            aggs.extend(
+                [
+                    F.count(F.when(v.rlike(_INT_RE), 1)).alias(f"{c}__int"),
+                    F.min(F.when(v.rlike(_INT_RE), v.try_cast("long"))).alias(f"{c}__imin"),
+                    F.max(F.when(v.rlike(_INT_RE), v.try_cast("long"))).alias(f"{c}__imax"),
+                ]
+            )
+        if seed in ("int", "float"):
+            aggs.append(
+                F.count(F.when(v.try_cast("double").isNotNull(), 1)).alias(f"{c}__dbl")
+            )
+        if seed == "str" and parse_dates:
+            aggs.append(F.count(F.when(F.length(v).between(8, 10), 1)).alias(f"{c}__dlen"))
             for i, fmt in enumerate(DATE_FORMATS):
                 aggs.append(
                     F.count(
@@ -258,15 +289,14 @@ def profile(
 
     for c in df.columns:
         nn = stats[f"{c}__nn"]
-        n_int = stats[f"{c}__int"]
-        n_dbl = stats[f"{c}__dbl"]
         dist = stats[f"{c}__dist"]
         nulls = stats[f"{c}__nulls"]
+        seed = seeds[c]
         date_format = None
         if nn == 0:
             # all-null column seeds as int (reference: null → int32)
             logical = "int32"
-        elif n_int == nn:
+        elif seed == "int" and stats[f"{c}__int"] == nn:
             imin, imax = stats[f"{c}__imin"], stats[f"{c}__imax"]
             # values too big even for long parse to NULL via try_cast; treat
             # any parse failure among int-patterned values as string
@@ -278,9 +308,9 @@ def profile(
                 # deviation: reference demotes >2^31-1 to str (and misses
                 # the lower bound entirely, index.js:169); we keep int64
                 logical = "int64"
-        elif n_dbl == nn:
+        elif seed in ("int", "float") and stats[f"{c}__dbl"] == nn:
             logical = "float64"
-        else:
+        elif seed == "str":
             logical = "str"
             if parse_dates and stats[f"{c}__dlen"] == nn:
                 survivors = [
@@ -293,6 +323,8 @@ def profile(
                 if len(survivors) == 1:
                     logical = "date"
                     date_format = survivors[0]
+        else:
+            logical = "str"
         manifest.columns.append(
             ColumnProfile(
                 original_name=c,

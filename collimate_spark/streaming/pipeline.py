@@ -53,6 +53,38 @@ def stream_ingest(
     return raw.select(*cols)
 
 
+def stream_ingest_with_quarantine(
+    spark: SparkSession,
+    indir: str,
+    schema: T.StructType,
+) -> DataFrame:
+    """Streaming ingest with schema-drift quarantine (SURVEY.md §7
+    hard-part 5): the stream's schema is frozen, and rows that do not
+    conform (extra columns, type violations, malformed lines) are captured
+    whole in a ``_quarantine`` column instead of being dropped or silently
+    nulled. Downstream: ``filter(_quarantine IS NULL)`` is the clean feed;
+    the quarantine rows go to a dead-letter table for re-ingestion after a
+    schema migration."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_quarantine", T.StringType())]
+    )
+    raw = (
+        spark.readStream.schema(full)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_quarantine")
+        .csv(indir)
+    )
+    cols = []
+    for f_ in schema.fields:
+        c = F.col(f_.name)
+        if isinstance(f_.dataType, T.StringType):
+            c = F.when(c.isin(*NULL_TOKENS), F.lit(None)).otherwise(c)
+        cols.append(c.alias(sanitize(f_.name)))
+    cols.append(F.col("_quarantine"))
+    return raw.select(*cols)
+
+
 def to_parquet_sink(df: DataFrame, outdir: str, checkpoint: str, trigger_available_now: bool = True):
     """Attach the columnar-store sink: exactly-once Parquet append via
     checkpointed file sink."""

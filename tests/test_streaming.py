@@ -138,6 +138,36 @@ def test_sessionized(spark, tmp_path):
     assert ("2024-01-01 02:00:00", 1, 1) in sess
 
 
+def test_stream_ingest_quarantine(spark, tmp_path):
+    """Non-conforming rows land whole in _quarantine, never silently."""
+    from collimate_spark.streaming.pipeline import stream_ingest_with_quarantine
+
+    indir = str(tmp_path / "qin")
+    os.makedirs(indir)
+    with open(os.path.join(indir, "c1.csv"), "w") as fh:
+        fh.write("event_id,ts,User Name,value\n")
+        fh.write("1,2024-01-01 00:00:00,alice,1.5\n")
+        fh.write("not_a_number,2024-01-01 00:01:00,bob,2.5\n")  # bad event_id
+        fh.write("3,2024-01-01 00:02:00,carol,oops\n")  # bad value
+
+    stream = stream_ingest_with_quarantine(spark, indir, EVENT_SCHEMA)
+    name = "quarantine_mem"
+    q = stream.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        got = spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+    assert len(got) == 3
+    clean = [r for r in got if r._quarantine is None]
+    bad = [r for r in got if r._quarantine is not None]
+    assert len(clean) == 1 and clean[0].event_id == 1
+    assert len(bad) == 2
+    # the raw line is preserved for the dead-letter path
+    assert any("not_a_number" in r._quarantine for r in bad)
+    assert any("oops" in r._quarantine for r in bad)
+
+
 def test_user_running_stats_stateful(spark, tmp_path):
     """applyInPandasWithState: state accumulates across micro-batches."""
     from collimate_spark.streaming.pipeline import user_running_stats

@@ -123,6 +123,32 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def winnow_fingerprints(toks: Column, k: int = 4, w: int = 5) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken '03):
+    rolling hash over token k-grams, then the minimum hash of each sliding
+    window of w consecutive k-gram hashes; the distinct window-minima set
+    is the fingerprint. Guarantees any shared run of ≥ w+k-1 tokens yields
+    a shared fingerprint — the basis of plagiarism/near-dup detection with
+    positional locality (unlike MinHash, which is order-blind).
+
+    Pure JVM expressions: k-gram hash = xxhash64 of the joined slice;
+    window minima via transform over start offsets. Empty → empty array.
+    """
+    kgrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    )
+    kgrams = F.when(F.size(toks) >= k, kgrams).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    minima = F.transform(
+        F.sequence(F.lit(0), F.size(kgrams) - w),
+        lambda i: F.array_min(F.slice(kgrams, i + 1, w)),
+    )
+    minima = F.when(F.size(kgrams) >= w, minima).otherwise(kgrams)
+    return F.array_distinct(minima)
+
+
 def bow_fingerprint(col: Column) -> Column:
     """Order-insensitive bag-of-words document fingerprint:
     md5 of the sorted distinct token list. Cross-engine stable (md5 of the

@@ -128,9 +128,83 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_HYPERPLANES = 6
+_EMB_DIM = 64
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed-seed PCG64) for
+    sign-random-projection LSH. Generated driver-side, embedded as column
+    literals — at 64 dims × 8 planes that is 512 constants, broadcast with
+    the plan itself."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(4251))
+    return rng.standard_normal((N_HYPERPLANES, _EMB_DIM)).tolist()
+
+
+def _srp_bucket(vec_col):
+    """Sign-random-projection bucket id: bit i = sign(dot(h_i, v))."""
+    planes = _hyperplanes()
+    bucket = F.lit(0)
+    for i, h in enumerate(planes):
+        hcol = F.array(*[F.lit(float(x)) for x in h])
+        d = V.dot(hcol, vec_col)
+        bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the second scale path next to IVF):
+    corpus vectors hash to a 6-bit sign-random-projection bucket; each
+    query multi-probes Hamming distance ≤ 2 (22 of 64 buckets ≈ 1/3 of the
+    corpus — these synthetic embeddings are weakly clustered, cosine of
+    true neighbors ≈ 0.45, so SRP needs generous probing; on real
+    embedding manifolds tighten to 1-bit probes and more planes).
+    Rows-only correctness (approximate); recall asserted in tests."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    corpus = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        _srp_bucket(F.col("embedding")).alias("bucket"),
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _srp_bucket(F.col("embedding")).alias("qbucket"),
+    )
+    flips = [0] + [1 << i for i in range(N_HYPERPLANES)] + [
+        (1 << i) | (1 << j)
+        for i in range(N_HYPERPLANES)
+        for j in range(i + 1, N_HYPERPLANES)
+    ]
+    probes = queries.select(
+        "query_id",
+        "q_emb",
+        F.explode(
+            F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in flips])
+        ).alias("bucket"),
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cos_raw", V.cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos_raw"), 6).desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", F.round("cos_raw", 4).alias("cosine"), "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_lsh_topk": ann_lsh_topk,
 }
 
 ORACLES = {

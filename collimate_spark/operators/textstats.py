@@ -169,6 +169,28 @@ ORDER BY doc_id
 """
 
 
+def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing) near-dup pairs: docs sharing ≥ 10 selected
+    fingerprints — catches shared RUNS of text (positional locality),
+    complementing the order-blind MinHash/Jaccard variants. Candidate
+    generation = explode fingerprints + equi-join (never O(n²)).
+    Rows-only correctness (xxhash64 family is engine-specific); determinism
+    via the standard rows-only double-run check."""
+    docs = load_table(spark, "documents", sf_dir)
+    fps = docs.select(
+        "doc_id", F.explode(X.winnow_fingerprints(X.tokens(F.col("text")))).alias("fp")
+    )
+    return (
+        fps.alias("a")
+        .join(fps.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 10)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length profile: bucket docs by token count (width 50), count
     per (lang, bucket) — the curation dashboard query."""
@@ -196,6 +218,7 @@ QUERIES = {
     "text_quality_metrics": text_quality_metrics,
     "lang_id_heuristic": lang_id_heuristic,
     "doc_fingerprint": doc_fingerprint,
+    "winnow_fingerprint_pairs": winnow_fingerprint_pairs,
     "text_length_histogram": text_length_histogram,
 }
 

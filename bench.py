@@ -96,12 +96,19 @@ def main() -> None:
     # warm-up: JVM + parquet footer caches, one tiny action
     queries["q6_forecast_revenue"](spark, SF_DIR).count()
 
+    # Two timed runs per query, report the min: the first run pays one-time
+    # whole-stage-codegen compilation + Python-worker startup (~0.5-1s of
+    # constant cost that vanishes at cluster scale); steady-state is the
+    # number comparable across engines.
     results: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        df = queries[name](spark, SF_DIR)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        results[name] = round(time.time() - t0, 3)
+        times = []
+        for _ in range(2):
+            df = queries[name](spark, SF_DIR)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            times.append(time.time() - t0)
+        results[name] = round(min(times), 3)
 
     results["ingest_csv_to_columnar"] = bench_ingest(spark)
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from collimate_spark.operators import (
         relational,
+        tpch_ext,
         windows,
         joins,
         events,
@@ -29,7 +30,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, windows, joins, events, grouped, udx, dedup, similarity, textstats, multimodal):
+    for mod in (relational, tpch_ext, windows, joins, events, grouped, udx, dedup, similarity, textstats, multimodal):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
@@ -40,6 +41,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def all_oracles() -> dict[str, str]:
     from collimate_spark.operators import (
         relational,
+        tpch_ext,
         windows,
         joins,
         events,
@@ -52,6 +54,6 @@ def all_oracles() -> dict[str, str]:
     )
 
     merged: dict[str, str] = {}
-    for mod in (relational, windows, joins, events, grouped, udx, dedup, similarity, textstats, multimodal):
+    for mod in (relational, tpch_ext, windows, joins, events, grouped, udx, dedup, similarity, textstats, multimodal):
         merged.update(mod.ORACLES)
     return merged

@@ -389,13 +389,21 @@ def ingest(
 
 
 def to_columnar(
-    df: DataFrame, outdir: str, manifest: Manifest | None = None, write_manifest: bool = False
+    df: DataFrame,
+    outdir: str,
+    manifest: Manifest | None = None,
+    write_manifest: bool = False,
+    partition_cols: list[str] | None = None,
 ) -> None:
     """Write the typed columnar store: Parquet (typed, dictionary-encoded
     per column chunk, splittable, compressed — the role of the reference's
     per-column TypedArray dumps + .key decoders). Optional manifest.json
-    plays the index.json role."""
-    df.write.mode("overwrite").parquet(outdir)
+    plays the index.json role; ``partition_cols`` adds hive partitioning
+    (the scan-pruning lever at 100 TB — see DEPLOY.md)."""
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(outdir)
     if write_manifest and manifest is not None:
         # underscore prefix: ignored by Spark/Hadoop file discovery (like
         # _SUCCESS), so the store dir stays readable as plain Parquet
@@ -413,6 +421,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("-i", "--index", action="store_true", help="write manifest.json")
     ap.add_argument("-v", "--verbose", action="store_true", help="phase timings")
     ap.add_argument("-o", "--output", default=None, help="output dir (default: input basename)")
+    ap.add_argument(
+        "-p",
+        "--partition-by",
+        default=None,
+        help="comma-separated sanitized column names to hive-partition the store by",
+    )
     args = ap.parse_args(argv)
 
     from collimate_spark.session import get_session
@@ -424,7 +438,8 @@ def main(argv: list[str] | None = None) -> None:
         print(f"profile: {time.time() - t0:.2f}s", file=sys.stderr)
     outdir = args.output or os.path.splitext(os.path.basename(args.file))[0]
     t0 = time.time()
-    to_columnar(typed, outdir, manifest, write_manifest=args.index)
+    parts = args.partition_by.split(",") if args.partition_by else None
+    to_columnar(typed, outdir, manifest, write_manifest=args.index, partition_cols=parts)
     if args.verbose:
         print(f"write: {time.time() - t0:.2f}s", file=sys.stderr)
     print(outdir)

@@ -120,14 +120,69 @@ ORDER BY o_orderkey
 """
 
 
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function family over the embedding column: size/slice/
+    element_at/min/max/contains-style predicates, scalar outputs."""
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 200)
+    arr = F.col("embedding")
+    return (
+        emb.select(
+            "vec_id",
+            F.size(arr).alias("dim"),
+            F.round(F.element_at(arr, 1).cast("double"), 6).alias("first_elem"),
+            F.round(F.element_at(arr, -1).cast("double"), 6).alias("last_elem"),
+            F.round(F.array_max(arr).cast("double"), 6).alias("max_elem"),
+            F.round(F.array_min(arr).cast("double"), 6).alias("min_elem"),
+            F.round(
+                F.aggregate(
+                    F.slice(arr, 1, 8), F.lit(0.0), lambda a, x: a + x.cast("double")
+                ),
+                6,
+            ).alias("head8_sum"),
+            F.size(F.filter(arr, lambda x: x > 0)).alias("n_positive"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+ARRAY_FUNCTIONS_SQL = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+       ROUND(CAST(embedding[-1] AS DOUBLE), 6) AS last_elem,
+       ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_elem,
+       ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS min_elem,
+       ROUND(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS head8_sum,
+       len(list_filter(embedding, x -> x > 0)) AS n_positive
+FROM embeddings
+WHERE vec_id < 200
+ORDER BY vec_id
+"""
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct counts — deterministic (register-max
+    merge is order-independent) but engine-specific, so rows-only; the
+    companion test bounds it against the exact count."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders_1pct"),
+    ).orderBy("l_returnflag")
+
+
 QUERIES = {
     "pandas_udf_scalar": pandas_udf_scalar,
     "udtf_tokenize": udtf_tokenize,
     "map_functions": map_functions,
+    "array_functions": array_functions,
+    "agg_approx_distinct": agg_approx_distinct,
 }
 
 ORACLES = {
     "pandas_udf_scalar": PANDAS_UDF_SQL,
     "udtf_tokenize": UDTF_SQL,
     "map_functions": MAP_FUNCTIONS_SQL,
+    "array_functions": ARRAY_FUNCTIONS_SQL,
+    # agg_approx_distinct: rows-only (engine-specific HLL implementation)
 }

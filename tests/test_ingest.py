@@ -194,6 +194,20 @@ def test_to_columnar_roundtrip(spark, tmp_path):
     assert m["columns"][0]["sane_name"] == "k_1"
 
 
+def test_to_columnar_partitioned(spark, tmp_path):
+    path = _write(
+        tmp_path, "pt.csv", "k,grp\n" + "".join(f"{i},{i % 3}\n" for i in range(30))
+    )
+    typed, manifest = ingest(spark, path)
+    outdir = str(tmp_path / "pstore")
+    to_columnar(typed, outdir, manifest, partition_cols=["grp"])
+    subdirs = {p for p in os.listdir(outdir) if p.startswith("grp=")}
+    assert subdirs == {"grp=0", "grp=1", "grp=2"}
+    back = spark.read.parquet(outdir)
+    assert back.count() == 30
+    assert back.filter("grp = 1").count() == 10
+
+
 def test_scan_budget_rule():
     assert scan_budget(999) == 999
     assert scan_budget(1000) == 1000

@@ -88,6 +88,26 @@ def test_oracle_parity(spark, name):
 NON_ORACLED = sorted(set(entrymod.queries().keys()) - set(ORACLED))
 
 
+def test_approx_distinct_within_rsd(spark):
+    """HLL++ estimates must sit within ~3 relative standard deviations of
+    the exact distinct counts."""
+    import pyspark.sql.functions as F
+
+    from collimate_spark.catalog import load_table
+
+    li = load_table(spark, "lineitem", SF_DIR)
+    got = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert abs(r.approx - r.exact) <= max(3, 0.15 * r.exact), r
+
+
 @pytest.mark.parametrize("name", NON_ORACLED)
 def test_rows_only(spark, name):
     """Rows-only queries must run and be deterministic across two runs."""

@@ -139,6 +139,55 @@ ORDER BY user_id
 """
 
 
+def date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine pattern: explode a per-order 7-day sequence
+    (F.sequence of dates) and count events of the same user-bucket on each
+    spine day — the gap-filling scaffold every calendar report needs
+    (zero-days survive the left join)."""
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 100)
+    events = load_table(spark, "events", sf_dir)
+    spine = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 10).alias("bucket"),
+        F.explode(
+            F.sequence(
+                F.col("o_orderdate").cast("date"),
+                F.date_add(F.col("o_orderdate").cast("date"), 6),
+            )
+        ).alias("day"),
+    )
+    ev_days = events.select(
+        (F.col("user_id") % 10).alias("bucket"), F.col("ts").cast("date").alias("day")
+    ).groupBy("bucket", "day").agg(F.count(F.lit(1)).alias("n_ev"))
+    return (
+        spine.join(ev_days, ["bucket", "day"], "left")
+        .select(
+            "o_orderkey",
+            "day",
+            F.coalesce(F.col("n_ev"), F.lit(0)).alias("n_events"),
+        )
+        .orderBy("o_orderkey", "day")
+    )
+
+
+DATE_SPINE_SQL = """
+WITH spine AS (
+  SELECT o_orderkey, o_custkey % 10 AS bucket,
+         CAST(UNNEST(generate_series(CAST(o_orderdate AS DATE),
+                                     CAST(o_orderdate AS DATE) + INTERVAL 6 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM orders WHERE o_orderkey < 100
+),
+ev AS (
+  SELECT user_id % 10 AS bucket, CAST(ts AS DATE) AS day, COUNT(*) AS n_ev
+  FROM events GROUP BY 1, 2
+)
+SELECT o_orderkey, spine.day AS day, COALESCE(n_ev, 0) AS n_events
+FROM spine LEFT JOIN ev USING (bucket, day)
+ORDER BY o_orderkey, day
+"""
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -174,6 +223,7 @@ QUERIES = {
     "sliding_window_agg": sliding_window_agg,
     "sessionization_gap": sessionization_gap,
     "pivot_event_counts": pivot_event_counts,
+    "date_spine_fill": date_spine_fill,
 }
 
 ORACLES = {
@@ -182,4 +232,5 @@ ORACLES = {
     "sliding_window_agg": SLIDING_SQL,
     "sessionization_gap": SESSIONIZATION_SQL,
     "pivot_event_counts": PIVOT_SQL,
+    "date_spine_fill": DATE_SPINE_SQL,
 }

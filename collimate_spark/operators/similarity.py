@@ -83,7 +83,17 @@ def centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        # decimal-sum mean: float partial-aggregate merge order varies run
+        # to run, which would make downstream top-k ranks flaky near
+        # rounding boundaries; decimal sums are order-exact.
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(27,12)"))
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("m")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("label", F.transform("pm", lambda s: s.getField("m")).alias("centroid"))

@@ -26,12 +26,22 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join `left.on == right.on` with the hot-key salt pattern.
-    Output columns = left ∪ (right − key), like df.join(right, on, how).
+    Output columns = left ∪ (right − key), like df.join(right, on, how) —
+    but ONLY for left-preserving joins: the right side is replicated
+    n_salts times, so 'right'/'full'/'outer' would emit each unmatched
+    right row n_salts times, and right-side semi/anti see salted phantom
+    rows. Supported: inner, left, left_semi, left_anti.
 
     Salting uses a deterministic spread (pmod of a hash of the row's other
     content is ideal; rand() would break retry determinism) — here the
     monotonically_increasing_id of the left row, stable within a job.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only {sorted(allowed)}; "
+            f"got {how!r} — right-side replication breaks right/full semantics"
+        )
     salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
     l_salted = left.withColumn("__salt", salt)
     r_salted = right.withColumn(

@@ -5,6 +5,14 @@
 
 ``all_queries()`` / ``all_oracles()`` merge every module for the driver
 entry point (``__spark_entry__.py``).
+
+Registration order is load-bearing: the driver's CORRECTNESS gate checks
+the FIRST 50 entries of the merged dict. ``DRIVER_PRIORITY`` pins which 50
+land in that window — the training-data-pipeline operators (dedup /
+similarity / textstats / multimodal / udx) first, then the most
+informative one-per-operator relational / join / window / event queries.
+Everything else (already driver-verified green in round 1) registers
+after slot 50 and stays covered by tests/test_oracle_parity.py.
 """
 
 from __future__ import annotations
@@ -13,8 +21,73 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# The 50 queries the driver verifies, in order. Keep this list at exactly
+# 50 entries; tests/test_registration.py enforces the invariant.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # dedup (6)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_expr",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    # similarity (3)
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    # text analysis (5)
+    "text_quality_metrics",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "winnow_fingerprint_pairs",
+    "text_length_histogram",
+    # multimodal (2)
+    "multimodal_metadata",
+    "multimodal_features",
+    # UDF / UDTF / map+array / sketches (5)
+    "pandas_udf_scalar",
+    "udtf_tokenize",
+    "map_functions",
+    "array_functions",
+    "agg_approx_distinct",
+    # flagship relational (8)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q12_shipmode_priority",
+    "q18_large_volume_customers",
+    "agg_grouping_sets",
+    "sort_topk",
+    # joins (8)
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_theta_inequality",
+    "asof_join_events_orders",
+    "range_join_events_orders",
+    # windows (5)
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_lag_lead",
+    "window_rank_dense_ntile",
+    "window_range_frame",
+    # events (6)
+    "json_extract_events",
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "sessionization_gap",
+    "pivot_event_counts",
+    "date_spine_fill",
+    # grouped-map UDF + percentile (2)
+    "grouped_zscore",
+    "agg_percentile",
+)
 
-def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+
+def _modules():
     from collimate_spark.operators import (
         relational,
         tpch_ext,
@@ -29,31 +102,46 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal,
     )
 
+    return (
+        relational,
+        tpch_ext,
+        windows,
+        joins,
+        events,
+        grouped,
+        udx,
+        dedup,
+        similarity,
+        textstats,
+        multimodal,
+    )
+
+
+def _ordered(merged: dict) -> dict:
+    missing = [n for n in DRIVER_PRIORITY if n not in merged]
+    if missing:
+        raise ValueError(f"DRIVER_PRIORITY names not registered: {missing}")
+    out = {n: merged[n] for n in DRIVER_PRIORITY}
+    out.update({n: v for n, v in merged.items() if n not in out})
+    return out
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, tpch_ext, windows, joins, events, grouped, udx, dedup, similarity, textstats, multimodal):
+    for mod in _modules():
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         merged.update(mod.QUERIES)
-    return merged
+    return _ordered(merged)
 
 
 def all_oracles() -> dict[str, str]:
-    from collimate_spark.operators import (
-        relational,
-        tpch_ext,
-        windows,
-        joins,
-        events,
-        grouped,
-        udx,
-        dedup,
-        similarity,
-        textstats,
-        multimodal,
-    )
-
     merged: dict[str, str] = {}
-    for mod in (relational, tpch_ext, windows, joins, events, grouped, udx, dedup, similarity, textstats, multimodal):
+    for mod in _modules():
         merged.update(mod.ORACLES)
-    return merged
+    # oracles are keyed lookups (order-insensitive), but keep the same
+    # order as all_queries() for readability of driver artifacts
+    out = {n: merged[n] for n in DRIVER_PRIORITY if n in merged}
+    out.update({n: v for n, v in merged.items() if n not in out})
+    return out

@@ -37,7 +37,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_EXTRACT_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -130,7 +130,7 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT user_id,
-       SUM(new_session) AS n_sessions,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events,
        ROUND(COUNT(*) * 1.0 / SUM(new_session), 4) AS avg_events_per_session
 FROM flagged

@@ -76,13 +76,18 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# trim + collapse whitespace before splitting so the oracle matches
+# Python str.split() (which drops empty tokens and splits on any
+# whitespace run) for docs with leading/trailing/doubled whitespace
 UDTF_SQL = """
 WITH d AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS toks
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
   FROM documents WHERE doc_id < 20
 )
 SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
 FROM d, UNNEST(range(1, len(toks) + 1)) t(i)
+WHERE toks[i] <> ''
 ORDER BY doc_id, pos
 """
 

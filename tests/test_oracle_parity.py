@@ -69,7 +69,31 @@ def test_oracle_parity(spark, name):
     res = con.execute(sql)
     duck_cols = [d[0].lower() for d in res.description]
     duck_rows = res.fetchall()
+    # Driver-dtype guard: the driver compares pandas frames, where DuckDB
+    # SUM(integer) -> HUGEINT lands as float64 while Spark emits int64 —
+    # identical values, different value-hash (the 3 r01 hash-fails).
+    # fetchall() returns Python ints and can't see this, so check the
+    # pandas dtype kinds directly. Only numeric int-vs-float disagreement
+    # is flagged, and only when not caused by nulls (nulls legitimately
+    # promote int to float64 on BOTH engines' pandas paths).
+    ddf = con.execute(sql).df()
     con.close()
+    spark_types = {f.name.lower(): f.dataType.simpleString() for f in sdf.schema.fields}
+    int_types = {"tinyint", "smallint", "int", "bigint"}
+    float_types = {"float", "double"}
+    for col in ddf.columns:
+        kind = ddf[col].dtype.kind
+        stype = spark_types.get(col.lower())
+        if kind == "f" and stype in int_types and not ddf[col].isna().any():
+            pytest.fail(
+                f"{name}.{col}: oracle float64 vs Spark {stype} — driver hash "
+                f"will mismatch; CAST the oracle aggregate AS BIGINT"
+            )
+        if kind in "iu" and stype in float_types:
+            pytest.fail(
+                f"{name}.{col}: oracle {ddf[col].dtype} vs Spark {stype} — "
+                f"driver hash will mismatch; cast one side"
+            )
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
@@ -115,4 +139,6 @@ def test_rows_only(spark, name):
     r1 = [tuple(r) for r in q(spark, SF_DIR).collect()]
     r2 = [tuple(r) for r in q(spark, SF_DIR).collect()]
     assert r1 == r2, f"{name}: nondeterministic output"
-    assert len(r1) >= 0
+    # empty output would pass the driver's rows-only check trivially —
+    # every current rows-only query returns rows at sf0.001
+    assert len(r1) > 0, f"{name}: empty result"

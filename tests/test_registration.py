@@ -1,0 +1,59 @@
+"""Guards for the driver-contract registration order.
+
+The driver's CORRECTNESS gate verifies only the FIRST 50 entries of
+``queries()`` (round-1 verdict) — these tests pin that the window holds
+exactly the 50 queries we want verified, with every north-star
+(dedup/similarity/text/multimodal/udx) query inside it.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from collimate_spark.operators import DRIVER_PRIORITY  # noqa: E402
+
+NORTH_STAR_PREFIXES = (
+    "dedup_",
+    "ann_",
+    "text_",
+    "lang_",
+    "doc_",
+    "winnow_",
+    "multimodal_",
+    "pandas_udf",
+    "udtf_",
+    "map_functions",
+    "array_functions",
+    "agg_approx",
+)
+
+
+def test_priority_window_is_exactly_50():
+    assert len(DRIVER_PRIORITY) == 50
+    assert len(set(DRIVER_PRIORITY)) == 50
+
+
+def test_first_50_queries_match_priority():
+    names = list(entrymod.queries().keys())
+    assert tuple(names[:50]) == DRIVER_PRIORITY
+
+
+def test_every_north_star_query_in_window():
+    names = list(entrymod.queries().keys())
+    window = set(names[:50])
+    outside = [
+        n
+        for n in names
+        if n.startswith(NORTH_STAR_PREFIXES) and n not in window
+    ]
+    assert not outside, f"north-star queries outside driver window: {outside}"
+
+
+def test_oracles_subset_of_queries():
+    q = set(entrymod.queries().keys())
+    extra = set(entrymod.oracle_sql().keys()) - q
+    assert not extra, f"oracles without queries: {extra}"

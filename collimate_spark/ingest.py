@@ -78,6 +78,14 @@ DATE_FORMATS = (
 
 INT32_MIN, INT32_MAX = -(2**31), 2**31 - 1
 
+# profile-sampling policy: inputs at or above this size are profiled on a
+# seeded Bernoulli sample (the reference's scan-budget analog — it reads
+# max(1000, 0.3·N) PREFIX rows, index.js:220-221; a distributed sample has
+# the same cost shape without the single-partition prefix funnel)
+AUTO_SAMPLE_MIN_BYTES = 16 << 20
+PROFILE_SAMPLE_FRACTION = MIN_SCAN_FRACTION
+PROFILE_SAMPLE_SEED = 4251
+
 _INT_RE = r"^[+-]?\d+$"
 _INT_PAT = re.compile(_INT_RE)
 
@@ -179,11 +187,30 @@ def _null_normalized(col: F.Column) -> F.Column:
     return F.when(col.isin(*NULL_TOKENS), F.lit(None)).otherwise(col)
 
 
+def _local_input_bytes(df: DataFrame) -> int:
+    """Total size of the scan's input files — driver-side metadata only
+    (no job). Returns 0 when sizes are unknowable (non-file sources),
+    which disables auto-sampling rather than guessing."""
+    from urllib.parse import urlparse
+
+    total = 0
+    try:
+        for uri in df.inputFiles():
+            p = urlparse(uri)
+            path = p.path if p.scheme in ("file", "") else None
+            if path and os.path.exists(path):
+                total += os.path.getsize(path)
+    except Exception:
+        return 0
+    return total
+
+
 def profile(
     spark: SparkSession,
     df: DataFrame,
     parse_dates: bool = False,
     scan_rows: int | None = None,
+    sample_fraction: float | None = None,
 ) -> Manifest:
     """Infer per-column logical types + categorical flags in ONE
     aggregation job over the scan window.
@@ -193,16 +220,24 @@ def profile(
     length-8-10 count, approx distinct — all as built-in aggregates, so
     inference cost is a single distributed pass regardless of width.
 
-    Scan-window policy (a deliberate Spark-first deviation): by default the
-    profile aggregates the FULL data in parallel — on a cluster that is
-    both faster than the reference's prefix window (a ``limit(k)`` funnels
-    the aggregation through one partition) and strictly more correct (no
-    post-window type surprises). Passing ``scan_rows`` explicitly restores
-    the reference's first-k-rows semantics (index.js:220-221) for parity
-    testing; ``scan_rows=0`` means "use the reference's budget rule".
+    Scan-window policy: small inputs (< AUTO_SAMPLE_MIN_BYTES) are
+    profiled in full — one agg job, no separate count, strictly more
+    correct than any window. At or above that size the profile runs on a
+    seeded Bernoulli ``df.sample`` of PROFILE_SAMPLE_FRACTION — the
+    distributed analog of the reference's max(1000, 0.3·N)-row scan
+    budget (index.js:220-221), except sampled uniformly instead of a
+    prefix (a ``limit(k)`` funnels the aggregation through one partition
+    AND biases inference toward the file head). Pass ``sample_fraction``
+    to force a specific fraction, or ``scan_rows`` to restore the
+    reference's exact first-k-rows semantics for parity testing
+    (``scan_rows=0`` = the reference's budget rule). The categorical
+    threshold already models sample coverage (the reference's
+    SAMPLING_ENCOUNTER_FRACTION_MAP); audit() still validates the full
+    data after typing.
     """
     if not df.columns:
         return Manifest()
+    n_total: int | None = None
     if scan_rows is not None:
         n = df.count()
         manifest = Manifest(n_rows=n)
@@ -217,8 +252,21 @@ def profile(
         manifest.categorical_threshold = categorical_threshold(n, scanned)
         window = df.limit(scanned) if scanned < n else df
     else:
-        manifest = Manifest()
-        window = df  # full-data profile; n comes out of the same agg job
+        if sample_fraction is None and _local_input_bytes(df) >= AUTO_SAMPLE_MIN_BYTES:
+            sample_fraction = PROFILE_SAMPLE_FRACTION
+        if sample_fraction is not None and 0 < sample_fraction < 1:
+            n_total = df.count()
+            manifest = Manifest(n_rows=n_total)
+            if n_total == 0:
+                manifest.columns = [
+                    ColumnProfile(c, sanitize(c), "int32", False, 0) for c in df.columns
+                ]
+                return manifest
+            window = df.sample(fraction=sample_fraction, seed=PROFILE_SAMPLE_SEED)
+        else:
+            sample_fraction = None
+            manifest = Manifest()
+            window = df  # full-data profile; n comes out of the same agg job
 
     # Seed per-column hypotheses from the first record (reference semantics,
     # index.js:157-217): the widening lattice means a seed-str column can
@@ -276,7 +324,16 @@ def profile(
                 )
     stats = window.agg(*aggs).collect()[0].asDict()
 
-    if scan_rows is None:
+    if scan_rows is None and n_total is not None:
+        # sampled profile: true row count from the count job, scanned
+        # count from the sample agg itself
+        scanned = stats["__n_rows"]
+        if scanned == 0:
+            # pathological sample miss — fall back to a full profile
+            return profile(spark, df, parse_dates=parse_dates, sample_fraction=0)
+        manifest.n_scanned = scanned
+        manifest.categorical_threshold = categorical_threshold(n_total, scanned)
+    elif scan_rows is None:
         n = stats["__n_rows"]
         manifest.n_rows = n
         manifest.n_scanned = n
@@ -381,10 +438,14 @@ def ingest(
     path: str,
     parse_dates: bool = False,
     scan_rows: int | None = None,
+    sample_fraction: float | None = None,
 ) -> tuple[DataFrame, Manifest]:
     """Full pipeline: read → profile (one agg job) → apply (narrow)."""
     df = read_raw(spark, path)
-    manifest = profile(spark, df, parse_dates=parse_dates, scan_rows=scan_rows)
+    manifest = profile(
+        spark, df, parse_dates=parse_dates, scan_rows=scan_rows,
+        sample_fraction=sample_fraction,
+    )
     return apply_manifest(df, manifest), manifest
 
 
@@ -427,13 +488,24 @@ def main(argv: list[str] | None = None) -> None:
         default=None,
         help="comma-separated sanitized column names to hive-partition the store by",
     )
+    ap.add_argument(
+        "-s",
+        "--sample",
+        type=float,
+        default=None,
+        metavar="FRACTION",
+        help="profile on this sample fraction (default: auto — sample 0.3 "
+        "for inputs >= 16 MiB, full scan below; 0 forces a full scan)",
+    )
     args = ap.parse_args(argv)
 
     from collimate_spark.session import get_session
 
     spark = get_session("collimate_spark_ingest")
     t0 = time.time()
-    typed, manifest = ingest(spark, args.file, parse_dates=args.date)
+    typed, manifest = ingest(
+        spark, args.file, parse_dates=args.date, sample_fraction=args.sample
+    )
     if args.verbose:
         print(f"profile: {time.time() - t0:.2f}s", file=sys.stderr)
     outdir = args.output or os.path.splitext(os.path.basename(args.file))[0]

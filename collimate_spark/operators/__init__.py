@@ -41,20 +41,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_fingerprint",
     "winnow_fingerprint_pairs",
     "text_length_histogram",
-    # multimodal (2)
+    # multimodal (3)
     "multimodal_metadata",
     "multimodal_features",
+    "multimodal_image_features",
     # UDF / UDTF / map+array / sketches (5)
     "pandas_udf_scalar",
     "udtf_tokenize",
     "map_functions",
     "array_functions",
     "agg_approx_distinct",
-    # flagship relational (8)
+    # flagship relational (7; q6/q19 and friends sit past the window,
+    # already driver-verified green in round 1)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
     "q12_shipmode_priority",
     "q18_large_volume_customers",
     "agg_grouping_sets",

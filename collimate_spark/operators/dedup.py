@@ -18,11 +18,13 @@ from collimate_spark.catalog import load_table
 from collimate_spark.functions import fast_text
 from collimate_spark.functions import text as X
 from collimate_spark.functions import vectors as V
+from collimate_spark.functions.pairs import bounded_self_pairs
 
 JACCARD_THRESHOLD = 0.8
 MINHASH_K = 128
 LSH_BANDS = 32
 LSH_ROWS = 4  # 32 bands × 4 rows = 128 hashes; P(miss | j=0.8) ≈ 5e-8
+BUCKET_CAP = 1024  # max members whose pairs one task may generate
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,8 +83,10 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Repartition a (possibly single-file) input across all cores before a
     compute-heavy per-row kernel. At 100 TB inputs arrive in thousands of
     splits and this is a no-op decision; locally a 1-file table would
-    otherwise pin mapInPandas to one core."""
-    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    otherwise pin mapInPandas to one core. The split count comes from the
+    scan's input files (plan-only metadata — checking df.rdd here would
+    force a full RDD conversion of the logical plan per call)."""
+    if len(df.inputFiles()) < spark.sparkContext.defaultParallelism:
         return df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
@@ -172,17 +176,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verified_jaccard_pairs(candidates, _shingle_sets(spark, sf_dir))
 
 
-def _bucket_pairs(banded: DataFrame, *bucket_cols: str) -> DataFrame:
-    """Candidate pairs from bucket membership in ONE shuffle: groupBy the
-    bucket key, collect the (small) member list, emit sorted pairs with a
-    nested-transform expression. Replaces a self-join (two shuffles of the
-    full banded relation + join) — at 100 TB the banded relation is
-    |docs|·bands rows, so halving its shuffles matters; member lists stay
-    small because band hashes spread non-dup docs uniformly."""
-    pairs = (
+def _bucket_pairs(banded: DataFrame, *bucket_cols: str, cap: int = BUCKET_CAP) -> DataFrame:
+    """Candidate pairs from bucket membership, with bounded per-task work.
+
+    Common path (bucket ≤ cap members): groupBy the bucket key, collect
+    the member list, emit sorted pairs with a nested-transform expression
+    — replaces a self-join (two shuffles of the full banded relation +
+    join); member lists stay small because band hashes spread non-dup
+    docs uniformly.
+
+    Degenerate path (bucket > cap members — e.g. thousands of near-empty
+    docs sharing a band signature): an uncapped collect_set would build
+    one executor-resident member array and a single task emitting s²
+    pairs. Those buckets are routed to the chunked self-join
+    (functions/pairs.bounded_self_pairs): exact same pair set, ≤ cap²
+    candidates per task. No candidates are dropped either way. Input must
+    be unique per (bucket key, doc_id) — one row per doc per band, which
+    both the numpy and expression banders produce."""
+    banded = banded.select(*bucket_cols, "doc_id")
+    sizes = (
         banded.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)  # singleton buckets pair with nothing
+    )
+    sized = banded.join(sizes, list(bucket_cols))
+    small_pairs = (
+        sized.filter(F.col("__n") <= cap)
+        .groupBy(*bucket_cols)
         .agg(F.collect_set("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
         .select(F.array_sort("ids").alias("ids"))
         .select(
             F.explode(
@@ -198,9 +219,11 @@ def _bucket_pairs(banded: DataFrame, *bucket_cols: str) -> DataFrame:
             ).alias("p")
         )
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
     )
-    return pairs
+    big_pairs = bounded_self_pairs(
+        sized.filter(F.col("__n") > cap), list(bucket_cols), "doc_id", "__n", cap=cap
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return small_pairs.unionByName(big_pairs).distinct()
 
 
 def dedup_minhash_lsh_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,7 +274,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Python ints → build the 4 band structs explicitly and explode)
     banded = fp.select(
         "doc_id",
-        "simhash",
         F.explode(
             F.array(
                 *[
@@ -265,42 +287,56 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
-    pairs = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "band_val"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
+    # capped bucket pairing (identical docs share ALL bands — the
+    # adversarial hot bucket), then re-join fingerprints for the exact
+    # Hamming verify
+    candidates = _bucket_pairs(banded, "band", "band_val")
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
         .withColumn("hamming", X.hamming64(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
-    return pairs
 
 
 EMB_COSINE_THRESHOLD = 0.4
+EMB_BLOCK_CAP = 1024  # max cluster members whose pairs one task generates
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, block_cap: int = EMB_BLOCK_CAP
+) -> DataFrame:
     """Embedding near-dup: pairs with cosine ≥ threshold, blocked by the
     ``label`` cluster id (IVF-style partition pruning: only same-cluster
-    pairs are compared — the 100 TB answer to all-pairs cosine)."""
+    pairs are compared — the 100 TB answer to all-pairs cosine).
+
+    Within-cluster pairing goes through the chunked self-join
+    (functions/pairs.bounded_self_pairs), so a cluster larger than
+    ``block_cap`` is split into hash chunks and its pairs spread over
+    ⌈s/cap⌉² bounded tasks instead of one quadratic straggler — output is
+    identical (the chunk grid covers every unordered pair exactly once);
+    only the task shape changes. Cluster sizes come from a broadcast
+    10-row count."""
     emb = load_table(spark, "embeddings", sf_dir)
-    a = emb.select(F.col("label"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
-    b = emb.select(F.col("label"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("__n"))
+    sized = emb.join(F.broadcast(sizes), "label")
+    pairs = bounded_self_pairs(
+        sized, ["label"], "vec_id", "__n", cap=block_cap, payload_cols=["embedding"]
+    )
     return (
-        a.join(b, "label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_raw", V.cosine(F.col("e_a"), F.col("e_b")))
+        pairs.withColumn("cos_raw", V.cosine(F.col("embedding_a"), F.col("embedding_b")))
         .filter(F.round(F.col("cos_raw"), 6) >= EMB_COSINE_THRESHOLD)
-        .select("label", "vec_a", "vec_b", F.round("cos_raw", 4).alias("cosine"))
+        .select(
+            "label",
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            F.round("cos_raw", 4).alias("cosine"),
+        )
         .orderBy("vec_a", "vec_b")
     )
 

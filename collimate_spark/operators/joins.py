@@ -158,10 +158,18 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each event, the latest order date at-or-before the
     event's timestamp, matched on a shared bucket key.
 
-    Scalable pattern (no nested loop): tag both sides, union on
-    (bucket, time), window `last(value, ignorenulls=True)` ordered by time
-    — one shuffle on the bucket key, linear scan per partition. This is how
-    a trades/quotes as-of join runs at 100 TB.
+    Scalable pattern (no nested loop): tag both sides, union, window
+    `last(value, ignorenulls=True)` ordered by time. The window partition
+    key is COMPOSITE — (bucket, month) — so parallelism is
+    n_buckets × n_months (~hundreds of keys ≥ any shuffle-partition
+    setting) instead of n_buckets(10), and per-partition row counts stay
+    bounded as data grows: a bucket-only key is the classic as-of
+    scale-killer (10-way max parallelism, unbounded partitions at 100×).
+    Cross-month correctness comes from a carry-over table: the last order
+    timestamp of every PRIOR month per bucket (a tiny per-(bucket, month)
+    aggregate + window, broadcast back), coalesced in wherever the
+    within-month window saw no earlier order. This is how a trades/quotes
+    as-of join runs at 100 TB.
     """
     events = load_table(spark, "events", sf_dir).select(
         (F.col("user_id") % 10).alias("bucket"),
@@ -175,18 +183,42 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = orders.select("bucket", "ts", F.lit(None).cast("long").alias("event_id"),
                           F.col("ts").alias("order_ts"))
     left = events.select("bucket", "ts", "event_id", F.lit(None).cast("timestamp").alias("order_ts"))
-    unioned = right.unionByName(left)
-    # is_event=0 sorts order rows first at identical ts → "at-or-before" ties
-    # resolve to include the simultaneous order.
+    unioned = right.unionByName(left).withColumn("month", F.trunc("ts", "month"))
+    # event_id nulls-first sorts order rows first at identical ts →
+    # "at-or-before" ties resolve to include the simultaneous order.
     w = (
-        Window.partitionBy("bucket")
+        Window.partitionBy("bucket", "month")
         .orderBy(F.col("ts").asc(), F.col("event_id").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    within = unioned.withColumn(
+        "asof_within", F.last("order_ts", ignorenulls=True).over(w)
+    )
+    # carry-over: last order ts strictly before each month, per bucket —
+    # computed on the (bucket, month) spine (~buckets × months rows)
+    month_last = (
+        unioned.filter(F.col("order_ts").isNotNull())
+        .groupBy("bucket", "month")
+        .agg(F.max("order_ts").alias("mlast"))
+    )
+    spine = unioned.select("bucket", "month").distinct()
+    carry_w = (
+        Window.partitionBy("bucket")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        spine.join(month_last, ["bucket", "month"], "left")
+        .withColumn("carry_ts", F.max("mlast").over(carry_w))
+        .select("bucket", "month", "carry_ts")
+    )
     return (
-        unioned.withColumn("asof_order_ts", F.last("order_ts", ignorenulls=True).over(w))
-        .filter(F.col("event_id").isNotNull())
-        .select("event_id", "asof_order_ts")
+        within.filter(F.col("event_id").isNotNull())
+        .join(F.broadcast(carry), ["bucket", "month"], "left")
+        .select(
+            "event_id",
+            F.coalesce(F.col("asof_within"), F.col("carry_ts")).alias("asof_order_ts"),
+        )
         .orderBy("event_id")
     )
 
@@ -202,21 +234,40 @@ ORDER BY event_id
 
 def range_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range/interval join: count events of a user-bucket falling within 7
-    days after each order of the same bucket. The equi bucket key makes it a
-    hash join; the range predicate filters join output. At 100 TB you would
-    additionally bucket by coarse time window to bound fan-out.
+    days after each order of the same bucket.
+
+    The join key is COMPOSITE — (bucket, week) — the interval-bucketing
+    pattern for range joins: each event carries its own week; each order's
+    7-day window overlaps at most two weeks, so the order side is
+    replicated to exactly those two week keys and the range predicate
+    rides the hash join as a post-filter. Join-key cardinality becomes
+    n_buckets × n_weeks (thousands) instead of n_buckets(10), and a key's
+    row count is bounded by one week of one bucket — the fan-out bound a
+    plain bucket-key range join lacks at 100×. An event matches via its
+    single week replica only, so no pair is produced twice; unmatched
+    order replicas contribute zero to count(ts).
     """
+    epoch = F.lit("1970-01-01").cast("date")
     events = load_table(spark, "events", sf_dir).select(
-        (F.col("user_id") % 10).alias("bucket"), F.col("ts")
+        (F.col("user_id") % 10).alias("bucket"),
+        F.col("ts"),
+        F.floor(F.datediff(F.col("ts").cast("date"), epoch) / 7).alias("week"),
     )
     orders = load_table(spark, "orders", sf_dir).select(
         (F.col("o_custkey") % 10).alias("bucket"),
         "o_orderkey",
         "o_orderdate",
+        F.explode(
+            F.array(
+                F.floor(F.datediff(F.col("o_orderdate").cast("date"), epoch) / 7),
+                F.floor(F.datediff(F.col("o_orderdate").cast("date"), epoch) / 7) + 1,
+            )
+        ).alias("week"),
     )
     joined = orders.join(
         events,
         (orders.bucket == events.bucket)
+        & (orders.week == events.week)
         & (events.ts >= orders.o_orderdate)
         & (events.ts < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")),
         "left",

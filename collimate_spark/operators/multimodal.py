@@ -1,11 +1,13 @@
 """Multimodal column handling: opaque ``binary`` payloads + typed metadata
 structs, processed via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode step is a
-deterministic fake behind ``decode_image_stub`` (clearly marked); the
-Spark-side plumbing — schema, binary columns, batch iteration, partition
-sizing — is real and tested (tests/test_multimodal.py). At 100 TB the
-payloads live in Parquet binary columns co-partitioned with their
+The decode step is REAL for PNG payloads — a stdlib zlib/struct decoder
+(functions/png.py) produces actual pixel arrays; swap in PIL/libvips at
+the single marked call site in a deployment with codecs installed. Audio/
+video remain gated behind ``decode_other_stub``. The Spark-side plumbing
+— schema, binary columns, batch iteration, partition sizing — is
+identical either way and is tested (tests/test_multimodal.py). At 100 TB
+the payloads live in Parquet binary columns co-partitioned with their
 metadata; feature extraction is an embarrassingly-parallel mapInPandas
 with batch size bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 """
@@ -14,12 +16,14 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
 from collimate_spark.catalog import load_table
+from collimate_spark.functions import png
 
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
@@ -68,51 +72,71 @@ FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),
         T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
         T.StructField("byte_mean", T.DoubleType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
 
 
+def decode_other_stub(payload: bytes) -> None:
+    """Placeholder for non-PNG decodes (audio/video — torchaudio/ffmpeg
+    in a real deployment; this container ships no such codecs)."""
+    raise NotImplementedError(
+        "audio/video codecs are not available in this container; "
+        "swap in torchaudio/ffmpeg in a real deployment"
+    )
+
+
 def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas feature extractor over binary payloads.
 
-    STUB DECODE: real deployments call PIL/torchaudio here; this container
-    has neither, so the "feature" is a deterministic 8-dim byte-histogram
-    sketch of the payload — exercising the exact batch shape, Arrow
-    transfer, and output schema a real decoder would use.
-    """
+    PNG payloads get a REAL decode (functions/png.py — this is the call
+    site where PIL/libvips slots in when available): width/height, mean
+    pixel value, and an 8-bin pixel-intensity histogram. Non-image
+    payloads fall back to a byte-histogram sketch over the raw bytes
+    (width/height null) so mixed-modality batches flow through one
+    schema."""
     for pdf in batches:
         out = []
         for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
             b = bytes(payload)
-            hist = [0.0] * 8
-            for byte in b:
-                hist[byte >> 5] += 1.0
-            n = max(len(b), 1)
-            out.append(
-                {
-                    "asset_id": asset_id,
-                    "n_bytes": len(b),
-                    "byte_mean": sum(b) / n,
-                    "feature": [h / n for h in hist],
-                }
-            )
+            if png.is_png(b):
+                px = png.decode(b).astype(np.float64)
+                flat = px.ravel()
+                hist = np.histogram(flat, bins=8, range=(0, 256))[0] / max(flat.size, 1)
+                out.append(
+                    {
+                        "asset_id": asset_id,
+                        "n_bytes": len(b),
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "byte_mean": float(flat.mean()),
+                        "feature": [float(x) for x in hist],
+                    }
+                )
+            else:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                n = max(arr.size, 1)
+                hist = np.bincount(arr >> 5, minlength=8)[:8] / n
+                out.append(
+                    {
+                        "asset_id": asset_id,
+                        "n_bytes": len(b),
+                        "width": None,
+                        "height": None,
+                        "byte_mean": float(arr.mean()) if arr.size else 0.0,
+                        "feature": [float(x) for x in hist],
+                    }
+                )
         yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
-
-
-def decode_image_stub(payload: bytes) -> None:
-    """Placeholder for the real image decode (PIL.Image.open etc.)."""
-    raise NotImplementedError(
-        "image/audio codecs are not available in this container; "
-        "swap in PIL/torchaudio in a real deployment"
-    )
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal feature pipeline: binary assets →
     mapInPandas(extract_features) → aggregate feature stats per source.
-    Rows-only correctness (the stubbed decoder is engine-specific);
+    Rows-only correctness (byte-level features are engine-specific);
     determinism covered in tests."""
     assets = with_binary_payload(load_table(spark, "documents", sf_dir))
     feats = assets.select("asset_id", "payload").mapInPandas(extract_features, FEATURE_SCHEMA)
@@ -131,12 +155,66 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IMG_W, IMG_H = 12, 8
+
+
+def synthesize_png_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic tiny RGB PNGs derived from asset_id — the ingest-side
+    twin of extract_features, exercising the encode path of the codec.
+    Pixel (r, c, ch) = (asset_id·7 + r·13 + c·29 + ch·101) mod 256."""
+    for pdf in batches:
+        rows = []
+        for asset_id in pdf["asset_id"]:
+            r = np.arange(IMG_H).reshape(-1, 1, 1)
+            c = np.arange(IMG_W).reshape(1, -1, 1)
+            ch = np.arange(3).reshape(1, 1, -1)
+            px = ((int(asset_id) * 7 + r * 13 + c * 29 + ch * 101) % 256).astype(np.uint8)
+            rows.append({"asset_id": asset_id, "payload": png.encode(px)})
+        yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image pipeline with a REAL PNG round-trip: synthesize deterministic
+    RGB images per asset (encode), decode them back in the feature
+    kernel, and aggregate width/height/pixel stats per id bucket. Proves
+    the decoder yields true pixel data — widths/heights/means are
+    asserted exactly in tests/test_multimodal.py. Rows-only correctness
+    (pixel synthesis is engine-specific)."""
+    ids = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("asset_id")
+    ).filter(F.col("asset_id") < 200)
+    payloads = ids.mapInPandas(
+        synthesize_png_payloads,
+        T.StructType(
+            [
+                T.StructField("asset_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    feats = payloads.mapInPandas(extract_features, FEATURE_SCHEMA)
+    return (
+        feats.groupBy((F.col("asset_id") % 10).alias("id_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("width").alias("min_w"),
+            F.max("width").alias("max_w"),
+            F.min("height").alias("min_h"),
+            F.max("height").alias("max_h"),
+            F.round(F.avg("byte_mean"), 4).alias("avg_pixel_mean"),
+        )
+        .orderBy("id_bucket")
+    )
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
+    "multimodal_image_features": multimodal_image_features,
 }
 
 ORACLES = {
     "multimodal_metadata": MULTIMODAL_META_SQL,
-    # multimodal_features: rows-only (stubbed decoder)
+    # multimodal_features / multimodal_image_features: rows-only
+    # (byte-level / pixel-level features are engine-specific)
 }

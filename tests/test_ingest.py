@@ -213,3 +213,35 @@ def test_scan_budget_rule():
     assert scan_budget(1000) == 1000
     assert scan_budget(3000) == 1000
     assert scan_budget(10000) == 3000
+
+
+# --- F9: sampled profile (distributed scan-budget analog) ---
+def test_sampled_profile_matches_full(spark, tmp_path):
+    """An explicit sample_fraction must infer the same schema as the full
+    profile on homogeneous data, record true n_rows from the count job,
+    and report a sampled n_scanned < n_rows."""
+    rows = ["id,price,label,day"]
+    for i in range(5000):
+        rows.append(f"{i},{i}.25,cat{i % 7},2021-3-{(i % 27) + 1}")
+    path = _write(tmp_path, "sampled.csv", "\n".join(rows) + "\n")
+    df = read_raw(spark, path)
+    full = profile(spark, df, parse_dates=True)
+    sampled = profile(spark, df, parse_dates=True, sample_fraction=0.3)
+    assert _types(full) == _types(sampled)
+    assert sampled.n_rows == 5000
+    assert 0 < sampled.n_scanned < 5000
+    # coverage-adjusted categorical threshold shrinks under sampling
+    assert sampled.categorical_threshold < full.categorical_threshold
+    # deterministic: the seeded sample reproduces exactly
+    again = profile(spark, df, parse_dates=True, sample_fraction=0.3)
+    assert again.n_scanned == sampled.n_scanned
+    assert _types(again) == _types(sampled)
+
+
+def test_small_input_skips_sampling(spark, tmp_path):
+    """Below AUTO_SAMPLE_MIN_BYTES the auto path must profile in full
+    (n_scanned == n_rows) without a separate count job."""
+    path = _write(tmp_path, "tiny.csv", "a,b\n1,x\n2,y\n3,z\n")
+    df = read_raw(spark, path)
+    m = profile(spark, df)
+    assert m.n_rows == 3 and m.n_scanned == 3

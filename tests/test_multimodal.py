@@ -1,17 +1,24 @@
 """Multimodal plumbing: binary payload round trip, mapInPandas batch
-shape/schema, deterministic stub features, decode stub contract."""
+shape/schema, REAL PNG encode/decode (stdlib codec), exact pixel-stat
+assertions through the full Spark pipeline, stub contract for the
+codec-less modalities."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 import pyspark.sql.functions as F
 
 from collimate_spark.catalog import load_table
+from collimate_spark.functions import png
 from collimate_spark.operators.multimodal import (
     FEATURE_SCHEMA,
-    decode_image_stub,
+    IMG_H,
+    IMG_W,
+    decode_other_stub,
     extract_features,
+    multimodal_image_features,
     with_binary_payload,
 )
 
@@ -41,6 +48,7 @@ def test_feature_extraction_batch_shape(spark, sf_dir):
         assert len(r.feature) == 8
         assert abs(sum(r.feature) - 1.0) < 1e-6  # normalized histogram
         assert 0 <= r.byte_mean <= 255
+        assert r.width is None and r.height is None  # text payloads
     # deterministic across runs
     again = assets.select("asset_id", "payload").mapInPandas(
         extract_features, FEATURE_SCHEMA
@@ -48,6 +56,91 @@ def test_feature_extraction_batch_shape(spark, sf_dir):
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
 
 
+def test_png_roundtrip_exact():
+    """encode → decode is pixel-exact for greyscale and RGB."""
+    rng = np.random.Generator(np.random.PCG64(42))
+    grey = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    assert np.array_equal(png.decode(png.encode(grey)), grey)
+    rgb = rng.integers(0, 256, (9, 4, 3), dtype=np.uint8)
+    assert np.array_equal(png.decode(png.encode(rgb)), rgb)
+
+
+def test_png_decode_all_filter_types():
+    """The decoder must handle every PNG filter (Sub/Up/Average/Paeth),
+    not just the filter-0 our encoder writes — hand-build one scanline
+    stream per filter type and verify against the reference unfiltering."""
+    import struct
+    import zlib
+
+    w, h, ch = 4, 3, 3
+    rng = np.random.Generator(np.random.PCG64(7))
+    pixels = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    for ftype in (1, 2, 3, 4):
+        # forward-filter the raw scanlines with ftype
+        raw = bytearray()
+        prev = np.zeros(w * ch, dtype=np.int64)
+        for r in range(h):
+            line = pixels[r].ravel().astype(np.int64)
+            filt = np.zeros(w * ch, dtype=np.int64)
+            for i in range(w * ch):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[i] = (line[i] - pred) & 255
+            raw += bytes([ftype]) + bytes(filt.astype(np.uint8))
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        data = (
+            png.SIGNATURE
+            + png._chunk(b"IHDR", ihdr)
+            + png._chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + png._chunk(b"IEND", b"")
+        )
+        assert np.array_equal(png.decode(data), pixels), f"filter {ftype}"
+
+
+def test_image_features_real_decode(spark, sf_dir):
+    """The full Spark pipeline (synthesize PNGs → mapInPandas decode →
+    aggregate) must report the TRUE dimensions and the exact pixel mean
+    computed independently with numpy — proving real pixel decode, not a
+    byte sketch."""
+    got = {r.id_bucket: r for r in multimodal_image_features(spark, sf_dir).collect()}
+    assert got, "no image feature rows"
+    # independent expectation
+    ids = [
+        r.asset_id
+        for r in load_table(spark, "documents", sf_dir)
+        .select(F.col("doc_id").alias("asset_id"))
+        .filter(F.col("asset_id") < 200)
+        .collect()
+    ]
+    r_, c_, ch_ = (
+        np.arange(IMG_H).reshape(-1, 1, 1),
+        np.arange(IMG_W).reshape(1, -1, 1),
+        np.arange(3).reshape(1, 1, -1),
+    )
+    by_bucket: dict[int, list[float]] = {}
+    for i in ids:
+        px = (i * 7 + r_ * 13 + c_ * 29 + ch_ * 101) % 256
+        by_bucket.setdefault(i % 10, []).append(float(px.mean()))
+    for bucket, means in by_bucket.items():
+        row = got[bucket]
+        assert row.min_w == IMG_W and row.max_w == IMG_W
+        assert row.min_h == IMG_H and row.max_h == IMG_H
+        assert row.n_images == len(means)
+        assert abs(row.avg_pixel_mean - round(float(np.mean(means)), 4)) < 1e-9
+
+
 def test_decode_stub_contract():
     with pytest.raises(NotImplementedError, match="codecs"):
-        decode_image_stub(b"\x89PNG")
+        decode_other_stub(b"RIFF....WAVE")

@@ -61,6 +61,29 @@ def test_sort_topk_avoids_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # per-partition heap, not full sort
 
 
+def test_asof_join_partitions_on_composite_key(spark, sf_dir):
+    """The as-of window must shuffle on (bucket, month) — a bucket-only
+    key caps parallelism at 10 and lets partitions grow unboundedly with
+    data volume. hashpartitioning on both columns is the scale contract."""
+    from collimate_spark.operators.joins import asof_join_events_orders
+
+    plan = _plan(asof_join_events_orders(spark, sf_dir))
+    assert "hashpartitioning(bucket" in plan and "month" in plan.split("hashpartitioning(bucket", 1)[1][:80]
+
+
+def test_range_join_partitions_on_composite_key(spark, sf_dir):
+    """The range join must hash on (bucket, week) so fan-out per join key
+    is bounded by one week of one bucket — as either a composite-key
+    shuffle or (small inputs) a composite-key broadcast hash join; never
+    an equi-join on bucket alone."""
+    from collimate_spark.operators.joins import range_join_events_orders
+
+    plan = _plan(range_join_events_orders(spark, sf_dir))
+    join_lines = [l for l in plan.splitlines() if "HashJoin" in l]
+    assert join_lines, "range join lost its hash-join shape"
+    assert any("bucket" in l and "week" in l for l in join_lines), join_lines
+
+
 def test_projection_prunes_payload_column(spark, sf_dir):
     """Multimodal pattern: metadata-only queries must not read the payload
     bytes — selecting two scalar columns prunes `text` from ReadSchema."""

@@ -1,10 +1,15 @@
-"""salted_join must agree with a plain join, including under a heavily
-skewed key distribution."""
+"""Skew-handling invariants: salted_join must agree with a plain join
+under a heavily skewed key distribution; bounded_self_pairs must emit the
+exact pair set of a plain self-join while bounding per-task candidate
+volume for oversized groups (hot LSH bands, oversized embedding
+clusters)."""
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
+from collimate_spark.functions.pairs import bounded_self_pairs
 from collimate_spark.functions.skew import salted_join
 
 
@@ -42,6 +47,73 @@ def test_salted_join_left_outer(spark):
         salted.filter(F.col("right_val").isNull()).count()
         == plain.filter(F.col("right_val").isNull()).count()
     )
+
+
+def _grouped_ids(spark):
+    # group 'hot' has 600 members (oversized vs cap=100), 'cold' has 40
+    hot = spark.range(0, 600).select(F.lit("hot").alias("g"), F.col("id"))
+    cold = spark.range(1000, 1040).select(F.lit("cold").alias("g"), F.col("id"))
+    df = hot.unionByName(cold)
+    sizes = df.groupBy("g").agg(F.count(F.lit(1)).alias("__n"))
+    return df.join(F.broadcast(sizes), "g")
+
+
+def test_bounded_pairs_exact_vs_plain_self_join(spark):
+    """Chunked pairing of an oversized group = plain self-join pair set."""
+    sized = _grouped_ids(spark)
+    got = {
+        (r.g, r.id_a, r.id_b)
+        for r in bounded_self_pairs(sized, ["g"], "id", "__n", cap=100).collect()
+    }
+    a = sized.select("g", F.col("id").alias("ida"))
+    b = sized.select("g", F.col("id").alias("idb"))
+    want = {
+        (r.g, r.ida, r.idb)
+        for r in a.join(b, "g").filter(F.col("ida") < F.col("idb")).collect()
+    }
+    assert got == want  # 600*599/2 + 40*39/2 pairs, none lost or doubled
+
+
+def test_bounded_pairs_task_volume_capped(spark):
+    """No (group, chunk-pair) task generates more than cap² candidates —
+    the property that kills the single quadratic straggler."""
+    sized = _grouped_ids(spark)
+    cap = 100
+    per_task = (
+        bounded_self_pairs(sized, ["g"], "id", "__n", cap=cap)
+        .groupBy("g", "__ci", "__cj")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    hot_tasks = [r for r in per_task if r.g == "hot"]
+    assert len(hot_tasks) > 1, "oversized group was not chunked"
+    # chunks are hash-balanced, not exact — allow 2× slack over cap² per
+    # task; the point is no task holds anything near the unchunked
+    # 600·599/2 ≈ 180k pairs
+    assert all(r.n <= 2 * cap * cap for r in per_task)
+    assert max(r.n for r in hot_tasks) < 0.2 * (600 * 599 / 2)
+    # the cold group stays single-chunk (no replication for small groups)
+    cold_tasks = [(r["__ci"], r["__cj"]) for r in per_task if r.g == "cold"]
+    assert cold_tasks == [(0, 0)]
+
+
+def test_hot_lsh_band_bounded_and_green(spark, tmp_path):
+    """Adversarial hot band: many identical docs share every MinHash band
+    bucket. The capped _bucket_pairs must route the oversized buckets
+    through the chunked path and still emit the exact candidate set."""
+    from collimate_spark.operators.dedup import _bucket_pairs
+
+    n_hot = 120
+    rows = [(i, 77) for i in range(n_hot)] + [(1000 + i, 900 + i) for i in range(30)]
+    banded = spark.createDataFrame(rows, "doc_id: long, band_hash: long").withColumn(
+        "band", F.lit(0)
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in _bucket_pairs(banded, "band", "band_hash", cap=50).collect()
+    }
+    want = {(i, j) for i in range(n_hot) for j in range(i + 1, n_hot)}
+    assert got == want
 
 
 def test_salt_actually_spreads(spark):

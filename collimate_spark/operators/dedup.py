@@ -176,54 +176,111 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verified_jaccard_pairs(candidates, _shingle_sets(spark, sf_dir))
 
 
-def _bucket_pairs(banded: DataFrame, *bucket_cols: str, cap: int = BUCKET_CAP) -> DataFrame:
-    """Candidate pairs from bucket membership, with bounded per-task work.
+def _bucket_pairs(
+    banded: DataFrame, *bucket_cols: str, cap: int = BUCKET_CAP, payload: str | None = None
+) -> DataFrame:
+    """Candidate pairs from bucket membership, with bounded per-task work,
+    in ONE pipeline (no plan branch re-executes the upstream kernel).
 
-    Common path (bucket ≤ cap members): groupBy the bucket key, collect
-    the member list, emit sorted pairs with a nested-transform expression
-    — replaces a self-join (two shuffles of the full banded relation +
-    join); member lists stay small because band hashes spread non-dup
-    docs uniformly.
+    Buckets with ≤ cap members get one (ci=0, cj=0) group — the classic
+    collect-members-and-emit-pairs aggregation. A bucket with s > cap
+    members (a degenerate hot band: thousands of near-empty docs sharing
+    a signature) is split into nch = ⌈s/cap⌉ hash chunks, and each member
+    is emitted to its chunk-pair groups — side 'a' of (c, j≥c), side 'b'
+    of (i<c, c) — so the same groupBy produces every unordered pair
+    exactly once with ≤ ~cap² candidates per group, instead of one
+    executor-resident s-member array emitting s² pairs. Exact: no
+    candidates are dropped, only the task shape changes.
 
-    Degenerate path (bucket > cap members — e.g. thousands of near-empty
-    docs sharing a band signature): an uncapped collect_set would build
-    one executor-resident member array and a single task emitting s²
-    pairs. Those buckets are routed to the chunked self-join
-    (functions/pairs.bounded_self_pairs): exact same pair set, ≤ cap²
-    candidates per task. No candidates are dropped either way. Input must
-    be unique per (bucket key, doc_id) — one row per doc per band, which
-    both the numpy and expression banders produce."""
-    banded = banded.select(*bucket_cols, "doc_id")
-    sizes = (
-        banded.groupBy(*bucket_cols)
-        .agg(F.count(F.lit(1)).alias("__n"))
+    Cost shape: one window count over the bucket key + one grouped
+    aggregation; replication factor is nch per member — 1 for every
+    non-degenerate bucket. Input must be unique per (bucket key, doc_id).
+
+    ``payload`` optionally rides along: pairs come back with
+    (<payload>_a, <payload>_b) columns, sparing the caller a re-join
+    against a possibly expensive-to-recompute source relation (the
+    verify data travels with the candidate).
+    """
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy(*bucket_cols)
+    cols = [*bucket_cols, "doc_id"] + ([payload] if payload else [])
+    sized = (
+        banded.select(*cols)
+        .withColumn("__n", F.count(F.lit(1)).over(wb))
         .filter(F.col("__n") > 1)  # singleton buckets pair with nothing
-    )
-    sized = banded.join(sizes, list(bucket_cols))
-    small_pairs = (
-        sized.filter(F.col("__n") <= cap)
-        .groupBy(*bucket_cols)
-        .agg(F.collect_set("doc_id").alias("ids"))
-        .select(F.array_sort("ids").alias("ids"))
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                        ),
-                    )
-                )
-            ).alias("p")
+        .withColumn(
+            "__nch",
+            F.greatest(F.lit(1), F.ceil(F.col("__n") / F.lit(cap))).cast("int"),
         )
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .withColumn("__c", F.pmod(F.xxhash64("doc_id"), F.col("__nch")).cast("int"))
     )
-    big_pairs = bounded_self_pairs(
-        sized.filter(F.col("__n") > cap), list(bucket_cols), "doc_id", "__n", cap=cap
-    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
-    return small_pairs.unionByName(big_pairs).distinct()
+    # tagged chunk-pair replicas: side 0 = 'a' rows of groups (c, j≥c),
+    # side 1 = 'b' rows of groups (i<c, c); nch=1 → a single (0,0) emit
+    a_part = F.transform(
+        F.sequence(F.col("__c"), F.col("__nch") - 1),
+        lambda j: F.struct(
+            F.col("__c").alias("ci"), j.cast("int").alias("cj"), F.lit(0).alias("side")
+        ),
+    )
+    b_part = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.col("__c")),
+            lambda i: F.struct(
+                i.cast("int").alias("ci"), F.col("__c").alias("cj"), F.lit(1).alias("side")
+            ),
+        ),
+        lambda s: s.getField("ci") < F.col("__c"),
+    )
+    emits = sized.select(
+        *cols, F.explode(F.concat(a_part, b_part)).alias("t")
+    ).select(*cols, F.col("t.ci").alias("ci"), F.col("t.cj").alias("cj"), F.col("t.side").alias("side"))
+
+    member = F.struct(
+        F.col("side"), F.col("doc_id"), *([F.col(payload)] if payload else [])
+    )
+
+    def _pair(x, y):
+        # orient (doc_a < doc_b); payloads follow their ids
+        xid, yid = x.getField("doc_id"), y.getField("doc_id")
+        fields = [
+            F.least(xid, yid).alias("doc_a"),
+            F.greatest(xid, yid).alias("doc_b"),
+        ]
+        if payload:
+            xp, yp = x.getField(payload), y.getField(payload)
+            fields += [
+                F.when(xid < yid, xp).otherwise(yp).alias("__pa"),
+                F.when(xid < yid, yp).otherwise(xp).alias("__pb"),
+            ]
+        return F.struct(*fields)
+
+    ms = F.col("ms")
+    a_side = F.filter(ms, lambda s: s.getField("side") == 0)
+    b_side = F.filter(ms, lambda s: s.getField("side") == 1)
+    # diagonal group (ci==cj): within-list pairs of the sorted a-side;
+    # off-diagonal: full a×b cross product
+    diag = F.flatten(
+        F.transform(
+            a_side,
+            lambda x, i: F.transform(
+                F.slice(a_side, i + 2, F.size(a_side)), lambda y: _pair(x, y)
+            ),
+        )
+    )
+    cross = F.flatten(F.transform(a_side, lambda x: F.transform(b_side, lambda y: _pair(x, y))))
+    out = (
+        emits.groupBy(*bucket_cols, "ci", "cj")
+        .agg(F.array_sort(F.collect_set(member)).alias("ms"))
+        .select(
+            F.explode(F.when(F.col("ci") == F.col("cj"), diag).otherwise(cross)).alias("p")
+        )
+        .select("p.*")
+        .distinct()
+    )
+    if payload:
+        out = out.withColumnsRenamed({"__pa": f"{payload}_a", "__pb": f"{payload}_b"})
+    return out
 
 
 def dedup_minhash_lsh_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,6 +331,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Python ints → build the 4 band structs explicitly and explode)
     banded = fp.select(
         "doc_id",
+        "simhash",
         F.explode(
             F.array(
                 *[
@@ -287,17 +345,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
     # capped bucket pairing (identical docs share ALL bands — the
-    # adversarial hot bucket), then re-join fingerprints for the exact
-    # Hamming verify
-    candidates = _bucket_pairs(banded, "band", "band_val")
-    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    # adversarial hot bucket); fingerprints ride as pair payload so the
+    # mapInPandas kernel runs once, no re-join/recompute for the verify
+    candidates = _bucket_pairs(banded, "band", "band_val", payload="simhash")
     return (
-        candidates.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn("hamming", X.hamming64(F.col("sh_a"), F.col("sh_b")))
+        candidates.withColumn(
+            "hamming", X.hamming64(F.col("simhash_a"), F.col("simhash_b"))
+        )
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")

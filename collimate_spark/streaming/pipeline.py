@@ -201,3 +201,34 @@ def deduped_stream(
 ) -> DataFrame:
     """Streaming exact dedup within the watermark horizon — finite state."""
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_stream_join(
+    events: DataFrame,
+    orders: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each event matches the same
+    user's orders placed at most ``lookback`` before it. BOTH sides carry
+    event-time watermarks and the join condition bounds the time skew, so
+    the join state store retires rows once the watermark passes — the
+    only way a stream×stream join stays finite at production volume.
+    Output columns: user_id, e_ts, event_type, o_ts, o_amount."""
+    ev = events.withWatermark("ts", watermark).select(
+        F.col("user_id"),
+        F.col("ts").alias("e_ts"),
+        F.col("event_type"),
+    )
+    od = orders.withWatermark("o_ts", watermark).select(
+        F.col("o_user"),
+        F.col("o_ts"),
+        F.col("o_amount"),
+    )
+    return ev.join(
+        od,
+        (ev.user_id == od.o_user)
+        & (od.o_ts <= ev.e_ts)
+        & (od.o_ts >= ev.e_ts - F.expr(f"INTERVAL {lookback}")),
+        "inner",
+    ).drop("o_user")

@@ -201,3 +201,52 @@ def test_deduped_stream(spark, tmp_path):
         spark, tmp_path, lambda s: deduped_stream(s, ["user_id", "ts"], "1 hour"), chunks
     )
     assert got.count() == 2
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Watermarked stream×stream join: events match same-user orders
+    within the 1-hour lookback; out-of-range orders don't."""
+    from collimate_spark.streaming.pipeline import stream_stream_join
+
+    ev_dir = str(tmp_path / "ssj_ev")
+    od_dir = str(tmp_path / "ssj_od")
+    os.makedirs(ev_dir); os.makedirs(od_dir)
+    ev_schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    od_schema = T.StructType(
+        [
+            T.StructField("o_ts", T.TimestampType()),
+            T.StructField("o_user", T.LongType()),
+            T.StructField("o_amount", T.DoubleType()),
+        ]
+    )
+    with open(os.path.join(ev_dir, "c0.csv"), "w") as fh:
+        fh.write("ts,user_id,event_type\n")
+        fh.write("2024-01-01 10:30:00,1,click\n")   # order at 10:00 in range
+        fh.write("2024-01-01 12:30:00,1,view\n")    # 10:00 order out of range
+        fh.write("2024-01-01 10:30:00,2,click\n")   # other user: no order
+    with open(os.path.join(od_dir, "c0.csv"), "w") as fh:
+        fh.write("o_ts,o_user,o_amount\n")
+        fh.write("2024-01-01 10:00:00,1,99.5\n")
+    ev = spark.readStream.schema(ev_schema).option("header", True).csv(ev_dir)
+    od = spark.readStream.schema(od_schema).option("header", True).csv(od_dir)
+    joined = stream_stream_join(ev, od, lookback="1 hour", watermark="2 hours")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ssj_out").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.user_id == 1 and r.event_type == "click" and r.o_amount == 99.5

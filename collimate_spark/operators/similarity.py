@@ -230,14 +230,72 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_ranked(scored)
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4× storage/bandwidth compressor every large ANN corpus applies before
+    indexing (codes ∈ [-127, 127], per-vector scale = max|x|/127).
+    Entirely JVM higher-order functions: zero Python, zero shuffle.
+    Tie-free integer outputs (floor, not round) keep the DuckDB oracle
+    hash-exact; reconstruction error is reported ×1e6 floored."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    scale0 = absmax / F.lit(127.0)
+    scale = F.when(scale0 == 0, F.lit(1.0)).otherwise(scale0)
+    with_scale = emb.select("vec_id", "embedding", scale.alias("scale"))
+    codes = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)).cast("int")
+    )
+    with_codes = with_scale.withColumn("codes", codes)
+    abs_err = F.zip_with(
+        "embedding",
+        "codes",
+        lambda x, q: F.abs(x.cast("double") - q.cast("double") * F.col("scale")),
+    )
+    return with_codes.select(
+        "vec_id",
+        F.floor(F.col("scale") * 1e6).cast("long").alias("scale_e6"),
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, q: a + q).alias("code_sum"),
+        F.array_max(F.transform("codes", F.abs)).alias("max_code"),
+        F.floor(F.array_max(abs_err) * 1e6).cast("long").alias("max_abs_err_e6"),
+    ).orderBy("vec_id")
+
+
+QUANTIZE_SQL = """
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) = 0
+              THEN 1.0
+              ELSE list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0
+         END AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, e, scale,
+         list_transform(e, x -> CAST(FLOOR(x / scale + 0.5) AS INT)) AS codes
+  FROM s
+)
+SELECT vec_id,
+       CAST(FLOOR(scale * 1e6) AS BIGINT) AS scale_e6,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       CAST(list_max(list_transform(codes, c -> abs(c))) AS INT) AS max_code,
+       CAST(FLOOR(list_max(list_transform(list_zip(e, codes),
+            p -> abs(p[1] - CAST(p[2] AS DOUBLE) * scale))) * 1e6) AS BIGINT)
+         AS max_abs_err_e6
+FROM q
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "embedding_quantize_int8": embedding_quantize_int8,
 }
 
 ORACLES = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
+    "embedding_quantize_int8": QUANTIZE_SQL,
     # ann_ivf_topk / ann_lsh_topk: rows-only (approximate by construction;
     # recall vs brute force asserted in tests/test_similarity.py)
 }

@@ -61,6 +61,16 @@ def test_sort_topk_avoids_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # per-partition heap, not full sort
 
 
+def test_q8_star_join_all_broadcast(spark, sf_dir):
+    """Q8's six dim joins must all be broadcast hash joins — a single
+    sort-merge join in a star pattern is a plan regression."""
+    from collimate_spark.operators.tpch_ext import q8_market_share
+
+    plan = _plan(q8_market_share(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+
+
 def test_asof_join_partitions_on_composite_key(spark, sf_dir):
     """The as-of window must shuffle on (bucket, month) — a bucket-only
     key caps parallelism at 10 and lets partitions grow unboundedly with

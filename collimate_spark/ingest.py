@@ -398,6 +398,59 @@ def profile(
 
 _CAST_TYPES = {"int32": "int", "int64": "long", "float64": "double"}
 
+# widening lattice order for manifest merging (append-only ingest):
+# int32 ⊂ int64 ⊂ float64 ⊂ str; date merges only with same-format date
+_WIDEN_ORDER = {"int32": 0, "int64": 1, "float64": 2, "str": 3}
+
+
+def merge_manifests(a: Manifest, b: Manifest) -> Manifest:
+    """Merge two profiles of the SAME schema — the append-only feed path
+    (DEPLOY.md): profile only the new partitions, merge into the running
+    manifest instead of rescanning history. Types widen along the
+    inference lattice (a batch that introduces floats widens an int
+    column, mirroring what a single profile over the union would infer);
+    two date columns keep the type only if their single consistent format
+    agrees (the reference's one-format rule across the union). Distinct
+    estimates combine as max — a lower bound without merged HLL sketches,
+    conservative in the direction that can only mark fewer columns
+    categorical, never more."""
+    if [c.original_name for c in a.columns] != [c.original_name for c in b.columns]:
+        raise ValueError("manifest merge requires identical column sets/order")
+    out = Manifest(
+        n_rows=a.n_rows + b.n_rows,
+        n_scanned=a.n_scanned + b.n_scanned,
+    )
+    out.categorical_threshold = categorical_threshold(
+        out.n_rows, min(out.n_scanned, out.n_rows)
+    )
+    for ca, cb in zip(a.columns, b.columns):
+        if ca.logical_type == cb.logical_type == "date":
+            if ca.date_format == cb.date_format:
+                logical, fmt = "date", ca.date_format
+            else:
+                logical, fmt = "str", None
+        elif "date" in (ca.logical_type, cb.logical_type):
+            other = cb.logical_type if ca.logical_type == "date" else ca.logical_type
+            logical, fmt = ("date", (ca.date_format or cb.date_format)) if other == "date" else ("str", None)
+        else:
+            logical = max(
+                ca.logical_type, cb.logical_type, key=lambda t: _WIDEN_ORDER[t]
+            )
+            fmt = None
+        dist = max(ca.distinct_estimate, cb.distinct_estimate)
+        out.columns.append(
+            ColumnProfile(
+                original_name=ca.original_name,
+                sane_name=ca.sane_name,
+                logical_type=logical,
+                categorical=dist <= out.categorical_threshold,
+                distinct_estimate=dist,
+                date_format=fmt,
+                null_tokens_seen=ca.null_tokens_seen + cb.null_tokens_seen,
+            )
+        )
+    return out
+
 
 def apply_manifest(df: DataFrame, manifest: Manifest) -> DataFrame:
     """Apply inferred schema: null tokens → NULL, casts, date parsing,

@@ -50,3 +50,27 @@ def write_bucketed(
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Range-clustered Parquet: global range partition on cluster_cols +
+    sort within each partition, so every output file covers a narrow,
+    largely disjoint key range. Parquet footers carry per-file/row-group
+    min/max for the cluster columns, and selective filters then skip
+    whole files at scan time — the single-dimension answer to Z-ORDER,
+    and the third layout lever next to hive partitioning (pruning on
+    low-cardinality values) and bucketing (shuffle-free joins). Costs one
+    range shuffle at write; wins every selective scan thereafter
+    (verified by tests/test_storage.py against the actual footer stats)."""
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -294,3 +294,29 @@ def test_to_columnar_dict_codes_roundtrip(spark, tmp_path):
         (r.grp, values[r.grp__code]) for r in back.collect()
     ]
     assert all(orig == dec for orig, dec in decoded)
+
+
+# --- F11: incremental manifest merge (append-only feeds) ---
+def test_merge_manifests_widens_like_union_profile(spark, tmp_path):
+    """Profiling two batches separately and merging must infer the same
+    types as one profile over the concatenation."""
+    from collimate_spark.ingest import merge_manifests, profile
+
+    b1 = ["v,d,s"] + [f"{i},2021-3-{(i % 27) + 1},x{i % 4}" for i in range(100)]
+    # batch 2 widens v to float and breaks d's date format
+    b2 = ["v,d,s"] + [f"{i}.5,03/0{(i % 8) + 1}/2021,x{i % 4}" for i in range(100)]
+    p1 = _write(tmp_path, "b1.csv", "\n".join(b1) + "\n")
+    p2 = _write(tmp_path, "b2.csv", "\n".join(b2) + "\n")
+    both = _write(tmp_path, "both.csv", "\n".join(b1 + b2[1:]) + "\n")
+    m1 = profile(spark, read_raw(spark, p1), parse_dates=True)
+    m2 = profile(spark, read_raw(spark, p2), parse_dates=True)
+    merged = merge_manifests(m1, m2)
+    union = profile(spark, read_raw(spark, both), parse_dates=True)
+    assert _types(merged) == _types(union) == {"v": "float64", "d": "str", "s": "str"}
+    assert merged.n_rows == union.n_rows == 200
+    # same-format dates survive a merge
+    m11 = merge_manifests(m1, m1)
+    assert _types(m11)["d"] == "date"
+    assert m11.columns[1].date_format == m1.columns[1].date_format
+    # categorical flags recompute against the combined threshold
+    assert merged.columns[2].categorical == union.columns[2].categorical

@@ -129,3 +129,44 @@ def test_salt_actually_spreads(spark):
     assert len(dist) == 8  # the hot key's rows land in every salt bucket
     counts = [r["count"] for r in dist]
     assert max(counts) < sum(counts)  # not all in one bucket
+
+
+def test_bounded_pairs_property(spark):
+    """Property: for arbitrary group sizes and caps, chunked pairing is
+    exactly the plain self-join pair set (hypothesis over a deterministic
+    grid — sizes around the cap boundary are where off-by-one bugs live)."""
+    from hypothesis import given, settings, HealthCheck
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        sizes=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=3),
+        cap=st.integers(min_value=2, max_value=15),
+    )
+    def check(sizes, cap):
+        rows = []
+        base = 0
+        for gi, s in enumerate(sizes):
+            rows += [(f"g{gi}", base + k) for k in range(s)]
+            base += 1000
+        df = spark.createDataFrame(rows, "g: string, id: long")
+        sized = df.join(
+            F.broadcast(df.groupBy("g").agg(F.count(F.lit(1)).alias("__n"))), "g"
+        )
+        got = {
+            (r.g, r.id_a, r.id_b)
+            for r in bounded_self_pairs(sized, ["g"], "id", "__n", cap=cap).collect()
+        }
+        want = set()
+        base = 0
+        for gi, s in enumerate(sizes):
+            ids = [base + k for k in range(s)]
+            want |= {(f"g{gi}", a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]}
+            base += 1000
+        assert got == want
+
+    check()

@@ -55,3 +55,38 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     got = back.count()
     expect = orders.filter(F.year("o_orderdate") == 1995).count()
     assert got == expect > 0
+
+
+def test_range_clustered_files_have_narrow_key_ranges(spark, sf_dir, tmp_path):
+    """Range clustering must produce files whose cluster-key min/max spans
+    are narrow and largely disjoint — the property that lets Parquet
+    footer stats skip whole files for selective filters."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from collimate_spark.catalog import load_table
+    from collimate_spark.sources.storage import write_range_clustered
+
+    li = load_table(spark, "lineitem", sf_dir)
+    out = str(tmp_path / "clustered")
+    write_range_clustered(li, out, ["l_orderkey"], n_files=8)
+    spans = []
+    lo_all, hi_all = None, None
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("l_orderkey")
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        spans.append((lo, hi))
+        lo_all = lo if lo_all is None else min(lo_all, lo)
+        hi_all = hi if hi_all is None else max(hi_all, hi)
+    assert len(spans) >= 4
+    global_span = hi_all - lo_all
+    avg_span = sum(h - l for l, h in spans) / len(spans)
+    # each file covers ~1/n of the key space, not the whole range
+    assert avg_span < global_span / (len(spans) / 2)
+    # a point filter overlaps at most 2 files' ranges
+    probe = (lo_all + hi_all) // 2
+    overlapping = sum(1 for l, h in spans if l <= probe <= h)
+    assert overlapping <= 2

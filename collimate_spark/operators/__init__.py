@@ -35,12 +35,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
-    # text analysis (5)
+    # text analysis (6)
     "text_quality_metrics",
     "lang_id_heuristic",
     "doc_fingerprint",
     "winnow_fingerprint_pairs",
     "text_length_histogram",
+    "text_pii_scrub",
     # multimodal (3)
     "multimodal_metadata",
     "multimodal_features",
@@ -51,15 +52,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "map_functions",
     "array_functions",
     "agg_approx_distinct",
-    # flagship relational (7; q6/q19 and friends sit past the window,
-    # already driver-verified green in round 1)
+    # flagship relational (6; q6/q19/sort_topk and friends sit past the
+    # window, already driver-verified green in round 1)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q12_shipmode_priority",
     "q18_large_volume_customers",
     "agg_grouping_sets",
-    "sort_topk",
     # joins (8)
     "join_left_outer",
     "join_full_outer",

@@ -214,12 +214,87 @@ ORDER BY lang, len_bucket
 """
 
 
+# PII patterns shared by Spark (Java regex) and the DuckDB oracle (RE2):
+# ASCII classes only, no lookarounds — the dialect intersection.
+PII_EMAIL = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[- ]\d{3}[- ]\d{4}\b"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the mandatory scrub pass of any
+    training-data pipeline. The synthetic corpus contains no PII, so the
+    query first INJECTS deterministic PII (an email / IP / phone derived
+    from doc_id, on a doc_id%3 rotation) and then detects and redacts it
+    with shared-dialect regexes — both engines build the same dirty text,
+    so counts and the md5 of the scrubbed output are hash-checked against
+    the oracle. All JVM expressions; at 100 TB this is a narrow map with
+    zero shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit(" from host 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7 logged")),
+        )
+        .otherwise(
+            F.concat(F.lit(" call 555-01"), F.lpad((F.col("doc_id") % 10).cast("string"), 1, "0"), F.lit("-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(dirty, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(dirty, F.lit(PII_EMAIL), 0)).alias("n_emails"),
+            F.size(F.regexp_extract_all(dirty, F.lit(PII_IPV4), 0)).alias("n_ips"),
+            F.size(F.regexp_extract_all(dirty, F.lit(PII_PHONE), 0)).alias("n_phones"),
+            F.md5(scrubbed.cast("binary")).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PII_SCRUB_SQL = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com now'
+           WHEN doc_id % 3 = 1 THEN ' from host 10.0.' || (doc_id % 256) || '.7 logged'
+           ELSE ' call 555-01' || lpad(CAST(doc_id % 10 AS VARCHAR), 1, '0')
+                || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PII_IPV4}')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_IPV4}', '<IP>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g')) AS clean_md5
+FROM dirty
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_quality_metrics": text_quality_metrics,
     "lang_id_heuristic": lang_id_heuristic,
     "doc_fingerprint": doc_fingerprint,
     "winnow_fingerprint_pairs": winnow_fingerprint_pairs,
     "text_length_histogram": text_length_histogram,
+    "text_pii_scrub": text_pii_scrub,
 }
 
 ORACLES = {
@@ -227,4 +302,5 @@ ORACLES = {
     "lang_id_heuristic": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "text_length_histogram": TEXT_LEN_HIST_SQL,
+    "text_pii_scrub": PII_SCRUB_SQL,
 }

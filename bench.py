@@ -45,6 +45,16 @@ BENCH_QUERIES = [
     "doc_fingerprint",
 ]
 
+# Wider coverage measured per-round and recorded in BASELINE.md; kept out
+# of the headline set so round-over-round totals stay comparable to the
+# round-1 baseline. Run `python bench.py --wide` to include them.
+EXTRA_QUERIES = [
+    "range_join_events_orders",
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
+    "text_pii_scrub",
+]
+
 
 def bench_ingest(spark) -> float:
     """The reference's own task: CSV → typed columnar store. Exports
@@ -90,6 +100,9 @@ def bench_ingest(spark) -> float:
 
 
 def main() -> None:
+    bench_set = list(BENCH_QUERIES)
+    if "--wide" in sys.argv:
+        bench_set += EXTRA_QUERIES
     spark = get_session("collimate_spark_bench")
     queries = all_queries()
 
@@ -101,7 +114,7 @@ def main() -> None:
     # constant cost that vanishes at cluster scale); steady-state is the
     # number comparable across engines.
     results: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_set:
         times = []
         for _ in range(2):
             df = queries[name](spark, SF_DIR)

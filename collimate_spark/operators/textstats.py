@@ -288,6 +288,80 @@ ORDER BY doc_id
 """
 
 
+def _ngrams_all(toks, n: int):
+    """ALL word n-grams (with repeats — repetition is the signal here),
+    empty array below n tokens."""
+    joined = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, joined).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher/RefinedWeb-style
+    quality filters): duplicate-token fraction and duplicate 3-/5-gram
+    fractions (1 − distinct/total). High values mark boilerplate, looped
+    generation, and template spam — standard removal criteria for
+    training corpora. Pure JVM array expressions, zero shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = X.tokens(F.col("text"))
+
+    def dup_frac(arr):
+        return F.when(
+            F.size(arr) > 0,
+            F.round(
+                1 - F.size(F.array_distinct(arr)).cast("double") / F.size(arr), 4
+            ),
+        ).otherwise(F.lit(0.0))
+
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            dup_frac(toks).alias("dup_token_frac"),
+            dup_frac(_ngrams_all(toks, 3)).alias("dup_3gram_frac"),
+            dup_frac(_ngrams_all(toks, 5)).alias("dup_5gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              ELSE [] END AS g3,
+         CASE WHEN len(toks) >= 5
+              THEN list_transform(range(1, len(toks) - 3),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                       || ' ' || toks[i+3] || ' ' || toks[i+4])
+              ELSE [] END AS g5
+  FROM d
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       CASE WHEN len(toks) > 0
+            THEN ROUND(1 - len(list_distinct(toks)) * 1.0 / len(toks), 4)
+            ELSE 0.0 END AS dup_token_frac,
+       CASE WHEN len(g3) > 0
+            THEN ROUND(1 - len(list_distinct(g3)) * 1.0 / len(g3), 4)
+            ELSE 0.0 END AS dup_3gram_frac,
+       CASE WHEN len(g5) > 0
+            THEN ROUND(1 - len(list_distinct(g5)) * 1.0 / len(g5), 4)
+            ELSE 0.0 END AS dup_5gram_frac
+FROM g
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_quality_metrics": text_quality_metrics,
     "lang_id_heuristic": lang_id_heuristic,
@@ -295,9 +369,11 @@ QUERIES = {
     "winnow_fingerprint_pairs": winnow_fingerprint_pairs,
     "text_length_histogram": text_length_histogram,
     "text_pii_scrub": text_pii_scrub,
+    "repetition_metrics": repetition_metrics,
 }
 
 ORACLES = {
+    "repetition_metrics": REPETITION_SQL,
     "text_quality_metrics": TEXT_QUALITY_SQL,
     "lang_id_heuristic": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,

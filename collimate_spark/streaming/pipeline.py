@@ -232,3 +232,13 @@ def stream_stream_join(
         & (od.o_ts >= ev.e_ts - F.expr(f"INTERVAL {lookback}")),
         "inner",
     ).drop("o_user")
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins the static
+    dimension snapshot — stateless (no watermark needed; only the stream
+    side is unbounded). Spark broadcasts the dim per micro-batch when it
+    fits; at scale pin it with F.broadcast or pre-bucket both sides.
+    The standard pattern for attaching user/item attributes to an event
+    stream before windowed aggregation."""
+    return events.join(F.broadcast(dim), key, "left")

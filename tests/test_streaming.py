@@ -250,3 +250,21 @@ def test_stream_stream_join(spark, tmp_path):
     assert len(rows) == 1
     r = rows[0]
     assert r.user_id == 1 and r.event_type == "click" and r.o_amount == 99.5
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    from collimate_spark.streaming.pipeline import stream_static_enrich
+
+    dim = spark.createDataFrame([(1, "gold"), (2, "basic")], "user_id: long, tier: string")
+    chunks = [
+        [
+            ("2024-01-01 00:10:00", 1, "click", 1.0),
+            ("2024-01-01 00:20:00", 2, "view", 2.0),
+            ("2024-01-01 00:30:00", 9, "click", 3.0),  # no dim row -> null tier
+        ]
+    ]
+    got = _run_events_stream(
+        spark, tmp_path, lambda s: stream_static_enrich(s, dim), chunks
+    ).collect()
+    tiers = {r.user_id: r.tier for r in got}
+    assert tiers == {1: "gold", 2: "basic", 9: None}

@@ -24,13 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 # The 50 queries the driver verifies, in order. Keep this list at exactly
 # 50 entries; tests/test_registration.py enforces the invariant.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # dedup (6)
+    # dedup (7)
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_expr",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_connected_components",
     # similarity (3)
     "ann_bruteforce_topk",
     "ann_ivf_topk",
@@ -59,7 +60,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q5_local_supplier_volume",
     "q12_shipmode_priority",
     "q18_large_volume_customers",
-    "agg_grouping_sets",
     # joins (8)
     "join_left_outer",
     "join_full_outer",

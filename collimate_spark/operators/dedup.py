@@ -423,6 +423,98 @@ ORDER BY vec_a, vec_b
 """
 
 
+CC_MAX_ITERS = 6  # ≥ near-dup cluster diameter; see docstring
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last stage of the dedup pipeline: near-dup PAIRS → duplicate
+    CLUSTERS → survivor per cluster. Connected components via iterative
+    min-label propagation expressed as DataFrame joins: every vertex
+    starts labeled with its own doc_id and repeatedly takes the minimum
+    of its own and its neighbors' labels; at fixpoint the label is the
+    component's minimum doc_id, which doubles as the canonical survivor
+    (deterministic keep-lowest-id policy).
+
+    Iteration count: k rounds propagate labels k hops, so CC_MAX_ITERS
+    bounds the handled component diameter. Near-dup clusters are
+    near-cliques (verified-Jaccard edges), so real diameters are 1-3;
+    tests assert the fixpoint is reached. At 100 TB-scale graphs switch
+    to pointer-doubling / large-star-small-star (O(log d) rounds) — the
+    per-round join shape below is the same.
+
+    Edges come from the MinHash-LSH pair generator (recall ≈ 1 at these
+    banding parameters, so the oracle can regenerate the identical edge
+    set from exact Jaccard with a recursive CTE)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "comp", F.col("doc_id")
+    )
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        labels = labels.join(
+            nbr_min, labels.doc_id == nbr_min.src, "left"
+        ).select(
+            labels.doc_id,
+            F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+        )
+    return labels.select(
+        "doc_id",
+        F.col("comp").alias("component"),
+        (F.col("doc_id") == F.col("comp")).cast("int").alias("is_survivor"),
+    ).orderBy("doc_id")
+
+
+CC_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+            range(1, greatest(len(toks) - 1, 1)),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM d WHERE len(toks) >= 3
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sz sa ON doc_a = sa.doc_id
+  JOIN sz sb ON doc_b = sb.doc_id
+  WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+    SELECT src AS doc, src AS node FROM edges
+  UNION
+    SELECT r.doc, e.dst FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT doc AS doc_id,
+       MIN(node) AS component,
+       CASE WHEN MIN(node) = doc THEN 1 ELSE 0 END AS is_survivor
+FROM reach
+GROUP BY doc
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -430,9 +522,11 @@ QUERIES = {
     "dedup_minhash_lsh_expr": dedup_minhash_lsh_expr,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_connected_components": dedup_connected_components,
 }
 
 ORACLES = {
+    "dedup_connected_components": CC_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": NGRAM_JACCARD_SQL,

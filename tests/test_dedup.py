@@ -94,3 +94,35 @@ def test_minhash_estimates_jaccard(spark):
     agree = sum(1 for x, y in zip(s1, s2) if x == y) / 128
     # true jaccard = 14/15 ≈ 0.933; agreement should be in the same region
     assert 0.75 <= agree <= 1.0
+
+
+def test_connected_components_match_local_union_find(spark, sf_dir):
+    """Cluster assignment must equal a driver-side union-find over the
+    same pair set (fixpoint actually reached within CC_MAX_ITERS)."""
+    from collimate_spark.operators.dedup import (
+        dedup_connected_components,
+        dedup_ngram_jaccard,
+    )
+
+    pairs = [(r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf_dir).collect()]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for v in list(parent):
+        want[v] = find(v)
+    got = {r.doc_id: (r.component, r.is_survivor) for r in dedup_connected_components(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for doc, comp in want.items():
+        assert got[doc][0] == comp
+        assert got[doc][1] == (1 if doc == comp else 0)

@@ -362,6 +362,135 @@ ORDER BY doc_id
 """
 
 
+# Data-mixture sampling rates per language stratum (the "how much of each
+# source goes into the training mix" knob). Rates quantize to 1/65536 via
+# a 4-hex-digit md5-prefix threshold so both engines decide each row
+# identically — deterministic, reproducible sampling, unlike rand().
+MIXTURE_RATES = {"en": 0.25, "de": 1.0, "es": 0.5, "fr": 0.75, "zh": 0.1}
+
+
+def _hex_threshold(rate: float) -> str:
+    return format(min(int(rate * 65536), 65535), "04x")
+
+
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (per-language) sampling — the data-mixing
+    step of a training pipeline: each document keeps or drops based on a
+    content-independent hash of its id against its stratum's rate
+    (md5-prefix < threshold), so the sample is reproducible across runs,
+    engines, and cluster layouts, and composable (re-running with a
+    higher rate yields a superset). Emits per-stratum kept/total counts
+    plus the achieved rate; zero shuffle except the final tiny agg."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4)
+    thr = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(_hex_threshold(r)))
+            for lang, r in sorted(MIXTURE_RATES.items())
+        ],
+        F.lit("ffff"),
+    )
+    return (
+        docs.select("lang", (h < thr).cast("int").alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.round(F.sum("kept") / F.count(F.lit(1)), 4).alias("achieved_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+_mix_cases = " ".join(
+    f"WHEN lang = '{lang}' THEN '{_hex_threshold(r)}'"
+    for lang, r in sorted(MIXTURE_RATES.items())
+)
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH flagged AS (
+  SELECT lang,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                   < (CASE {_mix_cases} ELSE 'ffff' END)
+              THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_total,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       ROUND(SUM(kept) * 1.0 / COUNT(*), 4) AS achieved_rate
+FROM flagged
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k TF-IDF terms: explode tokens → (doc, term)
+    counts → document frequencies → tf·ln(N/df) → per-doc window top-k
+    with deterministic (rounded-score desc, term asc) ranking. The
+    distributed shape is two hash aggregations + one broadcast of the
+    (term, df) table's join back onto term counts — no all-pairs stage;
+    at 100 TB the df table is the only corpus-global state and it is
+    |vocabulary|-sized."""
+    docs = load_table(spark, "documents", sf_dir)
+    terms = docs.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", F.round("score", 4).alias("tfidf"), "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+TFIDF_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms WHERE term <> '' GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * ln(CAST(n_docs AS DOUBLE) / dfreq.df) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY ROUND(score, 6) DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, ROUND(score, 4) AS tfidf, rk
+FROM ranked WHERE rk <= {TFIDF_TOP_K}
+ORDER BY doc_id, rk
+"""
+
+
 QUERIES = {
     "text_quality_metrics": text_quality_metrics,
     "lang_id_heuristic": lang_id_heuristic,
@@ -370,10 +499,14 @@ QUERIES = {
     "text_length_histogram": text_length_histogram,
     "text_pii_scrub": text_pii_scrub,
     "repetition_metrics": repetition_metrics,
+    "stratified_sample_documents": stratified_sample_documents,
+    "tfidf_top_terms": tfidf_top_terms,
 }
 
 ORACLES = {
     "repetition_metrics": REPETITION_SQL,
+    "stratified_sample_documents": STRATIFIED_SAMPLE_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
     "text_quality_metrics": TEXT_QUALITY_SQL,
     "lang_id_heuristic": LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,

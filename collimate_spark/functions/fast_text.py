@@ -168,3 +168,50 @@ def simhash_fingerprints(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         yield pd.DataFrame(
             {"doc_id": pd.Series(out_doc, dtype="int64"), "simhash": pd.Series(out_sim, dtype="int64")}
         )
+
+
+WINNOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fp", T.LongType()),
+    ]
+)
+
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 5  # k-gram hashes per winnowing window
+
+
+def winnow_fingerprints(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, text) batches → exploded (doc_id, fp) winnowing
+    fingerprints (Schleimer/Wilkerson/Aiken '03): crc32 per token k-gram,
+    sliding-window minima via a strided view, distinct minima per doc.
+
+    Replaces the pure-expression form for the hot path: nested
+    transform-over-slice HOFs re-evaluate the whole k-gram array per
+    window position (CollapseProject), turning an O(n·w) algorithm into
+    O(n²) interpreted evals — measured 55 s for 500 docs at sf0.01 vs
+    ~1 s here. Hash family is engine-specific either way (rows-only
+    driver check); guarantees are unchanged: any shared token run of
+    ≥ w+k-1 yields a shared fingerprint."""
+    for pdf in batches:
+        out_doc: list[int] = []
+        out_fp: list[int] = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = text.lower().split()
+            if len(toks) < WINNOW_K:
+                continue
+            grams = [
+                " ".join(toks[i : i + WINNOW_K])
+                for i in range(len(toks) - WINNOW_K + 1)
+            ]
+            h = np.fromiter(
+                (zlib.crc32(g.encode()) for g in grams), dtype=np.int64, count=len(grams)
+            )
+            if len(h) >= WINNOW_W:
+                mins = np.lib.stride_tricks.sliding_window_view(h, WINNOW_W).min(axis=1)
+            else:
+                mins = h
+            fps = np.unique(mins)
+            out_doc.extend([doc_id] * len(fps))
+            out_fp.extend(int(x) for x in fps)
+        yield pd.DataFrame({"doc_id": out_doc, "fp": out_fp})

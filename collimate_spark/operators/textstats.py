@@ -174,11 +174,17 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints — catches shared RUNS of text (positional locality),
     complementing the order-blind MinHash/Jaccard variants. Candidate
     generation = explode fingerprints + equi-join (never O(n²)).
-    Rows-only correctness (xxhash64 family is engine-specific); determinism
+    Fingerprints come from the Arrow-batched numpy kernel
+    (functions/fast_text.winnow_fingerprints — the expression form in
+    functions/text.py re-evaluates its k-gram array per window under
+    CollapseProject, ~50× slower; it remains the zero-Python fallback).
+    Rows-only correctness (hash family is engine-specific); determinism
     via the standard rows-only double-run check."""
+    from collimate_spark.functions import fast_text
+
     docs = load_table(spark, "documents", sf_dir)
-    fps = docs.select(
-        "doc_id", F.explode(X.winnow_fingerprints(X.tokens(F.col("text")))).alias("fp")
+    fps = docs.select("doc_id", "text").mapInPandas(
+        fast_text.winnow_fingerprints, fast_text.WINNOW_SCHEMA
     )
     return (
         fps.alias("a")

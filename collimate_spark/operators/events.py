@@ -217,6 +217,60 @@ ORDER BY user_id
 """
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered two-step funnel (click → purchase) per user-day: a user
+    converts on a day iff some purchase follows their first click that
+    day. Expressed as two conditional min-aggregations per (user, day) —
+    one shuffle, no self-join, no window: the scalable funnel shape (for
+    k-step funnels, chain conditional mins the same way)."""
+    ev = load_table(spark, "events", sf_dir)
+    per_day = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),
+        )
+        .filter(F.col("first_click").isNotNull())
+        .withColumn(
+            "converted",
+            (
+                F.col("last_purchase").isNotNull()
+                & (F.col("last_purchase") > F.col("first_click"))
+            ).cast("int"),
+        )
+    )
+    return (
+        per_day.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_clickers"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.round(F.sum("converted") / F.count(F.lit(1)), 4).alias("conv_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+FUNNEL_SQL = """
+WITH per_day AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT day,
+       COUNT(*) AS n_clickers,
+       CAST(SUM(CASE WHEN last_purchase IS NOT NULL AND last_purchase > first_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       ROUND(SUM(CASE WHEN last_purchase IS NOT NULL AND last_purchase > first_click
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS conv_rate
+FROM per_day
+WHERE first_click IS NOT NULL
+GROUP BY day
+ORDER BY day
+"""
+
+
 QUERIES = {
     "json_extract_events": json_extract_events,
     "tumbling_window_agg": tumbling_window_agg,
@@ -224,9 +278,11 @@ QUERIES = {
     "sessionization_gap": sessionization_gap,
     "pivot_event_counts": pivot_event_counts,
     "date_spine_fill": date_spine_fill,
+    "funnel_conversion": funnel_conversion,
 }
 
 ORACLES = {
+    "funnel_conversion": FUNNEL_SQL,
     "json_extract_events": JSON_EXTRACT_SQL,
     "tumbling_window_agg": TUMBLING_SQL,
     "sliding_window_agg": SLIDING_SQL,

@@ -290,6 +290,72 @@ ORDER BY o_orderkey
 """
 
 
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (edit-distance) self-join — entity resolution's core
+    primitive — via the deletion-neighborhood blocking pattern: each name
+    emits one key per character position with that position wildcarded;
+    two equal-length names collide on a key iff they differ in at most
+    that one substitution, so candidate generation is an equi-join on
+    ~|name| keys per row instead of an O(n²) cross with levenshtein —
+    the 100 TB answer to fuzzy matching. Candidates are then verified
+    with exact levenshtein == 1 (both engines implement the same DP
+    definition, so the oracle hash-matches)."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    keyed = cust.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("c_name")),
+                lambda i: F.concat(
+                    F.col("c_name").substr(F.lit(1), i - 1),
+                    F.lit("*"),
+                    F.col("c_name").substr(i + 1, F.length("c_name")),
+                ),
+            )
+        ).alias("k"),
+    )
+    pairs = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), "k")
+        .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            F.col("b.c_name").alias("name_b"),
+        )
+        .distinct()
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") == 1)
+    )
+    return (
+        pairs.groupBy("cust_a")
+        .agg(F.count(F.lit(1)).alias("n_near_names"), F.min("cust_b").alias("nearest_b"))
+        .orderBy("cust_a")
+    )
+
+
+FUZZY_MATCH_SQL = """
+WITH keyed AS (
+  SELECT c_custkey, c_name,
+         unnest(list_transform(range(1, LENGTH(c_name) + 1),
+                i -> substr(c_name, 1, i - 1) || '*' || substr(c_name, i + 1))) AS k
+  FROM customer
+),
+pairs AS (
+  SELECT DISTINCT a.c_custkey AS cust_a, a.c_name AS name_a,
+                  b.c_custkey AS cust_b, b.c_name AS name_b
+  FROM keyed a JOIN keyed b ON a.k = b.k AND a.c_custkey < b.c_custkey
+)
+SELECT cust_a, COUNT(*) AS n_near_names, MIN(cust_b) AS nearest_b
+FROM pairs
+WHERE levenshtein(name_a, name_b) = 1
+GROUP BY cust_a
+ORDER BY cust_a
+"""
+
+
 QUERIES = {
     "join_left_outer": join_left_outer,
     "join_full_outer": join_full_outer,
@@ -299,9 +365,11 @@ QUERIES = {
     "join_theta_inequality": join_theta_inequality,
     "asof_join_events_orders": asof_join_events_orders,
     "range_join_events_orders": range_join_events_orders,
+    "fuzzy_name_match": fuzzy_name_match,
 }
 
 ORACLES = {
+    "fuzzy_name_match": FUZZY_MATCH_SQL,
     "join_left_outer": JOIN_LEFT_SQL,
     "join_full_outer": JOIN_FULL_SQL,
     "join_semi": JOIN_SEMI_SQL,

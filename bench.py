@@ -82,21 +82,26 @@ def bench_ingest(spark) -> float:
         open(marker, "w").close()
     # Spark's csv() writes part files without .csv extension handling via
     # read_raw's extension dispatch — point ingest at the directory with
-    # explicit csv part files
-    t0 = time.time()
+    # explicit csv part files. Min of 2 full passes, same steady-state
+    # methodology as the queries (run 1 pays whole-stage-codegen compile
+    # of the ~140-expression profile aggregate).
     from collimate_spark.ingest import apply_manifest, profile
 
-    raw = (
-        spark.read.option("header", True)
-        .option("ignoreLeadingWhiteSpace", True)
-        .option("ignoreTrailingWhiteSpace", True)
-        .csv(csv_dir)
-    )
-    manifest = profile(spark, raw, parse_dates=True)
-    typed = apply_manifest(raw, manifest)
-    out = os.path.join(tempfile.gettempdir(), f"bench_ingest_out_{sf_tag}")
-    to_columnar(typed, out, manifest, write_manifest=True)
-    return round(time.time() - t0, 3)
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        raw = (
+            spark.read.option("header", True)
+            .option("ignoreLeadingWhiteSpace", True)
+            .option("ignoreTrailingWhiteSpace", True)
+            .csv(csv_dir)
+        )
+        manifest = profile(spark, raw, parse_dates=True)
+        typed = apply_manifest(raw, manifest)
+        out = os.path.join(tempfile.gettempdir(), f"bench_ingest_out_{sf_tag}")
+        to_columnar(typed, out, manifest, write_manifest=True)
+        times.append(time.time() - t0)
+    return round(min(times), 3)
 
 
 def main() -> None:

@@ -315,10 +315,13 @@ def profile(
         if seed == "str" and parse_dates:
             aggs.append(F.count(F.when(F.length(v).between(8, 10), 1)).alias(f"{c}__dlen"))
             for i, fmt in enumerate(DATE_FORMATS):
+                # nest the parse under the length gate so non-candidate
+                # strings (wrong length) never pay the 6 format probes —
+                # an AND conjunct does not guarantee evaluation order
                 aggs.append(
                     F.count(
                         F.when(
-                            F.length(v).between(8, 10) & F.try_to_date(v, fmt).isNotNull(), 1
+                            F.length(v).between(8, 10), F.try_to_date(v, fmt)
                         )
                     ).alias(f"{c}__fmt{i}")
                 )

@@ -618,6 +618,13 @@ def main(argv: list[str] | None = None) -> None:
         help="comma-separated sanitized column names to hive-partition the store by",
     )
     ap.add_argument(
+        "-c",
+        "--cluster-by",
+        default=None,
+        help="comma-separated sanitized columns to range-cluster the store "
+        "by (narrow per-file min/max ranges -> footer-stats file skipping)",
+    )
+    ap.add_argument(
         "-k",
         "--dict-codes",
         action="store_true",
@@ -648,10 +655,20 @@ def main(argv: list[str] | None = None) -> None:
     outdir = args.output or os.path.splitext(os.path.basename(args.file))[0]
     t0 = time.time()
     parts = args.partition_by.split(",") if args.partition_by else None
-    to_columnar(
-        typed, outdir, manifest,
-        write_manifest=args.index, partition_cols=parts, dict_codes=args.dict_codes,
-    )
+    if args.cluster_by:
+        from collimate_spark.sources.storage import write_range_clustered
+
+        if parts or args.dict_codes:
+            ap.error("--cluster-by cannot combine with --partition-by/--dict-codes")
+        write_range_clustered(typed, outdir, args.cluster_by.split(","))
+        if args.index:
+            with open(os.path.join(outdir, "_manifest.json"), "w") as fh:
+                json.dump(manifest.to_dict(), fh, indent=1)
+    else:
+        to_columnar(
+            typed, outdir, manifest,
+            write_manifest=args.index, partition_cols=parts, dict_codes=args.dict_codes,
+        )
     if args.verbose:
         print(f"write: {time.time() - t0:.2f}s", file=sys.stderr)
     print(outdir)

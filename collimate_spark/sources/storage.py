@@ -74,3 +74,12 @@ def write_range_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def read_evolving(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Read Parquet batches whose schemas drifted (columns added over
+    time) as ONE DataFrame: mergeSchema unions the footer schemas and
+    back-fills missing columns with NULLs — the append-only ingest
+    pattern where new feeds gain columns without rewriting history.
+    Pair with ingest.merge_manifests for the profile-side story."""
+    return spark.read.option("mergeSchema", True).parquet(*paths)

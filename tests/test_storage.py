@@ -90,3 +90,19 @@ def test_range_clustered_files_have_narrow_key_ranges(spark, sf_dir, tmp_path):
     probe = (lo_all + hi_all) // 2
     overlapping = sum(1 for l, h in spans if l <= probe <= h)
     assert overlapping <= 2
+
+
+def test_read_evolving_merges_schemas(spark, tmp_path):
+    """Schema evolution: a later batch adds a column; the merged read
+    exposes the union schema with NULLs for the old batch's rows."""
+    from collimate_spark.sources.storage import read_evolving
+
+    p1, p2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    spark.createDataFrame([(1, "a")], "id: long, v: string").write.parquet(p1)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id: long, v: string, score: double"
+    ).write.parquet(p2)
+    got = read_evolving(spark, [p1, p2])
+    assert set(got.columns) == {"id", "v", "score"}
+    rows = {r.id: r for r in got.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5

@@ -43,6 +43,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "winnow_fingerprint_pairs",
     "text_length_histogram",
     "text_pii_scrub",
+    # curation (2)
+    "pack_sequences",
+    "decontaminate_ngram",
     # multimodal (3)
     "multimodal_metadata",
     "multimodal_features",
@@ -53,13 +56,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "map_functions",
     "array_functions",
     "agg_approx_distinct",
-    # flagship relational (6; q6/q19/sort_topk and friends sit past the
-    # window, already driver-verified green in round 1)
+    # flagship relational (3; q5/q6/q18/q19/sort_topk and friends sit past
+    # the window, already driver-verified green in round 1)
+    # (q5/q18 moved past the window — driver-verified green in round 1)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "q12_shipmode_priority",
-    "q18_large_volume_customers",
     # joins (8)
     "join_left_outer",
     "join_full_outer",
@@ -101,6 +103,7 @@ def _modules():
         similarity,
         textstats,
         multimodal,
+        curation,
     )
 
     return (
@@ -115,6 +118,7 @@ def _modules():
         similarity,
         textstats,
         multimodal,
+        curation,
     )
 
 

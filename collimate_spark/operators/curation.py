@@ -1,0 +1,170 @@
+"""Corpus-curation operators for training-data pipelines: sequence
+packing (concat-and-split token chunking into fixed-budget training
+rows) and benchmark decontamination (n-gram overlap against a held-out
+eval set). Both are pure DataFrame plans: packing is one window over a
+sharded cumulative sum; decontamination is an explode + broadcast join
+against the (small) benchmark n-gram set — the 100 TB shapes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from collimate_spark.catalog import load_table
+from collimate_spark.functions import text as X
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+#
+# Training pipelines concatenate documents into a token stream and split it
+# into fixed-size chunks (the "packed pretraining" layout). The distributed
+# form: hash documents into shards, order deterministically within shard,
+# running token count -> each doc knows its byte range in the stream, so its
+# first/last chunk index is pure arithmetic. One shuffle (the per-shard
+# window); at 100 TB you raise N_SHARDS so each shard's window stays
+# bounded — the plan shape is unchanged.
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 256  # tokens per training chunk
+N_SHARDS = 8  # deterministic doc_id % N_SHARDS sharding (raise at scale)
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a (shard, chunk range) in the packed token
+    stream: within each shard, docs concatenate in doc_id order; chunk k
+    covers tokens [k*B, (k+1)*B). Emits per-doc start offset, first/last
+    chunk, and whether the doc straddles a chunk boundary (the
+    truncation/attention-mask boundary a trainer needs)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = X.tokens(F.col("text"))
+    sized = docs.select(
+        "doc_id",
+        (F.col("doc_id") % N_SHARDS).alias("shard"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_off")
+    return (
+        sized.select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            start,
+            F.floor((cum - F.col("n_tokens")) / PACK_BUDGET).alias("chunk_first"),
+            F.floor((cum - 1) / PACK_BUDGET).alias("chunk_last"),
+        )
+        .withColumn(
+            "spans_chunks",
+            (F.col("chunk_last") > F.col("chunk_first")).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PACK_SQL = f"""
+WITH sized AS (
+  SELECT doc_id,
+         doc_id % {N_SHARDS} AS shard,
+         CAST(len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM sized
+)
+SELECT doc_id, shard, n_tokens,
+       cum - n_tokens AS start_off,
+       (cum - n_tokens) // {PACK_BUDGET} AS chunk_first,
+       (cum - 1) // {PACK_BUDGET} AS chunk_last,
+       CAST(CASE WHEN (cum - 1) // {PACK_BUDGET} > (cum - n_tokens) // {PACK_BUDGET}
+                 THEN 1 ELSE 0 END AS INT) AS spans_chunks
+FROM c
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+#
+# Standard eval hygiene: drop training documents sharing any long-enough
+# word n-gram with a benchmark/eval set. The benchmark side is always tiny
+# relative to the corpus, so its distinct n-gram set broadcasts; the train
+# side explodes its n-grams and probes the broadcast hash — no shuffle of
+# the 100 TB side at all.
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 6  # words per contamination n-gram
+BENCH_MOD = 20  # doc_id % BENCH_MOD == 0 -> held-out benchmark member
+
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs that share >= 1 distinct DECON_NGRAM-word n-gram
+    with the benchmark subset (doc_id % BENCH_MOD == 0): per contaminated
+    doc, the distinct shared n-gram count and the number of benchmark docs
+    hit. Broadcast the benchmark n-gram set; the corpus side never
+    shuffles before the final per-doc aggregation."""
+    docs = load_table(spark, "documents", sf_dir)
+    grams = docs.select(
+        "doc_id",
+        F.explode(X.word_shingles(X.tokens(F.col("text")), DECON_NGRAM)).alias("g"),
+    )
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = grams.filter(is_bench).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    train = grams.filter(~is_bench)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_ngrams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DECON_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(t) >= {DECON_NGRAM}
+                THEN list_transform(range(1, len(t) - {DECON_NGRAM - 2}),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                            || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5])
+                ELSE [] END)) AS g
+  FROM toks
+)
+SELECT tr.doc_id,
+       COUNT(DISTINCT tr.g) AS n_shared_ngrams,
+       COUNT(DISTINCT be.doc_id) AS n_bench_docs
+FROM grams tr
+JOIN grams be ON tr.g = be.g
+WHERE be.doc_id % {BENCH_MOD} = 0 AND tr.doc_id % {BENCH_MOD} <> 0
+GROUP BY tr.doc_id
+ORDER BY tr.doc_id
+"""
+
+
+QUERIES = {
+    "pack_sequences": pack_sequences,
+    "decontaminate_ngram": decontaminate_ngram,
+}
+
+ORACLES = {
+    "pack_sequences": PACK_SQL,
+    "decontaminate_ngram": DECON_SQL,
+}

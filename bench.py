@@ -53,6 +53,8 @@ EXTRA_QUERIES = [
     "dedup_embedding_cosine",
     "ann_ivf_topk",
     "text_pii_scrub",
+    "pack_sequences",
+    "decontaminate_ngram",
 ]
 
 

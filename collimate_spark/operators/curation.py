@@ -2,8 +2,9 @@
 packing (concat-and-split token chunking into fixed-budget training
 rows) and benchmark decontamination (n-gram overlap against a held-out
 eval set). Both are pure DataFrame plans: packing is one window over a
-sharded cumulative sum; decontamination is an explode + broadcast join
-against the (small) benchmark n-gram set — the 100 TB shapes.
+sharded cumulative sum; decontamination is an Arrow-batched n-gram
+explode + broadcast join against the (small) benchmark n-gram set — the
+100 TB shapes.
 """
 
 from __future__ import annotations
@@ -111,16 +112,20 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, the distinct shared n-gram count and the number of benchmark docs
     hit. Broadcast the benchmark n-gram set; the corpus side never
     shuffles before the final per-doc aggregation."""
-    docs = load_table(spark, "documents", sf_dir)
-    grams = docs.select(
-        "doc_id",
-        F.explode(X.word_shingles(X.tokens(F.col("text")), DECON_NGRAM)).alias("g"),
-    )
+    from collimate_spark.functions import fast_text as FT
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    kernel = FT.ngram_strings(DECON_NGRAM)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
-    bench = grams.filter(is_bench).select(
-        F.col("doc_id").alias("bench_id"), "g"
+    # filter BEFORE the kernel on each branch: the bench branch only
+    # shingles the (tiny) benchmark slice, so the two-branch plan never
+    # re-executes the corpus-side kernel (the round-2 re-execution trap)
+    bench = (
+        docs.filter(is_bench)
+        .mapInPandas(kernel, FT.NGRAM_SCHEMA)
+        .select(F.col("doc_id").alias("bench_id"), "g")
     )
-    train = grams.filter(~is_bench)
+    train = docs.filter(~is_bench).mapInPandas(kernel, FT.NGRAM_SCHEMA)
     return (
         train.join(F.broadcast(bench), "g")
         .groupBy("doc_id")

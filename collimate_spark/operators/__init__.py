@@ -104,6 +104,7 @@ def _modules():
         textstats,
         multimodal,
         curation,
+        quality,
     )
 
     return (
@@ -119,6 +120,7 @@ def _modules():
         textstats,
         multimodal,
         curation,
+        quality,
     )
 
 

@@ -1,0 +1,238 @@
+"""Data-quality constraint checking and CDC-style snapshot diffing.
+
+``data_quality_report`` is the Deequ-style constraint suite: uniqueness,
+completeness, value-range, domain, and referential-integrity checks,
+each expressed as a conditional aggregate so every table is scanned
+exactly ONCE (the FK probe rides the same pass as a broadcast left
+join). ``snapshot_diff`` classifies rows between two table versions as
+inserted / deleted / changed / unchanged via one full-outer join on the
+key — the incremental-pipeline primitive for change capture.
+
+Both are single-shuffle plans: a wide conditional agg (map-side
+partial), and one key-partitioned join respectively — shapes that hold
+at 100 TB (the FK dimension and the report itself stay tiny).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from collimate_spark.catalog import load_table
+
+# (check_name, table, violation predicate as a Spark Column factory) — the
+# predicate marks VIOLATING rows; uniqueness/FK are handled structurally.
+PRICE_CAP = 300_000.0
+DATE_LO, DATE_HI = "1995-01-01", "2001-12-31"
+STATUS_DOMAIN = ("O", "F", "P")
+QTY_LO, QTY_HI = 1.0, 50.0
+DISC_LO, DISC_HI = 0.0, 0.1
+
+
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per constraint: (check_name, n_rows, n_violations,
+    violation_rate). Orders checks (incl. the o_custkey→customer FK via a
+    broadcast left join) compute in one pass over orders; lineitem checks
+    in one pass over lineitem."""
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+
+    def viol(pred) -> F.Column:
+        return F.sum(F.when(pred, 1).otherwise(0)).cast("bigint")
+
+    o = orders.join(
+        F.broadcast(customer.select(F.col("c_custkey").alias("fk_key"))),
+        orders["o_custkey"] == F.col("fk_key"),
+        "left",
+    )
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("v_unique"),
+        viol(F.col("fk_key").isNull()).alias("v_fk"),
+        viol(
+            (F.col("o_totalprice") <= 0) | (F.col("o_totalprice") > PRICE_CAP)
+        ).alias("v_price"),
+        viol(
+            F.col("o_orderdate").isNull()
+            | (F.col("o_orderdate") < DATE_LO)
+            | (F.col("o_orderdate") > DATE_HI)
+        ).alias("v_date"),
+        viol(~F.col("o_orderstatus").isin(*STATUS_DOMAIN)).alias("v_status"),
+    )
+    l_agg = lineitem.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        viol(
+            (F.col("l_quantity") < QTY_LO) | (F.col("l_quantity") > QTY_HI)
+        ).alias("v_qty"),
+        viol(
+            (F.col("l_discount") < DISC_LO) | (F.col("l_discount") > DISC_HI)
+        ).alias("v_disc"),
+        viol(F.col("l_returnflag").isNull()).alias("v_flag"),
+    )
+
+    def unpack(agg_df: DataFrame, checks: dict[str, str]) -> DataFrame:
+        pairs = ", ".join(f"'{name}', {col}" for name, col in checks.items())
+        return agg_df.selectExpr(
+            f"stack({len(checks)}, {pairs}) AS (check_name, n_violations)",
+            "n_rows",
+        )
+
+    report = unpack(
+        o_agg,
+        {
+            "orders.o_orderkey_unique": "v_unique",
+            "orders.o_custkey_fk_customer": "v_fk",
+            "orders.o_totalprice_range": "v_price",
+            "orders.o_orderdate_bounds": "v_date",
+            "orders.o_orderstatus_domain": "v_status",
+        },
+    ).unionByName(
+        unpack(
+            l_agg,
+            {
+                "lineitem.l_quantity_range": "v_qty",
+                "lineitem.l_discount_range": "v_disc",
+                "lineitem.l_returnflag_complete": "v_flag",
+            },
+        )
+    )
+    # rate as floor-ppm (bigint): quotients floor to integers per the
+    # house cross-engine rule — ROUND(double) tie behavior differs
+    return report.select(
+        "check_name",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "n_violations",
+        F.floor(F.col("n_violations") * 1_000_000 / F.col("n_rows"))
+        .cast("bigint")
+        .alias("violation_ppm"),
+    ).orderBy("check_name")
+
+
+DATA_QUALITY_SQL = f"""
+WITH o AS (
+  SELECT orders.*, c.c_custkey AS fk_key
+  FROM orders LEFT JOIN customer c ON c.c_custkey = orders.o_custkey
+),
+o_agg AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_unique,
+         CAST(SUM(CASE WHEN fk_key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_fk,
+         CAST(SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice > {PRICE_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+         CAST(SUM(CASE WHEN o_orderdate IS NULL OR o_orderdate < '{DATE_LO}'
+                        OR o_orderdate > '{DATE_HI}' THEN 1 ELSE 0 END) AS BIGINT) AS v_date,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN {STATUS_DOMAIN!r} THEN 1 ELSE 0 END) AS BIGINT) AS v_status
+  FROM o
+),
+l_agg AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN l_quantity < {QTY_LO} OR l_quantity > {QTY_HI} THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+         CAST(SUM(CASE WHEN l_discount < {DISC_LO} OR l_discount > {DISC_HI} THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+         CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_flag
+  FROM lineitem
+),
+rep AS (
+  SELECT 'orders.o_orderkey_unique' AS check_name, n_rows, v_unique AS n_violations FROM o_agg
+  UNION ALL SELECT 'orders.o_custkey_fk_customer', n_rows, v_fk FROM o_agg
+  UNION ALL SELECT 'orders.o_totalprice_range', n_rows, v_price FROM o_agg
+  UNION ALL SELECT 'orders.o_orderdate_bounds', n_rows, v_date FROM o_agg
+  UNION ALL SELECT 'orders.o_orderstatus_domain', n_rows, v_status FROM o_agg
+  UNION ALL SELECT 'lineitem.l_quantity_range', n_rows, v_qty FROM l_agg
+  UNION ALL SELECT 'lineitem.l_discount_range', n_rows, v_disc FROM l_agg
+  UNION ALL SELECT 'lineitem.l_returnflag_complete', n_rows, v_flag FROM l_agg
+)
+SELECT check_name, n_rows, n_violations,
+       CAST(n_violations * 1000000 // n_rows AS BIGINT) AS violation_ppm
+FROM rep
+ORDER BY check_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC)
+#
+# Two versions of `orders` are derived deterministically from the one
+# source table: version A drops keys divisible by 97 (later inserts),
+# version B drops keys divisible by 89 (deletes) and re-prices keys
+# divisible by 13 (updates; exact double multiply — no rounding, so both
+# engines compare bit-identically).
+# ---------------------------------------------------------------------------
+
+INS_MOD, DEL_MOD, CHG_MOD = 97, 89, 13
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify every key across two snapshot versions as inserted /
+    deleted / changed / unchanged: one full-outer join on the key, then a
+    4-way status aggregate (count + key-sum per status, a strong
+    order-free signature). The join is the only shuffle; both sides
+    partition on the key."""
+    src = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    old = src.filter(F.col("o_orderkey") % INS_MOD != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price")
+    )
+    new = src.filter(F.col("o_orderkey") % DEL_MOD != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % CHG_MOD == 0, F.col("o_totalprice") * 1.1
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    status = (
+        F.when(F.col("old_price").isNull(), F.lit("inserted"))
+        .when(F.col("new_price").isNull(), F.lit("deleted"))
+        .when(F.col("old_price") != F.col("new_price"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(status.alias("status"), "o_orderkey")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("status")
+    )
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH src AS (SELECT o_orderkey, o_totalprice FROM orders),
+s_old AS (
+  SELECT o_orderkey, o_totalprice AS old_price FROM src WHERE o_orderkey % {INS_MOD} <> 0
+),
+s_new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {CHG_MOD} = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS new_price
+  FROM src WHERE o_orderkey % {DEL_MOD} <> 0
+),
+j AS (
+  SELECT COALESCE(s_old.o_orderkey, s_new.o_orderkey) AS o_orderkey,
+         old_price, new_price
+  FROM s_old FULL OUTER JOIN s_new ON s_old.o_orderkey = s_new.o_orderkey
+)
+SELECT CASE WHEN old_price IS NULL THEN 'inserted'
+            WHEN new_price IS NULL THEN 'deleted'
+            WHEN old_price <> new_price THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM j
+GROUP BY 1
+ORDER BY status
+"""
+
+
+QUERIES = {
+    "data_quality_report": data_quality_report,
+    "snapshot_diff": snapshot_diff,
+}
+
+ORACLES = {
+    "data_quality_report": DATA_QUALITY_SQL,
+    "snapshot_diff": SNAPSHOT_DIFF_SQL,
+}

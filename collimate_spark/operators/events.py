@@ -271,6 +271,111 @@ ORDER BY day
 """
 
 
+MASK_MOD = 5  # event_id % MASK_MOD == 0 -> treat value as missing
+
+
+def interpolate_missing_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: linearly interpolate missing sensor values
+    per user between the nearest non-null neighbors (by position), with
+    forward/backward fill at the series edges. Missingness is simulated
+    deterministically (event_id % MASK_MOD == 0) so both engines mask the
+    same rows.
+
+    One window partition per user (two ignore-nulls passes over the same
+    sort) — a single shuffle on user_id; the interpolation arithmetic is
+    written identically in both engines so doubles match bit-for-bit."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    masked = ev.withColumn(
+        "v",
+        F.when(F.col("event_id") % MASK_MOD == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    masked = masked.withColumn("rn", F.row_number().over(order))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nn_rn = F.when(F.col("v").isNotNull(), F.col("rn"))
+    prev_v = F.last("v", ignorenulls=True).over(w_prev)
+    next_v = F.first("v", ignorenulls=True).over(w_next)
+    prev_rn = F.last(nn_rn, ignorenulls=True).over(w_prev)
+    next_rn = F.first(nn_rn, ignorenulls=True).over(w_next)
+    ratio = (F.col("rn") - F.col("prev_rn")).cast("double") / (
+        F.col("next_rn") - F.col("prev_rn")
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * ratio
+        )
+    )
+    return (
+        masked.withColumn("prev_v", prev_v)
+        .withColumn("next_v", next_v)
+        .withColumn("prev_rn", prev_rn)
+        .withColumn("next_rn", next_rn)
+        .select(
+            "event_id",
+            "user_id",
+            "rn",
+            F.col("v").alias("value_masked"),
+            filled.alias("value_filled"),
+        )
+        .orderBy("event_id")
+    )
+
+
+INTERPOLATE_SQL = f"""
+WITH masked AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % {MASK_MOD} = 0 THEN NULL ELSE value END AS v
+  FROM events
+),
+rn AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM masked
+),
+ctx AS (
+  SELECT event_id, user_id, rn, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+         last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_rn,
+         first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_rn
+  FROM rn
+)
+SELECT event_id, user_id, rn,
+       v AS value_masked,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN prev_v IS NULL THEN next_v
+            WHEN next_v IS NULL THEN prev_v
+            ELSE prev_v + (next_v - prev_v)
+                 * (CAST(rn - prev_rn AS DOUBLE) / (next_rn - prev_rn))
+       END AS value_filled
+FROM ctx
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "json_extract_events": json_extract_events,
     "tumbling_window_agg": tumbling_window_agg,
@@ -279,6 +384,7 @@ QUERIES = {
     "pivot_event_counts": pivot_event_counts,
     "date_spine_fill": date_spine_fill,
     "funnel_conversion": funnel_conversion,
+    "interpolate_missing_values": interpolate_missing_values,
 }
 
 ORACLES = {
@@ -289,4 +395,5 @@ ORACLES = {
     "sessionization_gap": SESSIONIZATION_SQL,
     "pivot_event_counts": PIVOT_SQL,
     "date_spine_fill": DATE_SPINE_SQL,
+    "interpolate_missing_values": INTERPOLATE_SQL,
 }

@@ -14,6 +14,7 @@ import json
 import os
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -120,30 +121,38 @@ def main() -> None:
     # whole-stage-codegen compilation + Python-worker startup (~0.5-1s of
     # constant cost that vanishes at cluster scale); steady-state is the
     # number comparable across engines.
+    # Per-query fault isolation: one raising query must cost one red row,
+    # never the round's entire perf artifact (round-2 lesson).
     results: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in bench_set:
-        times = []
-        for _ in range(2):
-            df = queries[name](spark, SF_DIR)
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            times.append(time.time() - t0)
-        results[name] = round(min(times), 3)
+        try:
+            times = []
+            for _ in range(2):
+                df = queries[name](spark, SF_DIR)
+                t0 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                times.append(time.time() - t0)
+            results[name] = round(min(times), 3)
+        except Exception:
+            errors[name] = traceback.format_exc(limit=3)
 
-    results["ingest_csv_to_columnar"] = bench_ingest(spark)
+    try:
+        results["ingest_csv_to_columnar"] = bench_ingest(spark)
+    except Exception:
+        errors["ingest_csv_to_columnar"] = traceback.format_exc(limit=3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_total",
-                "value": round(sum(results.values()), 3),
-                "unit": "sec",
-                "queries": results,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload: dict = {
+        "metric": "headline_query_wall_clock_total",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

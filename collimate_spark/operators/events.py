@@ -101,7 +101,11 @@ def sessionization_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_session",
             (
                 F.col("prev_ts").isNull()
-                | ((F.col("ts").cast("double") - F.col("prev_ts").cast("double")) > 1800)
+                # timestampdiff(MICROSECOND, ...) is sub-second exact (matches
+                # the oracle's EPOCH() doubles) and timezone-independent: it
+                # works identically on TIMESTAMP_NTZ and TIMESTAMP under ANY
+                # caller session tz — no NTZ→LTZ cast, so no DST hazard.
+                | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > 1800 * 1_000_000)
             ).cast("int"),
         )
         .withColumn(

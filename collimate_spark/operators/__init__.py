@@ -56,33 +56,39 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "map_functions",
     "array_functions",
     "agg_approx_distinct",
-    # flagship relational (3; q5/q6/q18/q19/sort_topk and friends sit past
-    # the window, already driver-verified green in round 1)
-    # (q5/q18 moved past the window — driver-verified green in round 1)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
+    # Round-3 rotation: the 16 queries below had never had a driver
+    # CORRECTNESS row in rounds 1-2 (VERDICT r2 "What's missing" #2); they
+    # replace 16 queries hash-green in BOTH r1 and r2 (join_* six,
+    # windows five, q1/q3, tumbling/sliding/pivot), which register past
+    # slot 50 and stay covered by tests/test_oracle_parity.py.
+    # quality + curation + events extensions (5)
+    "data_quality_report",
+    "snapshot_diff",
+    "funnel_conversion",
+    "interpolate_missing_values",
+    "fuzzy_name_match",
+    # textstats extensions (3)
+    "repetition_metrics",
+    "stratified_sample_documents",
+    "tfidf_top_terms",
+    # similarity + agg extensions (2)
+    "embedding_quantize_int8",
+    "array_agg_sorted",
+    # TPC-H never-checked (6)
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_excess_shippers",
+    # flagship relational kept in-window (r2-green only once: q12, json)
     "q12_shipmode_priority",
-    # joins (8)
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_theta_inequality",
+    "json_extract_events",
+    # custom windowed joins (kept: the engine's highest-risk custom ops)
     "asof_join_events_orders",
     "range_join_events_orders",
-    # windows (5)
-    "window_topk_per_group",
-    "window_running_sum",
-    "window_lag_lead",
-    "window_rank_dense_ntile",
-    "window_range_frame",
-    # events (6)
-    "json_extract_events",
-    "tumbling_window_agg",
-    "sliding_window_agg",
+    # events (sessionization has never been green — its fix lands this round)
     "sessionization_gap",
-    "pivot_event_counts",
     "date_spine_fill",
     # grouped-map UDF + percentile (2)
     "grouped_zscore",

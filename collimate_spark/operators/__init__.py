@@ -46,10 +46,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # curation (2)
     "pack_sequences",
     "decontaminate_ngram",
-    # multimodal (3)
+    # multimodal (4; audio is new in r3 — first driver check this round)
     "multimodal_metadata",
     "multimodal_features",
     "multimodal_image_features",
+    "multimodal_audio_features",
     # UDF / UDTF / map+array / sketches (5)
     "pandas_udf_scalar",
     "udtf_tokenize",
@@ -87,9 +88,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # custom windowed joins (kept: the engine's highest-risk custom ops)
     "asof_join_events_orders",
     "range_join_events_orders",
-    # events (sessionization has never been green — its fix lands this round)
+    # events (sessionization has never been green — its fix lands this
+    # round; date_spine_fill rotated out, double-green r1+r2)
     "sessionization_gap",
-    "date_spine_fill",
     # grouped-map UDF + percentile (2)
     "grouped_zscore",
     "agg_percentile",

@@ -2,9 +2,11 @@
 structs, processed via Arrow-batched ``mapInPandas``.
 
 The decode step is REAL for PNG payloads — a stdlib zlib/struct decoder
-(functions/png.py) produces actual pixel arrays; swap in PIL/libvips at
-the single marked call site in a deployment with codecs installed. Audio/
-video remain gated behind ``decode_other_stub``. The Spark-side plumbing
+(functions/png.py) produces actual pixel arrays — and for WAV payloads —
+a stdlib RIFF/PCM decoder (functions/wav.py) produces actual int16 sample
+arrays; swap in PIL/libvips/torchaudio at the single marked call sites in
+a deployment with codecs installed. Video remains gated behind
+``decode_other_stub``. The Spark-side plumbing
 — schema, binary columns, batch iteration, partition sizing — is
 identical either way and is tested (tests/test_multimodal.py). At 100 TB
 the payloads live in Parquet binary columns co-partitioned with their
@@ -23,7 +25,7 @@ import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
 from collimate_spark.catalog import load_table
-from collimate_spark.functions import png
+from collimate_spark.functions import png, wav
 
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
@@ -81,11 +83,12 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_other_stub(payload: bytes) -> None:
-    """Placeholder for non-PNG decodes (audio/video — torchaudio/ffmpeg
-    in a real deployment; this container ships no such codecs)."""
+    """Placeholder for VIDEO decodes (ffmpeg/pyav in a real deployment;
+    this container ships no video codecs). Image (PNG) and audio (WAV)
+    decodes are REAL — functions/png.py and functions/wav.py."""
     raise NotImplementedError(
-        "audio/video codecs are not available in this container; "
-        "swap in torchaudio/ffmpeg in a real deployment"
+        "video codecs are not available in this container; "
+        "swap in ffmpeg/pyav in a real deployment"
     )
 
 
@@ -207,10 +210,104 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_RATE = 8000
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def synthesize_wav_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic 16-bit PCM WAVs derived from asset_id — the audio
+    twin of synthesize_png_payloads, exercising the encode path.
+    Frame i, channel c = ((asset_id·31 + i·17 + c·257) mod 32768) − 16384;
+    length and channel count also vary with asset_id."""
+    for pdf in batches:
+        rows = []
+        for asset_id in pdf["asset_id"]:
+            aid = int(asset_id)
+            n = 800 + (aid % 5) * 80
+            ch = 1 + (aid % 2)
+            i = np.arange(n).reshape(-1, 1)
+            c = np.arange(ch).reshape(1, -1)
+            samples = ((aid * 31 + i * 17 + c * 257) % 32768 - 16384).astype(np.int16)
+            rows.append({"asset_id": asset_id, "payload": wav.encode(samples, AUDIO_RATE)})
+        yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+
+def extract_audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas audio feature extractor: REAL WAV decode
+    (functions/wav.py — the call site where torchaudio slots in) →
+    exact per-asset sample stats: RMS, absolute peak, zero-crossing
+    count on the channel-mean signal."""
+    for pdf in batches:
+        out = []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            rate, samples = wav.decode(bytes(payload))
+            x = samples.astype(np.float64)
+            mono = x.mean(axis=1)
+            out.append(
+                {
+                    "asset_id": asset_id,
+                    "sample_rate": rate,
+                    "n_channels": samples.shape[1],
+                    "n_frames": samples.shape[0],
+                    "rms": float(np.sqrt((x**2).mean())),
+                    "peak": int(np.abs(samples).max()),
+                    "zero_crossings": int(((mono[:-1] * mono[1:]) < 0).sum()),
+                }
+            )
+        yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields])
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline with a REAL WAV round-trip: synthesize deterministic
+    PCM waveforms per asset (encode), decode them back in the feature
+    kernel, and aggregate rate/duration/signal stats per id bucket.
+    Sample stats are asserted exactly in tests/test_multimodal.py.
+    Rows-only correctness (waveform synthesis is engine-specific)."""
+    ids = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.col("doc_id").alias("asset_id"))
+        .filter(F.col("asset_id") < 200)
+    )
+    payloads = ids.mapInPandas(
+        synthesize_wav_payloads,
+        T.StructType(
+            [
+                T.StructField("asset_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    feats = payloads.mapInPandas(extract_audio_features, AUDIO_FEATURE_SCHEMA)
+    return (
+        feats.groupBy((F.col("asset_id") % 10).alias("id_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.min("n_frames").alias("min_frames"),
+            F.max("n_frames").alias("max_frames"),
+            F.sum("n_channels").alias("sum_channels"),
+            F.round(F.avg("rms"), 4).alias("avg_rms"),
+            F.sum("zero_crossings").alias("sum_zero_crossings"),
+        )
+        .orderBy("id_bucket")
+    )
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
     "multimodal_image_features": multimodal_image_features,
+    "multimodal_audio_features": multimodal_audio_features,
 }
 
 ORACLES = {

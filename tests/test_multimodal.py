@@ -11,13 +11,14 @@ import pytest
 import pyspark.sql.functions as F
 
 from collimate_spark.catalog import load_table
-from collimate_spark.functions import png
+from collimate_spark.functions import png, wav
 from collimate_spark.operators.multimodal import (
     FEATURE_SCHEMA,
     IMG_H,
     IMG_W,
     decode_other_stub,
     extract_features,
+    multimodal_audio_features,
     multimodal_image_features,
     with_binary_payload,
 )
@@ -143,4 +144,56 @@ def test_image_features_real_decode(spark, sf_dir):
 
 def test_decode_stub_contract():
     with pytest.raises(NotImplementedError, match="codecs"):
-        decode_other_stub(b"RIFF....WAVE")
+        decode_other_stub(b"\x00\x00\x01\xba")  # MPEG-PS magic: video stays stubbed
+
+
+def test_wav_roundtrip_exact():
+    """encode → decode is sample-exact for mono and stereo int16 PCM."""
+    rng = np.random.Generator(np.random.PCG64(42))
+    mono = rng.integers(-32768, 32768, 1000, dtype=np.int16)
+    rate, out = wav.decode(wav.encode(mono, 8000))
+    assert rate == 8000 and np.array_equal(out, mono.reshape(-1, 1))
+    stereo = rng.integers(-32768, 32768, (500, 2), dtype=np.int16)
+    rate, out = wav.decode(wav.encode(stereo, 44100))
+    assert rate == 44100 and np.array_equal(out, stereo)
+    assert wav.is_wav(wav.encode(mono, 8000))
+    assert not wav.is_wav(b"not a wav")
+
+
+def test_audio_features_real_decode(spark, sf_dir):
+    """The full Spark pipeline (synthesize WAVs → mapInPandas decode →
+    aggregate) must report the TRUE frame counts, channel sums, and exact
+    RMS computed independently with numpy — proving real sample decode."""
+    got = {r.id_bucket: r for r in multimodal_audio_features(spark, sf_dir).collect()}
+    assert got, "no audio feature rows"
+    ids = [
+        r.asset_id
+        for r in load_table(spark, "documents", sf_dir)
+        .select(F.col("doc_id").alias("asset_id"))
+        .filter(F.col("asset_id") < 200)
+        .collect()
+    ]
+    by_bucket: dict[int, dict] = {}
+    for aid in ids:
+        n = 800 + (aid % 5) * 80
+        ch = 1 + (aid % 2)
+        i = np.arange(n).reshape(-1, 1)
+        c = np.arange(ch).reshape(1, -1)
+        x = ((aid * 31 + i * 17 + c * 257) % 32768 - 16384).astype(np.float64)
+        mono = x.mean(axis=1)
+        b = by_bucket.setdefault(
+            aid % 10, {"n": 0, "frames": [], "ch": 0, "rms": [], "zc": 0}
+        )
+        b["n"] += 1
+        b["frames"].append(n)
+        b["ch"] += ch
+        b["rms"].append(float(np.sqrt((x**2).mean())))
+        b["zc"] += int(((mono[:-1] * mono[1:]) < 0).sum())
+    for bucket, exp in by_bucket.items():
+        row = got[bucket]
+        assert row.n_clips == exp["n"]
+        assert row.min_frames == min(exp["frames"])
+        assert row.max_frames == max(exp["frames"])
+        assert row.sum_channels == exp["ch"]
+        assert row.sum_zero_crossings == exp["zc"]
+        assert abs(row.avg_rms - round(float(np.mean(exp["rms"])), 4)) < 1e-9

@@ -96,9 +96,35 @@ def test_minhash_estimates_jaccard(spark):
     assert 0.75 <= agree <= 1.0
 
 
+def test_propagate_components_chain_graph(spark):
+    """Adversarial diameter: a path of 50 vertices (0-1-2-...-49,
+    diameter 49). Plain k-hop propagation needs 49 rounds; the
+    pointer-doubling variant must converge to one component well inside
+    its round budget — and hit the fixpoint stop, not the cap."""
+    import pyspark.sql.functions as FF
+
+    from collimate_spark.operators.dedup import propagate_components
+
+    chain = [(i, i + 1) for i in range(49)]
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "src long, dst long"
+    )
+    labels = propagate_components(edges, max_rounds=10)
+    rows = labels.collect()
+    assert len(rows) == 50
+    assert all(r.comp == 0 for r in rows), "chain must collapse to component 0"
+    # two disjoint chains stay disjoint
+    edges2 = edges.union(
+        edges.select((FF.col("src") + 100).alias("src"), (FF.col("dst") + 100).alias("dst"))
+    )
+    comps = {r.doc_id: r.comp for r in propagate_components(edges2, max_rounds=10).collect()}
+    assert all(comps[i] == 0 for i in range(50))
+    assert all(comps[i + 100] == 100 for i in range(50))
+
+
 def test_connected_components_match_local_union_find(spark, sf_dir):
     """Cluster assignment must equal a driver-side union-find over the
-    same pair set (fixpoint actually reached within CC_MAX_ITERS)."""
+    same pair set (fixpoint actually reached)."""
     from collimate_spark.operators.dedup import (
         dedup_connected_components,
         dedup_ngram_jaccard,

@@ -480,6 +480,74 @@ ORDER BY s_suppkey
 """
 
 
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier finalized order. The classic form is a semi-join
+    (another supplier exists on the order) plus an anti-join (no OTHER
+    supplier was late) against the same fact table; here both are
+    decorrelated into per-order aggregates — n_suppliers and
+    n_late_suppliers per order — then joined back, which replaces two
+    extra fact-table shuffles with one reusable groupBy. Testdata has no
+    l_receiptdate/l_commitdate, so "late" is l_shipdate > o_orderdate +
+    90 days (documented deviation; the join/anti-join structure is the
+    point of the query)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, "supplier", sf_dir)
+    fact = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).withColumn(
+        "is_late", (F.col("l_shipdate") > F.date_add("o_orderdate", 90)).cast("int")
+    )
+    per_order = fact.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    sole_late = (
+        fact.filter(F.col("is_late") == 1)
+        .join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    return (
+        sole_late.join(F.broadcast(supp), sole_late.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+WITH fact AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late_supp
+  FROM fact
+  GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM fact
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE is_late = 1 AND n_supp > 1 AND n_late_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 QUERIES = {
     "q2_cheapest_supplier": q2_cheapest_supplier,
     "q7_nation_volume": q7_nation_volume,
@@ -492,6 +560,7 @@ QUERIES = {
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q20_excess_shippers": q20_excess_shippers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_idle_rich_customers": q22_idle_rich_customers,
 }
 
@@ -507,5 +576,6 @@ ORACLES = {
     "q16_supplier_part_counts": Q16_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
     "q20_excess_shippers": Q20_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
     "q22_idle_rich_customers": Q22_SQL,
 }

@@ -164,12 +164,68 @@ ORDER BY tr.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic shard export
+#
+# The last step of a training pipeline: assign every document to an output
+# shard and give it a stable pseudo-random position inside that shard, so
+# the exported stream is (a) shuffled — no source ordering/locality leaks
+# into training batches — and (b) exactly reproducible across runs, engines,
+# and cluster layouts (content-independent md5 of the id, not rand()). At
+# 100 TB this is one hash projection + one per-shard window; raise
+# EXPORT_SHARDS so each shard's sort stays bounded, then
+# write.partitionBy(shard_id) streams each shard out sorted.
+# ---------------------------------------------------------------------------
+
+EXPORT_SHARDS = 16
+
+
+def shard_export_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc export placement: shard = md5(doc_id)-prefix mod
+    EXPORT_SHARDS, rank = position in the shard's hash order. The md5
+    prefix (not rand(), not input order) makes the global shuffle
+    deterministic and engine-portable — the DuckDB oracle reproduces it
+    bit-for-bit."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .withColumn(
+            "shard_id",
+            (F.conv(F.substring("h", 1, 4), 16, 10).cast("int") % EXPORT_SHARDS),
+        )
+        .withColumn(
+            "shard_rank",
+            F.row_number().over(
+                Window.partitionBy("shard_id").orderBy("h", "doc_id")
+            ),
+        )
+        .select("doc_id", "shard_id", "shard_rank")
+        .orderBy("shard_id", "shard_rank")
+    )
+
+
+SHARD_EXPORT_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % {EXPORT_SHARDS} AS shard_id
+  FROM documents
+)
+SELECT doc_id, shard_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS INT) AS shard_rank
+FROM hashed
+ORDER BY shard_id, shard_rank
+"""
+
+
 QUERIES = {
     "pack_sequences": pack_sequences,
     "decontaminate_ngram": decontaminate_ngram,
+    "shard_export_assignment": shard_export_assignment,
 }
 
 ORACLES = {
     "pack_sequences": PACK_SQL,
     "decontaminate_ngram": DECON_SQL,
+    "shard_export_assignment": SHARD_EXPORT_SQL,
 }

@@ -75,6 +75,68 @@ ORDER BY doc_id
 """
 
 
+# quality gate thresholds (first failing rule wins; order is part of the
+# contract so keep Spark and oracle CASE branches identical)
+QF_MIN_TOKENS = 5
+QF_MAX_CHARS = 20_000
+QF_MIN_DISTINCT_RATIO = 0.30
+QF_MIN_STOPWORD_RATIO = 0.02
+
+
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop gate a curation pipeline runs over every document:
+    ordered threshold rules on the quality features (length → repetition
+    → natural-language-ness), emitting the FIRST failing rule as the drop
+    reason — the auditable form (per-reason counts tell you what each
+    threshold costs). Pure JVM expressions, zero shuffle before the final
+    sort; at 100 TB this is a mapper-only pass feeding
+    ``.write.partitionBy('keep')``."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = X.tokens(F.col("text"))
+    n_ws = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_ws
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n_ws
+    reason = (
+        F.when(n_ws < QF_MIN_TOKENS, F.lit("too_short"))
+        .when(F.length("text") > QF_MAX_CHARS, F.lit("too_long"))
+        .when(distinct_ratio < QF_MIN_DISTINCT_RATIO, F.lit("repetitive"))
+        .when(stop_ratio < QF_MIN_STOPWORD_RATIO, F.lit("no_natural_language"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        docs.select("doc_id", reason.alias("reason"))
+        .select(
+            "doc_id",
+            (F.col("reason") == "ok").cast("int").alias("keep"),
+            "reason",
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_FILTER_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < {QF_MIN_TOKENS} THEN 'too_short'
+              WHEN LENGTH(text) > {QF_MAX_CHARS} THEN 'too_long'
+              WHEN len(list_distinct(toks)) * 1.0 / len(toks) < {QF_MIN_DISTINCT_RATIO}
+                   THEN 'repetitive'
+              WHEN len(list_filter(toks, t -> t IN {STOPWORDS!r})) * 1.0 / len(toks)
+                   < {QF_MIN_STOPWORD_RATIO} THEN 'no_natural_language'
+              ELSE 'ok' END AS reason
+  FROM d
+)
+SELECT doc_id, CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS keep, reason
+FROM r
+ORDER BY doc_id
+"""
+
+
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language scorer: per-language marker hit counts, argmax
     with deterministic tiebreak (higher count wins, then language code).
@@ -507,9 +569,11 @@ QUERIES = {
     "repetition_metrics": repetition_metrics,
     "stratified_sample_documents": stratified_sample_documents,
     "tfidf_top_terms": tfidf_top_terms,
+    "quality_filter_pipeline": quality_filter_pipeline,
 }
 
 ORACLES = {
+    "quality_filter_pipeline": QUALITY_FILTER_SQL,
     "repetition_metrics": REPETITION_SQL,
     "stratified_sample_documents": STRATIFIED_SAMPLE_SQL,
     "tfidf_top_terms": TFIDF_SQL,

@@ -160,11 +160,20 @@ class Manifest:
 
 
 def read_raw(spark: SparkSession, path: str) -> DataFrame:
-    """Extension dispatch: csv/tsv/json → all-string DataFrame (typing is
-    our job, so inferSchema stays off). Distributed, splittable read — the
-    input never lands on the driver."""
-    ext = os.path.splitext(path)[1].lower()
-    if ext == ".csv" or ext == ".tsv":
+    """Extension dispatch: csv/tsv/json/jsonl(+.gz) → all-string DataFrame
+    (typing is our job, so inferSchema stays off). Distributed, splittable
+    read — the input never lands on the driver.
+
+    Beyond the reference's csv/tsv/json triple (deliberate upgrades,
+    SURVEY §1.3): ``.jsonl``/``.ndjson`` read as JSON-lines — the
+    splittable layout a cluster actually wants — and any of the four may
+    carry a ``.gz`` suffix (Spark decompresses transparently; gzip is
+    non-splittable, so at scale prefer many medium .gz parts or zstd)."""
+    name = path.lower()
+    if name.endswith(".gz"):
+        name = name[: -len(".gz")]
+    ext = os.path.splitext(name)[1]
+    if ext in (".csv", ".tsv"):
         return (
             spark.read.option("header", True)
             .option("sep", "\t" if ext == ".tsv" else ",")
@@ -172,13 +181,16 @@ def read_raw(spark: SparkSession, path: str) -> DataFrame:
             .option("ignoreTrailingWhiteSpace", True)
             .csv(path)
         )
-    if ext == ".json":
-        # reference parses a whole-file JSON array of records; JSON-lines
-        # also accepted (the scalable layout).
-        df = spark.read.option("multiLine", True).json(path)
+    if ext in (".json", ".jsonl", ".ndjson"):
+        # .json: the reference's whole-file JSON array of records needs
+        # multiLine; .jsonl/.ndjson is one record per line (splittable).
+        df = spark.read.option("multiLine", ext == ".json").json(path)
         # normalize all leaf values to string for uniform inference
         return df.select([F.col(c).cast("string").alias(c) for c in df.columns])
-    raise ValueError(f"unrecognized extension {ext!r}: expected .csv, .tsv, or .json")
+    raise ValueError(
+        f"unrecognized extension {ext!r}: expected .csv, .tsv, .json, "
+        ".jsonl, or .ndjson (optionally .gz-compressed)"
+    )
 
 
 def _null_normalized(col: F.Column) -> F.Column:

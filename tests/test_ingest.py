@@ -173,10 +173,39 @@ def test_tsv_and_json(spark, tmp_path):
     assert typed_j.count() == 2
 
 
+def test_jsonl_and_gzip_inputs(spark, tmp_path):
+    """Deliberate upgrades over the reference's csv/tsv/json triple:
+    JSON-lines (the splittable layout) and transparent .gz decompression
+    of any accepted format."""
+    import gzip
+
+    jl = _write(
+        tmp_path, "t.jsonl", '{"x": 1, "y": "foo"}\n{"x": 2, "y": "bar"}\n'
+    )
+    typed, manifest = ingest(spark, jl)
+    assert _types(manifest) == {"x": "int32", "y": "str"}
+    assert typed.count() == 2
+
+    gz = tmp_path / "t.csv.gz"
+    gz.write_bytes(gzip.compress(b"x,y\n1,foo\n2,bar\n3,baz\n"))
+    typed_gz, manifest_gz = ingest(spark, str(gz))
+    assert _types(manifest_gz) == {"x": "int32", "y": "str"}
+    assert typed_gz.count() == 3
+
+    jlgz = tmp_path / "t.jsonl.gz"
+    jlgz.write_bytes(gzip.compress(b'{"x": 9, "y": "q"}\n'))
+    typed_jg, manifest_jg = ingest(spark, str(jlgz))
+    assert _types(manifest_jg) == {"x": "int32", "y": "str"}
+    assert typed_jg.count() == 1
+
+
 def test_unknown_extension(spark, tmp_path):
     path = _write(tmp_path, "t.xyz", "x\n1\n")
     with pytest.raises(ValueError, match="unrecognized extension"):
         read_raw(spark, path)
+    # .gz alone isn't a format — the inner extension must be recognized
+    with pytest.raises(ValueError, match="unrecognized extension"):
+        read_raw(spark, str(tmp_path / "t.xyz.gz"))
 
 
 # --- end-to-end: ingest → parquet → query round trip ---

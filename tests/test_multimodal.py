@@ -147,6 +147,40 @@ def test_decode_stub_contract():
         decode_other_stub(b"\x00\x00\x01\xba")  # MPEG-PS magic: video stays stubbed
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra import numpy as hnp
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        hnp.arrays(
+            np.int16,
+            st.tuples(st.integers(1, 64), st.integers(1, 3)),
+            elements=st.integers(-32768, 32767),
+        ),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    def test_wav_property_roundtrip(samples, rate):
+        got_rate, got = wav.decode(wav.encode(samples, rate))
+        assert got_rate == rate
+        assert np.array_equal(got, samples)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        hnp.arrays(
+            np.uint8,
+            st.tuples(st.integers(1, 16), st.integers(1, 16), st.sampled_from([3])),
+            elements=st.integers(0, 255),
+        )
+    )
+    def test_png_property_roundtrip(pixels):
+        assert np.array_equal(png.decode(png.encode(pixels)), pixels)
+
+except ImportError:  # hypothesis is expected in this container; belt+braces
+    pass
+
+
 def test_wav_roundtrip_exact():
     """encode → decode is sample-exact for mono and stereo int16 PCM."""
     rng = np.random.Generator(np.random.PCG64(42))

@@ -484,10 +484,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 shape: suppliers who were the SOLE late supplier on a
     multi-supplier finalized order. The classic form is a semi-join
     (another supplier exists on the order) plus an anti-join (no OTHER
-    supplier was late) against the same fact table; here both are
-    decorrelated into per-order aggregates — n_suppliers and
-    n_late_suppliers per order — then joined back, which replaces two
-    extra fact-table shuffles with one reusable groupBy. Testdata has no
+    supplier was late) against the same fact table; here both collapse
+    into per-order windows — size(collect_set(suppkey)) and its
+    late-only twin over partitionBy(l_orderkey) — so the fact subtree
+    (lineitem ⋈ orders) executes ONCE with one window shuffle, instead
+    of the groupBy-and-join-back form whose two plan branches re-execute
+    the join (.explain showed 2× the fact scans). Testdata has no
     l_receiptdate/l_commitdate, so "late" is l_shipdate > o_orderdate +
     90 days (documented deviation; the join/anti-join structure is the
     point of the query)."""
@@ -500,17 +502,21 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "is_late", (F.col("l_shipdate") > F.date_add("o_orderdate", 90)).cast("int")
     )
-    per_order = fact.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
-    )
+    wo = Window.partitionBy("l_orderkey")
     sole_late = (
-        fact.filter(F.col("is_late") == 1)
-        .join(
-            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
-            "l_orderkey",
+        fact.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(wo)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+                ).over(wo)
+            ),
+        )
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
         )
         .select("l_orderkey", "l_suppkey")
     )

@@ -234,6 +234,95 @@ def stream_stream_join(
     ).drop("o_user")
 
 
+def near_dup_candidates_batch(
+    batch: DataFrame, index_dir: str, epoch_id: int
+) -> DataFrame:
+    """One micro-batch of streaming near-dup detection: MinHash-band the
+    new documents, probe the accumulated band index for collisions with
+    every PREVIOUS epoch, and generate within-batch candidates with the
+    same capped bucket-pair routine the batch operator uses. Returns
+    (doc_a, doc_b, kind) with kind ∈ {'within_batch', 'cross_batch'}.
+
+    Idempotent under foreachBatch retries: this epoch's bands land in
+    ``index_dir/epoch=N`` via overwrite (a re-run replaces, never
+    duplicates), and the probe reads only epochs < N — so a replayed
+    batch can neither collide with its own half-written index nor
+    double-count. The index is the stream's global state made explicit
+    (a parquet table instead of a state store) because near-dup needs
+    ALL history, not a watermark horizon; at scale store it bucketed by
+    (band, band_hash) so each probe is a bucket-local join, and compact
+    epochs periodically."""
+    import os
+
+    from collimate_spark.functions import fast_text
+    from collimate_spark.operators.dedup import _bucket_pairs
+
+    spark = batch.sparkSession
+    bands = (
+        batch.select("doc_id", "text")
+        .mapInPandas(fast_text.minhash_bands, fast_text.BAND_SCHEMA)
+        .localCheckpoint(eager=True)  # probe + append + pair-gen reuse it
+    )
+    within = _bucket_pairs(bands, "band", "band_hash").select(
+        "doc_a", "doc_b", F.lit("within_batch").alias("kind")
+    )
+    prior_exists = os.path.isdir(index_dir) and any(
+        e.startswith("epoch=") and int(e.split("=", 1)[1]) < epoch_id
+        for e in os.listdir(index_dir)
+    )
+    if prior_exists:
+        prior = (
+            spark.read.option("basePath", index_dir)
+            .parquet(index_dir)
+            .filter(F.col("epoch") < epoch_id)
+        )
+        cross = (
+            bands.join(
+                prior.select(
+                    "band", "band_hash", F.col("doc_id").alias("old_doc_id")
+                ),
+                ["band", "band_hash"],
+            )
+            .filter(F.col("doc_id") != F.col("old_doc_id"))
+            .select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("old_doc_id").alias("doc_b"),
+                F.lit("cross_batch").alias("kind"),
+            )
+            .distinct()
+        )
+        out = within.unionByName(cross)
+    else:
+        out = within
+    bands.write.mode("overwrite").parquet(os.path.join(index_dir, f"epoch={epoch_id}"))
+    return out
+
+
+def near_dup_stream(
+    docs: DataFrame, index_dir: str, out_dir: str, checkpoint: str
+):
+    """Streaming near-dup detection: foreachBatch wiring of
+    ``near_dup_candidates_batch``. Each micro-batch's candidate pairs
+    append to ``out_dir`` tagged with their epoch; the band index
+    accumulates under ``index_dir``. The streaming twin of
+    ``dedup_minhash_lsh`` — same kernel, same banding, same bucket cap."""
+
+    def _body(batch: DataFrame, epoch_id: int) -> None:
+        flags = near_dup_candidates_batch(batch, index_dir, epoch_id)
+        (
+            flags.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        docs.writeStream.foreachBatch(_body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_static_enrich(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins the static
     dimension snapshot — stateless (no watermark needed; only the stream

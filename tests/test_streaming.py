@@ -268,3 +268,77 @@ def test_stream_static_enrich(spark, tmp_path):
     ).collect()
     tiers = {r.user_id: r.tier for r in got}
     assert tiers == {1: "gold", 2: "basic", 9: None}
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+_T1 = "the quick brown fox jumps over the lazy dog near the old river bank today"
+_T2 = "completely different content about spark structured streaming state stores and watermarks"
+_T3 = "yet another unrelated document describing parquet columnar storage and predicate pushdown"
+
+
+def test_near_dup_stream_cross_and_within_batch(spark, tmp_path):
+    """Streaming near-dup: a doc identical to one from a PREVIOUS epoch is
+    flagged cross_batch; two identical docs in the SAME epoch are flagged
+    within_batch; unrelated docs are not flagged."""
+    import json
+
+    from collimate_spark.streaming.pipeline import near_dup_stream
+
+    indir = str(tmp_path / "nd_in")
+    index_dir = str(tmp_path / "nd_index")
+    out_dir = str(tmp_path / "nd_out")
+    ckpt = str(tmp_path / "nd_ckpt")
+    os.makedirs(indir)
+
+    def _write_docs(name, docs):
+        with open(os.path.join(indir, name), "w") as fh:
+            for i, t in docs:
+                fh.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    _write_docs("b1.jsonl", [(1, _T1), (2, _T2)])
+    _write_docs("b2.jsonl", [(11, _T1), (12, _T3), (13, _T2), (14, _T2)])
+
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(indir)
+    )
+    q = near_dup_stream(docs, index_dir, out_dir, ckpt)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir).collect()
+    pairs = {(r.doc_a, r.doc_b, r.kind) for r in got}
+    assert (13, 14, "within_batch") in pairs
+    assert (11, 1, "cross_batch") in pairs
+    assert (13, 2, "cross_batch") in pairs and (14, 2, "cross_batch") in pairs
+    # unrelated docs never pair
+    flagged = {r.doc_a for r in got} | {r.doc_b for r in got}
+    assert 12 not in flagged and 3 not in flagged
+
+
+def test_near_dup_batch_idempotent_replay(spark, tmp_path):
+    """foreachBatch retry semantics: re-running an epoch overwrites its
+    own index slice (no duplication) and returns the same candidates."""
+    from collimate_spark.streaming.pipeline import near_dup_candidates_batch
+
+    index_dir = str(tmp_path / "idx")
+    b0 = spark.createDataFrame([(1, _T1), (2, _T2)], DOC_SCHEMA)
+    b1 = spark.createDataFrame([(11, _T1)], DOC_SCHEMA)
+
+    assert near_dup_candidates_batch(b0, index_dir, 0).count() == 0
+    first = {tuple(r) for r in near_dup_candidates_batch(b1, index_dir, 1).collect()}
+    replay = {tuple(r) for r in near_dup_candidates_batch(b1, index_dir, 1).collect()}
+    assert first == replay == {(11, 1, "cross_batch")}
+    # index holds exactly one copy of each epoch's bands
+    idx = spark.read.option("basePath", index_dir).parquet(index_dir)
+    from collimate_spark.functions.fast_text import BAND_SCHEMA  # noqa: F401
+
+    per_epoch = {r.epoch: r.n for r in idx.groupBy("epoch").agg(F.count("*").alias("n")).collect()}
+    assert set(per_epoch) == {0, 1}
+    assert per_epoch[1] == 32  # 32 bands for the single replayed doc

@@ -448,6 +448,74 @@ ORDER BY p.cohort_week, p.week_offset
 """
 
 
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup the way a hypertable/continuous-aggregate
+    system does it: aggregate the fact table ONCE at the finest grain
+    (day), then derive every coarser grain (week, month) by re-aggregating
+    the day-level table — which is calendar-sized, not fact-sized. At
+    100 TB the fact table is touched exactly once; sums and counts
+    re-aggregate losslessly (avg is derived as sum/count at read time,
+    never rolled up directly). Output: one row per (grain, bucket)."""
+    ev = load_table(spark, "events", sf_dir)
+    day = (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sv"),
+        )
+    )
+    day = day.localCheckpoint(eager=True)  # week/month re-aggregate THIS, not the scan
+    week = (
+        day.groupBy(F.date_trunc("week", "bucket").cast("date").alias("bucket"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+    )
+    month = (
+        day.groupBy(F.date_trunc("month", "bucket").cast("date").alias("bucket"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+    )
+    out = (
+        day.select(F.lit("day").alias("grain"), "bucket", "n_events", "sv")
+        .unionByName(week.select(F.lit("week").alias("grain"), "bucket", "n_events", "sv"))
+        .unionByName(month.select(F.lit("month").alias("grain"), "bucket", "n_events", "sv"))
+    )
+    return out.select(
+        "grain",
+        "bucket",
+        "n_events",
+        F.round("sv", 2).alias("sum_value"),
+        F.round(F.col("sv") / F.col("n_events"), 4).alias("avg_value"),
+    ).orderBy("grain", "bucket")
+
+
+HYPERTABLE_SQL = """
+WITH day AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket,
+         COUNT(*) AS n_events, SUM(value) AS sv
+  FROM events GROUP BY 1
+),
+wk AS (
+  SELECT CAST(date_trunc('week', bucket) AS DATE) AS bucket,
+         CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(sv) AS sv
+  FROM day GROUP BY 1
+),
+mo AS (
+  SELECT CAST(date_trunc('month', bucket) AS DATE) AS bucket,
+         CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(sv) AS sv
+  FROM day GROUP BY 1
+),
+u AS (
+  SELECT 'day' AS grain, * FROM day
+  UNION ALL SELECT 'week', * FROM wk
+  UNION ALL SELECT 'month', * FROM mo
+)
+SELECT grain, bucket, n_events,
+       ROUND(sv, 2) AS sum_value,
+       ROUND(sv / n_events, 4) AS avg_value
+FROM u
+ORDER BY grain, bucket
+"""
+
+
 QUERIES = {
     "json_extract_events": json_extract_events,
     "tumbling_window_agg": tumbling_window_agg,
@@ -458,10 +526,12 @@ QUERIES = {
     "funnel_conversion": funnel_conversion,
     "interpolate_missing_values": interpolate_missing_values,
     "cohort_retention": cohort_retention,
+    "hypertable_rollup": hypertable_rollup,
 }
 
 ORACLES = {
     "cohort_retention": COHORT_SQL,
+    "hypertable_rollup": HYPERTABLE_SQL,
     "funnel_conversion": FUNNEL_SQL,
     "json_extract_events": JSON_EXTRACT_SQL,
     "tumbling_window_agg": TUMBLING_SQL,

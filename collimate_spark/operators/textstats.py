@@ -559,6 +559,118 @@ ORDER BY doc_id, rk
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 keyword search
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "vector", "merge")  # the keyword query
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked keyword search (Lucene's idf variant:
+    ln(1 + (N - df + 0.5)/(df + 0.5))) for a fixed term set. Distributed
+    shape: explode → filter to query terms BEFORE any shuffle (the
+    vocabulary-sized stream collapses to |query| terms immediately), one
+    (doc, term) count aggregation, a broadcast of the tiny (term, df) and
+    (N, avgdl) scalars, then a per-doc score sum and global top-k.
+    Corpus-global state is |query|-sized — nothing here grows with the
+    100 TB side except the two passes over it."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", X.tokens(F.col("text")).alias("t"))
+    lens = toks.select("doc_id", F.size("t").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("w"), 4).alias("bm25"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # orderBy+limit FIRST so the plan is TakeOrderedAndProject (per-
+    # partition top-k + tiny merge), then rank the k survivors — a global
+    # row_number window over all scored docs would funnel the whole
+    # corpus through one partition.
+    top = scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(
+        BM25_TOP_K
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        top.withColumn("rk", F.row_number().over(w))
+        .select("rk", "doc_id", "bm25", "n_matched_terms")
+        .orderBy("rk")
+    )
+
+
+BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN {BM25_TERMS!r}
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1))
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * lens.dl / stats.avgdl))
+         ), 4) AS bm25,
+         COUNT(*) AS n_matched_terms
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN lens ON tf.doc_id = lens.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rk,
+       doc_id, bm25, n_matched_terms
+FROM scored
+QUALIFY rk <= {BM25_TOP_K}
+ORDER BY rk
+"""
+
+
 QUERIES = {
     "text_quality_metrics": text_quality_metrics,
     "lang_id_heuristic": lang_id_heuristic,
@@ -570,10 +682,12 @@ QUERIES = {
     "stratified_sample_documents": stratified_sample_documents,
     "tfidf_top_terms": tfidf_top_terms,
     "quality_filter_pipeline": quality_filter_pipeline,
+    "bm25_search": bm25_search,
 }
 
 ORACLES = {
     "quality_filter_pipeline": QUALITY_FILTER_SQL,
+    "bm25_search": BM25_SQL,
     "repetition_metrics": REPETITION_SQL,
     "stratified_sample_documents": STRATIFIED_SAMPLE_SQL,
     "tfidf_top_terms": TFIDF_SQL,

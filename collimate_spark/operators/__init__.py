@@ -82,18 +82,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
     "q20_excess_shippers",
-    # flagship relational kept in-window (r2-green only once: q12, json)
-    "q12_shipmode_priority",
-    "json_extract_events",
-    # custom windowed joins (kept: the engine's highest-risk custom ops)
-    "asof_join_events_orders",
-    "range_join_events_orders",
     # events (sessionization has never been green — its fix lands this
     # round; date_spine_fill rotated out, double-green r1+r2)
     "sessionization_gap",
-    # grouped-map UDF + percentile (2)
-    "grouped_zscore",
-    "agg_percentile",
+    # new in round 3 — first driver check (replacing q12/json/asof/range/
+    # grouped_zscore/agg_percentile, all with >=1 green driver row in
+    # r1-r2; after this round every registered query has had one)
+    "q21_waiting_suppliers",
+    "cohort_retention",
+    "hypertable_rollup",
+    "bm25_search",
+    "shard_export_assignment",
+    "quality_filter_pipeline",
 )
 
 

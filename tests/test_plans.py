@@ -94,6 +94,50 @@ def test_range_join_partitions_on_composite_key(spark, sf_dir):
     assert any("bucket" in l and "week" in l for l in join_lines), join_lines
 
 
+def test_bm25_topk_avoids_global_sort(spark, sf_dir):
+    """BM25's top-k must be TakeOrderedAndProject over the scored docs —
+    a global row_number window would funnel the corpus through one
+    partition."""
+    from collimate_spark.operators.textstats import bm25_search
+
+    plan = _plan(bm25_search(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # df/avgdl scalars ride as broadcasts, never shuffle the scored side
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_quality_filter_is_mapper_only(spark, sf_dir):
+    """The keep/drop gate must stay a mapper-only pass: no Exchange before
+    the final presentation sort."""
+    from collimate_spark.operators.textstats import quality_filter_pipeline
+
+    plan = _plan(quality_filter_pipeline(spark, sf_dir))
+    # the ONLY exchange is the presentation sort's range partitioning —
+    # no hash shuffle (no aggregation/join) anywhere in the gate
+    assert plan.count("Exchange") == plan.count("Exchange rangepartitioning"), plan
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_cohort_retention_single_fact_scan(spark, sf_dir):
+    """Cohort retention must touch the events table exactly once — the
+    join-back formulation re-executes the scan subtree per branch."""
+    from collimate_spark.operators.events import cohort_retention
+
+    plan = _formatted(cohort_retention(spark, sf_dir))
+    # formatted output lists each scan once in the tree and once in the
+    # details; two mentions == one physical scan
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+
+
+def test_q21_single_fact_execution(spark, sf_dir):
+    """q21's window form must execute the lineitem+orders subtree once:
+    3 tables -> exactly 3 scans (6 formatted mentions)."""
+    from collimate_spark.operators.tpch_ext import q21_waiting_suppliers
+
+    plan = _formatted(q21_waiting_suppliers(spark, sf_dir))
+    assert plan.count("Scan parquet") == 6, plan.count("Scan parquet")
+
+
 def test_projection_prunes_payload_column(spark, sf_dir):
     """Multimodal pattern: metadata-only queries must not read the payload
     bytes — selecting two scalar columns prunes `text` from ReadSchema."""

@@ -43,8 +43,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "winnow_fingerprint_pairs",
     "text_length_histogram",
     "text_pii_scrub",
-    # curation (2)
-    "pack_sequences",
+    # curation (2; pack_sequences rotated out — hash-green r2)
+    "curate_corpus",
     "decontaminate_ngram",
     # multimodal (4; audio is new in r3 — first driver check this round)
     "multimodal_metadata",

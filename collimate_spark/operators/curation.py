@@ -218,14 +218,101 @@ ORDER BY shard_id, shard_rank
 """
 
 
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation
+# ---------------------------------------------------------------------------
+
+
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone pipeline: one disposition row per document, composing
+    the engine's curation stages with their production precedence —
+
+    1. ``exact_dup``  — not the minimum doc_id of its normalized-text hash
+       (one window over the hash; no groupBy-and-join-back)
+    2. ``near_dup``   — a non-survivor of its MinHash/LSH connected
+       component (``dedup_connected_components``)
+    3. quality reasons — first failing rule of the quality gate
+       (shared ``quality_reason`` expression)
+    4. ``ok``         — kept for training
+
+    keep = (reason == 'ok'). At 100 TB: the exact/quality stages are one
+    window + mapper work over the corpus; the near-dup stage joins the
+    (pair-sized) component labels back — the whole disposition is three
+    shuffles end-to-end. The DuckDB oracle recomputes all three stages
+    (recursive-CTE components included) and hash-matches."""
+    from collimate_spark.operators.dedup import dedup_connected_components
+    from collimate_spark.operators.textstats import quality_reason
+
+    docs = load_table(spark, "documents", sf_dir)
+    hashed = docs.withColumn(
+        "text_hash", F.md5(X.normalize_text(F.col("text")).cast("binary"))
+    ).withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy("text_hash"))
+    )
+    cc = dedup_connected_components(spark, sf_dir).select(
+        "doc_id", "is_survivor"
+    )
+    reason = (
+        F.when(F.col("doc_id") != F.col("keep_id"), F.lit("exact_dup"))
+        .when(F.col("is_survivor") == 0, F.lit("near_dup"))
+        .otherwise(quality_reason(F.col("text")))
+    )
+    return (
+        hashed.join(cc, "doc_id", "left")
+        .select("doc_id", reason.alias("reason"))
+        .select(
+            "doc_id",
+            (F.col("reason") == "ok").cast("int").alias("keep"),
+            "reason",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _curate_sql() -> str:
+    from collimate_spark.operators.dedup import CC_CTES
+    from collimate_spark.operators.textstats import QF_CASE_SQL
+
+    return f"""
+WITH RECURSIVE {CC_CTES},
+exact AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         ) AS keep_id
+  FROM documents
+),
+qtoks AS (
+  SELECT doc_id, text,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+disp AS (
+  SELECT q.doc_id,
+         CASE WHEN e.doc_id <> e.keep_id THEN 'exact_dup'
+              WHEN cc.is_survivor = 0 THEN 'near_dup'
+              ELSE {QF_CASE_SQL}
+         END AS reason
+  FROM qtoks q
+  JOIN exact e ON q.doc_id = e.doc_id
+  LEFT JOIN cc ON q.doc_id = cc.doc_id
+)
+SELECT doc_id, CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS keep, reason
+FROM disp
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pack_sequences": pack_sequences,
     "decontaminate_ngram": decontaminate_ngram,
     "shard_export_assignment": shard_export_assignment,
+    "curate_corpus": curate_corpus,
 }
 
 ORACLES = {
     "pack_sequences": PACK_SQL,
     "decontaminate_ngram": DECON_SQL,
     "shard_export_assignment": SHARD_EXPORT_SQL,
+    "curate_corpus": _curate_sql(),
 }

@@ -527,8 +527,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-CC_SQL = f"""
-WITH RECURSIVE d AS (
+# CTE block shared with curation.curate_corpus's oracle (which embeds the
+# same component computation inside a larger disposition query)
+CC_CTES = f"""d AS (
   SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
   FROM documents
 ),
@@ -561,12 +562,19 @@ reach AS (
     SELECT src AS doc, src AS node FROM edges
   UNION
     SELECT r.doc, e.dst FROM reach r JOIN edges e ON e.src = r.node
-)
-SELECT doc AS doc_id,
-       MIN(node) AS component,
-       CASE WHEN MIN(node) = doc THEN 1 ELSE 0 END AS is_survivor
-FROM reach
-GROUP BY doc
+),
+cc AS (
+  SELECT doc AS doc_id,
+         MIN(node) AS component,
+         CASE WHEN MIN(node) = doc THEN 1 ELSE 0 END AS is_survivor
+  FROM reach
+  GROUP BY doc
+)"""
+
+CC_SQL = f"""
+WITH RECURSIVE {CC_CTES}
+SELECT doc_id, component, is_survivor
+FROM cc
 ORDER BY doc_id
 """
 

@@ -83,6 +83,32 @@ QF_MIN_DISTINCT_RATIO = 0.30
 QF_MIN_STOPWORD_RATIO = 0.02
 
 
+def quality_reason(text_col) -> "F.Column":
+    """The ordered-rule reason expression, shared by the standalone gate
+    and curation.curate_corpus. Pure JVM, no shuffle."""
+    toks = X.tokens(text_col)
+    n_ws = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_ws
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n_ws
+    return (
+        F.when(n_ws < QF_MIN_TOKENS, F.lit("too_short"))
+        .when(F.length(text_col) > QF_MAX_CHARS, F.lit("too_long"))
+        .when(distinct_ratio < QF_MIN_DISTINCT_RATIO, F.lit("repetitive"))
+        .when(stop_ratio < QF_MIN_STOPWORD_RATIO, F.lit("no_natural_language"))
+        .otherwise(F.lit("ok"))
+    )
+
+
+# DuckDB twin of quality_reason (expects columns `text` and `toks` in scope)
+QF_CASE_SQL = f"""CASE WHEN len(toks) < {QF_MIN_TOKENS} THEN 'too_short'
+              WHEN LENGTH(text) > {QF_MAX_CHARS} THEN 'too_long'
+              WHEN len(list_distinct(toks)) * 1.0 / len(toks) < {QF_MIN_DISTINCT_RATIO}
+                   THEN 'repetitive'
+              WHEN len(list_filter(toks, t -> t IN {STOPWORDS!r})) * 1.0 / len(toks)
+                   < {QF_MIN_STOPWORD_RATIO} THEN 'no_natural_language'
+              ELSE 'ok' END"""
+
+
 def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The keep/drop gate a curation pipeline runs over every document:
     ordered threshold rules on the quality features (length → repetition
@@ -92,19 +118,8 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort; at 100 TB this is a mapper-only pass feeding
     ``.write.partitionBy('keep')``."""
     docs = load_table(spark, "documents", sf_dir)
-    toks = X.tokens(F.col("text"))
-    n_ws = F.size(toks)
-    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_ws
-    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n_ws
-    reason = (
-        F.when(n_ws < QF_MIN_TOKENS, F.lit("too_short"))
-        .when(F.length("text") > QF_MAX_CHARS, F.lit("too_long"))
-        .when(distinct_ratio < QF_MIN_DISTINCT_RATIO, F.lit("repetitive"))
-        .when(stop_ratio < QF_MIN_STOPWORD_RATIO, F.lit("no_natural_language"))
-        .otherwise(F.lit("ok"))
-    )
     return (
-        docs.select("doc_id", reason.alias("reason"))
+        docs.select("doc_id", quality_reason(F.col("text")).alias("reason"))
         .select(
             "doc_id",
             (F.col("reason") == "ok").cast("int").alias("keep"),
@@ -122,13 +137,7 @@ WITH d AS (
 ),
 r AS (
   SELECT doc_id,
-         CASE WHEN len(toks) < {QF_MIN_TOKENS} THEN 'too_short'
-              WHEN LENGTH(text) > {QF_MAX_CHARS} THEN 'too_long'
-              WHEN len(list_distinct(toks)) * 1.0 / len(toks) < {QF_MIN_DISTINCT_RATIO}
-                   THEN 'repetitive'
-              WHEN len(list_filter(toks, t -> t IN {STOPWORDS!r})) * 1.0 / len(toks)
-                   < {QF_MIN_STOPWORD_RATIO} THEN 'no_natural_language'
-              ELSE 'ok' END AS reason
+         {QF_CASE_SQL} AS reason
   FROM d
 )
 SELECT doc_id, CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS keep, reason

@@ -56,6 +56,15 @@ EXTRA_QUERIES = [
     "text_pii_scrub",
     "pack_sequences",
     "decontaminate_ngram",
+    # round 3
+    "q21_waiting_suppliers",
+    "cohort_retention",
+    "hypertable_rollup",
+    "bm25_search",
+    "shard_export_assignment",
+    "quality_filter_pipeline",
+    "curate_corpus",
+    "multimodal_audio_features",
 ]
 
 

@@ -323,6 +323,28 @@ def near_dup_stream(
     )
 
 
+def rate_source_events(
+    spark: SparkSession, rows_per_second: int = 100, n_users: int = 7
+) -> DataFrame:
+    """Synthetic event stream from Spark's built-in ``rate`` connector —
+    the non-file source (generator connector, same DataSourceV2 surface a
+    Kafka reader presents: readStream.format(...).option(...).load()).
+    Used to exercise connector-based streaming without external services;
+    swapping ``rate`` for ``kafka`` + ``subscribe`` options is the only
+    change a real deployment makes."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+        .select(
+            F.col("value").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % n_users).alias("user_id"),
+            (F.col("value") % 100).cast("double").alias("value"),
+        )
+    )
+
+
 def stream_static_enrich(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins the static
     dimension snapshot — stateless (no watermark needed; only the stream

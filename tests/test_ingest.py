@@ -349,3 +349,25 @@ def test_merge_manifests_widens_like_union_profile(spark, tmp_path):
     assert m11.columns[1].date_format == m1.columns[1].date_format
     # categorical flags recompute against the combined threshold
     assert merged.columns[2].categorical == union.columns[2].categorical
+
+
+def test_query_cli_in_process(spark, capsys):
+    """collimate-query CLI: --list names every registered query; running
+    one emits JSON-lines with the query's columns (in-process main(), the
+    session is reused via getOrCreate)."""
+    import json as _json
+
+    from collimate_spark.run_query import main as qmain
+
+    assert qmain(["--list"]) == 0
+    listed = capsys.readouterr().out.strip().splitlines()
+    assert len(listed) >= 99
+    assert any(line.startswith("q1_pricing_summary\toracle") for line in listed)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
+    assert qmain(["agg_percentile", "--sf-dir", sf_dir, "--limit", "2"]) == 0
+    out = [
+        _json.loads(line) for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert 1 <= len(out) <= 2
+    assert "p50" in out[0] or len(out[0]) > 1  # real columns came through

@@ -154,6 +154,50 @@ ORDER BY s_suppkey
 """
 
 
+def salted_join_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed fact-dim join via explicit salting (functions/skew.py): 90%
+    of events collapse onto one synthetic hot key — the power-law shape
+    (bot user, null-ish default) that overwhelms a single task at 100 TB
+    even with AQE splitting, when the dim is broadcast-ineligible. The
+    salt spreads the hot key across 8 tasks; results are provably
+    identical to the plain join (the oracle IS the plain join). Salting
+    is deterministic (hash of a stable id, not rand()), so retries and
+    the driver's hash check both see one answer."""
+    from collimate_spark.functions.skew import salted_join
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.when(F.col("user_id") % 10 < 9, 0).otherwise(F.col("user_id")).alias("k"),
+        "value",
+    )
+    dim = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("k"), "c_acctbal"
+    )
+    return (
+        salted_join(ev, dim, "k")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.max("c_acctbal"), 2).alias("acctbal"),
+        )
+        .orderBy("k")
+    )
+
+
+SALTED_JOIN_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS k, value
+  FROM events
+)
+SELECT k, COUNT(*) AS n_rows,
+       ROUND(SUM(value), 2) AS sum_value,
+       ROUND(MAX(c_acctbal), 2) AS acctbal
+FROM ev JOIN customer ON k = c_custkey
+GROUP BY k
+ORDER BY k
+"""
+
+
 def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each event, the latest order date at-or-before the
     event's timestamp, matched on a shared bucket key.
@@ -366,10 +410,12 @@ QUERIES = {
     "asof_join_events_orders": asof_join_events_orders,
     "range_join_events_orders": range_join_events_orders,
     "fuzzy_name_match": fuzzy_name_match,
+    "salted_join_hot_key": salted_join_hot_key,
 }
 
 ORACLES = {
     "fuzzy_name_match": FUZZY_MATCH_SQL,
+    "salted_join_hot_key": SALTED_JOIN_SQL,
     "join_left_outer": JOIN_LEFT_SQL,
     "join_full_outer": JOIN_FULL_SQL,
     "join_semi": JOIN_SEMI_SQL,

@@ -267,6 +267,88 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance, same-table roles: for each
+    CLICK event, the user's EARLIEST purchase at-or-after it, plus the
+    tolerance-gated variant (NULL unless within 2 hours) — the "next
+    fill"/attribution semantics. Same scalable shape as the backward
+    as-of, mirrored: union the two roles, ``first(ignorenulls)`` over a
+    forward frame on a composite (user_id, day) window key (parallelism
+    = users × days, per-partition rows bounded as data grows), purchase
+    rows sorted AFTER clicks at identical ts (at-or-after tie includes
+    the simultaneous purchase), and a broadcast carry-over table holding
+    the first purchase of any FOLLOWING day per user."""
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    right = purchases.select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    left = clicks.select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast(dict(ev.dtypes)["ts"]).alias("purchase_ts"),
+    )
+    unioned = right.unionByName(left).withColumn("day", F.col("ts").cast("date"))
+    # event_id nulls-LAST sorts purchase rows after clicks at identical
+    # ts → "at-or-after" ties resolve to include the simultaneous purchase.
+    w = (
+        Window.partitionBy("user_id", "day")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc_nulls_last())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    within = unioned.withColumn(
+        "asof_within", F.first("purchase_ts", ignorenulls=True).over(w)
+    )
+    day_first = (
+        unioned.filter(F.col("purchase_ts").isNotNull())
+        .groupBy("user_id", "day")
+        .agg(F.min("purchase_ts").alias("dfirst"))
+    )
+    spine = unioned.select("user_id", "day").distinct()
+    carry_w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    carry = (
+        spine.join(day_first, ["user_id", "day"], "left")
+        .withColumn("carry_ts", F.min("dfirst").over(carry_w))
+        .select("user_id", "day", "carry_ts")
+    )
+    nxt = F.coalesce(F.col("asof_within"), F.col("carry_ts"))
+    return (
+        within.filter(F.col("event_id").isNotNull())
+        .join(F.broadcast(carry), ["user_id", "day"], "left")
+        .select(
+            "event_id",
+            nxt.alias("next_purchase_ts"),
+            F.when(nxt <= F.expr("ts + INTERVAL 2 HOUR"), nxt).alias(
+                "next_purchase_within_2h"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+ASOF_FORWARD_SQL = """
+SELECT event_id,
+       (SELECT MIN(p.ts) FROM events p
+         WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+           AND p.ts >= e.ts) AS next_purchase_ts,
+       (SELECT MIN(p.ts) FROM events p
+         WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+           AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 2 HOUR) AS next_purchase_within_2h
+FROM events e
+WHERE e.event_type = 'click'
+ORDER BY event_id
+"""
+
+
 ASOF_JOIN_SQL = """
 SELECT event_id,
        (SELECT MAX(o_orderdate) FROM orders
@@ -411,11 +493,13 @@ QUERIES = {
     "range_join_events_orders": range_join_events_orders,
     "fuzzy_name_match": fuzzy_name_match,
     "salted_join_hot_key": salted_join_hot_key,
+    "asof_join_forward": asof_join_forward,
 }
 
 ORACLES = {
     "fuzzy_name_match": FUZZY_MATCH_SQL,
     "salted_join_hot_key": SALTED_JOIN_SQL,
+    "asof_join_forward": ASOF_FORWARD_SQL,
     "join_left_outer": JOIN_LEFT_SQL,
     "join_full_outer": JOIN_FULL_SQL,
     "join_semi": JOIN_SEMI_SQL,

@@ -36,10 +36,12 @@ def get_session(app_name: str = "collimate_spark", shuffle_partitions: int | Non
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Dimension tables under this size are broadcast automatically.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Timestamps in testdata are ns-precision; keep them as-is.
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
-        # Parquet TIMESTAMP(NANOS) is unreadable by Spark's TimestampType
-        # (micros); read as epoch-nanos long, converted in catalog.load_table.
+        # Legacy-compat only: current testdata stores events.ts as parquet
+        # timestamp[us] (read natively as TIMESTAMP_NTZ; catalog.load_table
+        # guarantees that dtype). If a dataset ever ships TIMESTAMP(NANOS)
+        # again, this conf makes it arrive as epoch-nanos long, which
+        # catalog._normalize_events_ts converts losslessly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

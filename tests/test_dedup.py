@@ -122,6 +122,44 @@ def test_propagate_components_chain_graph(spark):
     assert all(comps[i + 100] == 100 for i in range(50))
 
 
+def test_propagate_components_random_graphs_match_union_find(spark):
+    """Randomized (seeded) adversarial check: on arbitrary graph shapes —
+    not just near-cliques or chains — pointer-doubling labels must equal a
+    driver-side union-find, and must hit the fixpoint within the budget."""
+    import random
+
+    from collimate_spark.operators.dedup import propagate_components
+
+    rng = random.Random(20260813)
+    for trial in range(5):
+        n = rng.randint(10, 60)
+        m = rng.randint(n // 2, 2 * n)
+        edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+        edges = {(a, b) for a, b in edges if a != b}
+        if not edges:
+            continue
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {}
+        verts = {v for e in edges for v in e}
+        for v in verts:
+            want[v] = find(v)
+        sym = list(edges) + [(b, a) for a, b in edges]
+        df = spark.createDataFrame(sym, "src long, dst long")
+        got = {r.doc_id: r.comp for r in propagate_components(df, max_rounds=12).collect()}
+        assert got == want, f"trial {trial} (n={n}, m={len(edges)})"
+
+
 def test_connected_components_match_local_union_find(spark, sf_dir):
     """Cluster assignment must equal a driver-side union-find over the
     same pair set (fixpoint actually reached)."""

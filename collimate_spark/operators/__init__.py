@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 # The 50 queries the driver verifies, in order. Keep this list at exactly
 # 50 entries; tests/test_registration.py enforces the invariant.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # dedup (7)
+    # dedup (8; survivor-quality new in r3)
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -32,6 +32,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_connected_components",
+    "dedup_survivor_best_quality",
     # similarity (3)
     "ann_bruteforce_topk",
     "ann_ivf_topk",
@@ -43,9 +44,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "winnow_fingerprint_pairs",
     "text_length_histogram",
     "text_pii_scrub",
-    # curation (2; pack_sequences rotated out — hash-green r2)
+    # curation (1; pack_sequences + decontaminate_ngram rotated out —
+    # both hash-green r2)
     "curate_corpus",
-    "decontaminate_ngram",
     # multimodal (4; audio is new in r3 — first driver check this round)
     "multimodal_metadata",
     "multimodal_features",

@@ -579,6 +579,58 @@ ORDER BY doc_id
 """
 
 
+def dedup_survivor_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: per near-dup cluster, keep the
+    doc with the MOST tokens (tie → lowest doc_id) instead of the min-id
+    default — the policy real curation pipelines use (keep the longest /
+    highest-quality copy). One broadcast-sized join of the (pair-sized)
+    component labels onto token counts + one argmax aggregation via
+    struct-max (max of (tokens, -doc_id) — both the tiebreak and the
+    argmax ride one shuffle)."""
+    cc = dedup_connected_components(spark, sf_dir).select("doc_id", "component")
+    toks = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.size(X.tokens(F.col("text"))).alias("n_tokens")
+    )
+    best = F.max(F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id")))
+    return (
+        cc.join(toks, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            best.alias("b"),
+        )
+        .select(
+            "component",
+            (-F.col("b.neg_id")).alias("survivor_doc_id"),
+            "n_members",
+            F.col("b.n_tokens").alias("survivor_tokens"),
+        )
+        .orderBy("component")
+    )
+
+
+SURVIVOR_QUALITY_SQL = f"""
+WITH RECURSIVE {CC_CTES},
+tok AS (
+  SELECT doc_id,
+         len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT cc.component, cc.doc_id, tok.n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY cc.component
+                            ORDER BY tok.n_tokens DESC, cc.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY cc.component) AS n_members
+  FROM cc JOIN tok ON cc.doc_id = tok.doc_id
+)
+SELECT component, doc_id AS survivor_doc_id, n_members,
+       CAST(n_tokens AS INT) AS survivor_tokens
+FROM ranked
+WHERE rn = 1
+ORDER BY component
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -587,10 +639,12 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_connected_components": dedup_connected_components,
+    "dedup_survivor_best_quality": dedup_survivor_best_quality,
 }
 
 ORACLES = {
     "dedup_connected_components": CC_SQL,
+    "dedup_survivor_best_quality": SURVIVOR_QUALITY_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": NGRAM_JACCARD_SQL,

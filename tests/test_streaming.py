@@ -364,14 +364,16 @@ def test_rate_source_connector(spark, tmp_path):
         .start()
     )
     try:
-        deadline = time.time() + 60
+        # poll the memory sink — NEVER processAllAvailable() on a rate
+        # source: it waits for "all available" data while the generator
+        # keeps producing, which can block indefinitely
+        deadline = time.time() + 90
         rows = []
         while time.time() < deadline:
-            q.processAllAvailable()
+            time.sleep(2)
             rows = spark.sql(f"SELECT * FROM {name}").collect()
-            if sum(r.n for r in rows) >= 100:
+            if rows and sum(r.n for r in rows) >= 100:
                 break
-            time.sleep(1)
     finally:
         q.stop()
     assert rows, "rate source produced nothing"

@@ -416,6 +416,32 @@ ORDER BY l_returnflag
 """
 
 
+def agg_boolean_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate family: count_if, bool_and (every),
+    bool_or (any) — the predicate-summary aggregates, per return flag."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_quantity") > 25).alias("n_bulk_lines"),
+            F.bool_and(F.col("l_discount") <= F.lit(0.1)).alias("all_discounts_capped"),
+            F.bool_or(F.col("l_tax") > F.lit(0.07)).alias("any_high_tax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_BOOL_SQL = """
+SELECT l_returnflag,
+       COUNT(*) FILTER (l_quantity > 25) AS n_bulk_lines,
+       BOOL_AND(l_discount <= 0.1) AS all_discounts_capped,
+       BOOL_OR(l_tax > 0.07) AS any_high_tax
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # --- set operations -------------------------------------------------------
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT over derived key sets, tagged + unioned
@@ -602,6 +628,7 @@ QUERIES = {
     "agg_cube": agg_cube,
     "agg_grouping_sets": agg_grouping_sets,
     "agg_stats": agg_stats,
+    "agg_boolean_counting": agg_boolean_counting,
     "set_ops": set_ops,
     "sort_topk": sort_topk,
     "scalar_string_funcs": scalar_string_funcs,
@@ -625,6 +652,7 @@ ORACLES = {
     "agg_cube": AGG_CUBE_SQL,
     "agg_grouping_sets": AGG_GROUPING_SETS_SQL,
     "agg_stats": AGG_STATS_SQL,
+    "agg_boolean_counting": AGG_BOOL_SQL,
     "set_ops": SET_OPS_SQL,
     "sort_topk": SORT_TOPK_SQL,
     "scalar_string_funcs": SCALAR_STRING_SQL,

@@ -167,8 +167,40 @@ ORDER BY o_orderkey
 """
 
 
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist — the distribution-rank pair rounding out
+    the ranking family (rank/dense_rank/ntile live in
+    window_rank_dense_ntile). Same deterministic ordering contract:
+    unique (quantity desc, orderkey) sort within return-flag groups."""
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_linenumber") == 1)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_quantity"), F.asc("l_orderkey")
+    )
+    return (
+        li.select(
+            "l_returnflag",
+            "l_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("qty_percent_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("qty_cume_dist"),
+        )
+        .orderBy("l_returnflag", "qty_percent_rank", "l_orderkey")
+    )
+
+
+WINDOW_DIST_SQL = """
+SELECT l_returnflag, l_orderkey,
+       ROUND(PERCENT_RANK() OVER w, 6) AS qty_percent_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS qty_cume_dist
+FROM lineitem
+WHERE l_linenumber = 1
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC, l_orderkey ASC)
+ORDER BY l_returnflag, qty_percent_rank, l_orderkey
+"""
+
+
 QUERIES = {
     "window_topk_per_group": window_topk_per_group,
+    "window_distribution_ranks": window_distribution_ranks,
     "window_running_sum": window_running_sum,
     "window_lag_lead": window_lag_lead,
     "window_rank_dense_ntile": window_rank_dense_ntile,
@@ -177,6 +209,7 @@ QUERIES = {
 
 ORACLES = {
     "window_topk_per_group": WINDOW_TOPK_SQL,
+    "window_distribution_ranks": WINDOW_DIST_SQL,
     "window_running_sum": WINDOW_RUNNING_SQL,
     "window_lag_lead": WINDOW_LAG_SQL,
     "window_rank_dense_ntile": WINDOW_RANK_SQL,

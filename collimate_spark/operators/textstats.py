@@ -680,6 +680,67 @@ ORDER BY rk
 """
 
 
+def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram language-model scoring: train unigram-normalized
+    bigram probabilities P(w2|w1) = C(w1 w2)/C(w1·) on the corpus itself,
+    then score each document by its average negative log-prob and
+    perplexity — the statistical quality filter (gibberish and boilerplate
+    score high-NLL / low-NLL outliers respectively). Distributed shape:
+    one explode → one (w1, w2) count agg + one w1-marginal agg (both
+    |vocab²|-bounded, broadcast back) → per-doc average. At 100 TB the
+    model tables are the only corpus-global state; prune to top-K bigrams
+    + add-k smoothing when vocab explodes (noted, not needed here)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = X.tokens(F.col("text"))
+    bigrams = F.expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"
+    )
+    grams = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("g"))
+        .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    )
+    pair_c = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left_c = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    return (
+        grams.join(F.broadcast(pair_c), ["w1", "w2"])
+        .join(F.broadcast(left_c), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg(F.log(F.col("c12") / F.col("c1"))), 4).alias("nll"),
+            F.round(F.exp(-F.avg(F.log(F.col("c12") / F.col("c1")))), 4).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LM_PPL_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, u.w1, u.w2
+  FROM toks, LATERAL (
+    SELECT UNNEST(list_transform(range(1, len(t)), i -> {'w1': t[i], 'w2': t[i+1]}), recursive := true)
+  ) AS u(w1, w2)
+  WHERE len(t) >= 2
+),
+pair_c AS (SELECT w1, w2, COUNT(*) AS c12 FROM grams GROUP BY 1, 2),
+left_c AS (SELECT w1, COUNT(*) AS c1 FROM grams GROUP BY 1)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(-AVG(ln(c12 * 1.0 / c1)), 4) AS nll,
+       ROUND(exp(-AVG(ln(c12 * 1.0 / c1))), 4) AS ppl
+FROM grams JOIN pair_c USING (w1, w2) JOIN left_c USING (w1)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_quality_metrics": text_quality_metrics,
     "lang_id_heuristic": lang_id_heuristic,
@@ -692,9 +753,11 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "quality_filter_pipeline": quality_filter_pipeline,
     "bm25_search": bm25_search,
+    "lm_perplexity_score": lm_perplexity_score,
 }
 
 ORACLES = {
+    "lm_perplexity_score": LM_PPL_SQL,
     "quality_filter_pipeline": QUALITY_FILTER_SQL,
     "bm25_search": BM25_SQL,
     "repetition_metrics": REPETITION_SQL,

@@ -286,8 +286,65 @@ ORDER BY vec_id
 """
 
 
+def embedding_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cluster-quality metrics without materializing centroids
+    as arrays: posexplode each unit-normalized vector, average per
+    (label, dimension), and reduce ‖centroid‖ = sqrt(Σ avg²) — for
+    unit vectors this is the mean resultant length, the standard
+    directional-statistics cohesion score (1 = all members identical,
+    → 0 = isotropic). Also reports member count and avg member norm.
+    Two hash aggregations, dimension-parallel — no |cluster|² pairwise
+    stage, no driver-side vectors; at 100 TB the (label, dim) grid is
+    the only intermediate and it is labels × dim sized."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    unit = emb.select(
+        "label",
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> x / sqrt(aggregate(embedding, 0.0D, (a, y) -> a + y * y)))"
+        ).alias("u"),
+    )
+    per_dim = (
+        unit.select("label", F.posexplode("u").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            (F.max("n")).alias("n_vectors"),
+            F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias(
+                "mean_resultant_length"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+COHESION_SQL = """
+WITH unit AS (
+  SELECT label, vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x / sqrt(
+           list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)))) AS u
+  FROM embeddings
+),
+per_dim AS (
+  SELECT label, r.i AS pos, AVG(u[r.i]) AS m, COUNT(*) AS n
+  FROM unit, UNNEST(range(1, len(u) + 1)) AS r(i)
+  GROUP BY 1, 2
+)
+SELECT label,
+       CAST(MAX(n) AS BIGINT) AS n_vectors,
+       ROUND(sqrt(SUM(m * m)), 4) AS mean_resultant_length
+FROM per_dim
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "embedding_cluster_cohesion": embedding_cluster_cohesion,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_quantize_int8": embedding_quantize_int8,
@@ -295,6 +352,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
+    "embedding_cluster_cohesion": COHESION_SQL,
     "embedding_quantize_int8": QUANTIZE_SQL,
     # ann_ivf_topk / ann_lsh_topk: rows-only (approximate by construction;
     # recall vs brute force asserted in tests/test_similarity.py)

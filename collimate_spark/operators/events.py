@@ -516,6 +516,85 @@ ORDER BY grain, bucket
 """
 
 
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (the finance/hypertable bar query): per (user,
+    day), open = value at min ts, close = value at max ts, plus high/low.
+    min_by/max_by keep it ONE hash aggregation — no rank window, no
+    self-join; the classic two-pass formulations shuffle twice for the
+    same answer. Event timestamps are micro-precision uniques, so the
+    argmin/argmax ordering key is unambiguous."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.round(F.min_by("value", "ts"), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", "ts"), 2).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+OHLC_SQL = """
+SELECT user_id, CAST(ts AS DATE) AS day,
+       ROUND(arg_min(value, ts), 2) AS open,
+       ROUND(MAX(value), 2) AS high,
+       ROUND(MIN(value), 2) AS low,
+       ROUND(arg_max(value, ts), 2) AS close,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY user_id, day
+"""
+
+
+def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user — the irregular-series statistic a
+    plain AVG gets wrong: each value is weighted by how long it was
+    current (gap to the next observation, last-observation-carried-
+    forward). Gap arithmetic via timestampdiff(MICROSECOND, ...) — exact
+    and timezone-independent on the catalog's TIMESTAMP_NTZ contract.
+    One window (lead) + one aggregation, both keyed on user_id."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("next_ts", F.lead("ts").over(w))
+        .filter(F.col("next_ts").isNotNull())
+        .withColumn("dur_us", F.expr("timestampdiff(MICROSECOND, ts, next_ts)"))
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.round(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4
+            ).alias("twa"),
+            F.round(F.avg("value"), 4).alias("plain_avg"),
+        )
+        .orderBy("user_id")
+    )
+
+
+TWA_SQL = """
+WITH gaps AS (
+  SELECT user_id, value,
+         date_diff('microsecond', ts,
+                   LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS dur_us
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       ROUND(SUM(value * dur_us) / SUM(dur_us), 4) AS twa,
+       ROUND(AVG(value), 4) AS plain_avg
+FROM gaps
+WHERE dur_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "json_extract_events": json_extract_events,
     "tumbling_window_agg": tumbling_window_agg,
@@ -527,9 +606,13 @@ QUERIES = {
     "interpolate_missing_values": interpolate_missing_values,
     "cohort_retention": cohort_retention,
     "hypertable_rollup": hypertable_rollup,
+    "ohlc_bars": ohlc_bars,
+    "time_weighted_average": time_weighted_average,
 }
 
 ORACLES = {
+    "ohlc_bars": OHLC_SQL,
+    "time_weighted_average": TWA_SQL,
     "cohort_retention": COHORT_SQL,
     "hypertable_rollup": HYPERTABLE_SQL,
     "funnel_conversion": FUNNEL_SQL,

@@ -65,6 +65,13 @@ EXTRA_QUERIES = [
     "quality_filter_pipeline",
     "curate_corpus",
     "multimodal_audio_features",
+    "salted_join_hot_key",
+    "asof_join_forward",
+    "dedup_survivor_best_quality",
+    "lm_perplexity_score",
+    "embedding_cluster_cohesion",
+    "ohlc_bars",
+    "time_weighted_average",
 ]
 
 

@@ -113,6 +113,7 @@ def _modules():
         multimodal,
         curation,
         quality,
+        timeseries,
     )
 
     return (
@@ -129,6 +130,7 @@ def _modules():
         multimodal,
         curation,
         quality,
+        timeseries,
     )
 
 

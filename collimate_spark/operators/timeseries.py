@@ -1,0 +1,209 @@
+"""Rolling / smoothing time-series statistics over ``events``.
+
+The reference's converter feeds downstream time-series tooling it does not
+itself contain (SURVEY.md §2.2); these are the canonical per-series rolling
+operators such a consumer runs, each expressed as ONE window pass (no
+self-joins, no driver loops):
+
+- exact rolling median (order-statistic in a ROWS frame),
+- truncated normalized EWMA (exponential weights inside a ROWS frame),
+- rolling z-score anomaly flagging (trailing mean/stddev),
+- first-order Markov transition matrix of event types.
+
+Scale posture: every operator partitions its window by ``user_id`` — the
+natural series key, high-cardinality, so the sort-based window exchange
+spreads evenly across executors; frames are fixed ROWS frames so state per
+row is O(frame), never O(series). The median/EWMA frames materialize a
+``collect_list`` of at most FRAME values per row (bounded payload), then
+reduce it with JVM higher-order functions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from collimate_spark.catalog import load_table
+
+# Series order: ts then event_id — event ids are unique, so every window
+# order below is total and deterministic.
+_ORDER_SQL = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median of ``value`` over the trailing 5 observations
+    per user (ROWS 4 PRECEDING). Spark has no exact percentile window
+    aggregate, so the operator is composed from built-ins: collect the
+    bounded frame, ``array_sort`` it, and pick/interpolate the middle —
+    identical to DuckDB's interpolating ``median(...) OVER``. The frame
+    payload is ≤5 doubles per row: constant memory at any scale."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    sorted_frame = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(sorted_frame)
+    mid_hi = F.element_at(sorted_frame, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(sorted_frame, (n / 2).cast("int"))
+    median = F.when(n % 2 == 1, F.element_at(sorted_frame, ((n + 1) / 2).cast("int"))).otherwise(
+        (mid_lo + mid_hi) / 2
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            F.round(median, 4).alias("rolling_median"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+ROLLING_MEDIAN_SQL = f"""
+SELECT user_id, event_id, ROUND(value, 2) AS value,
+       ROUND(median(CAST(value AS DOUBLE))
+               OVER ({_ORDER_SQL} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             4) AS rolling_median
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
+def ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated, normalized EWMA (alpha = 0.3) over the trailing 8
+    observations per user. The untruncated recurrence is inherently
+    sequential per series; truncating to a ROWS frame makes it a bounded
+    window aggregate — each row reduces its ≤8-value frame with JVM
+    higher-order functions (``transform`` + ``aggregate``), so the plan is
+    one window exchange and zero Python. Weight for the i-th (0-based)
+    element of an n-frame is (1-alpha)^(n-1-i), normalized to sum 1 —
+    pandas' ``ewm(alpha=.3, adjust=True)`` over the same frame."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-7, 0)
+    frame = F.collect_list("value").over(w)
+    ewma = F.expr(
+        """
+        aggregate(
+          transform(frame, (x, i) -> x * pow(0.7, size(frame) - 1 - i)),
+          0D, (acc, x) -> acc + x)
+        / aggregate(
+          transform(frame, (x, i) -> pow(0.7, size(frame) - 1 - i)),
+          0D, (acc, x) -> acc + x)
+        """
+    )
+    return (
+        ev.withColumn("frame", frame)
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            F.round(ewma, 4).alias("ewma"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# DuckDB's list_transform index is 1-based (Spark's transform is 0-based):
+# exponent len(l)-j there equals n-1-i here.
+EWMA_SQL = f"""
+WITH frames AS (
+  SELECT user_id, event_id, value,
+         list(CAST(value AS DOUBLE))
+           OVER ({_ORDER_SQL} ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS l
+  FROM events
+)
+SELECT user_id, event_id, ROUND(value, 2) AS value,
+       ROUND(
+         list_sum(list_transform(l, (x, j) -> x * pow(0.7, len(l) - j)))
+         / list_sum(list_transform(l, (x, j) -> pow(0.7, len(l) - j))),
+         4) AS ewma
+FROM frames
+ORDER BY user_id, event_id
+"""
+
+
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each observation scored against
+    the trailing 20-row mean/stddev of its own series; rows with
+    |z| > 2.5 (and ≥10 observations of history) are flagged. One window
+    pass computing three aggregates over the same frame — Catalyst
+    collapses them into a single window physical node."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-19, 0)
+    mean, std, cnt = F.avg("value").over(w), F.stddev_samp("value").over(w), F.count("value").over(w)
+    z = (F.col("value") - mean) / std
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            cnt.alias("n_hist"),
+            F.round(z, 4).alias("zscore"),
+        )
+        .filter((F.col("n_hist") >= 10) & (F.abs("zscore") > 2.5))
+        .orderBy("user_id", "event_id")
+    )
+
+
+ANOMALY_ZSCORE_SQL = f"""
+WITH scored AS (
+  SELECT user_id, event_id, ROUND(value, 2) AS value,
+         COUNT(value) OVER w AS n_hist,
+         ROUND((value - AVG(value) OVER w) / stddev_samp(value) OVER w, 4) AS zscore
+  FROM events
+  WINDOW w AS ({_ORDER_SQL} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT * FROM scored
+WHERE n_hist >= 10 AND ABS(zscore) > 2.5
+ORDER BY user_id, event_id
+"""
+
+
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: per-user
+    ``lag`` pairs consecutive events, then one hash aggregation counts
+    transitions and a tiny window normalizes rows to probabilities. The
+    lag window shuffles on user_id (high-cardinality, even); the
+    transition matrix itself is |types|² rows — metadata-sized at any
+    corpus scale."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    counts = pairs.groupBy("prev_type", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy("prev_type")
+    return (
+        counts.withColumn("prob", F.round(F.col("n") / F.sum("n").over(total), 4))
+        .orderBy("prev_type", "event_type")
+    )
+
+
+MARKOV_SQL = f"""
+WITH pairs AS (
+  SELECT LAG(event_type) OVER ({_ORDER_SQL}) AS prev_type, event_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, event_type, COUNT(*) AS n
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n,
+       ROUND(n / SUM(n) OVER (PARTITION BY prev_type), 4) AS prob
+FROM counts
+ORDER BY prev_type, event_type
+"""
+
+
+QUERIES = {
+    "rolling_median_value": rolling_median_value,
+    "ewma_value": ewma_value,
+    "anomaly_zscore": anomaly_zscore,
+    "markov_transitions": markov_transitions,
+}
+
+ORACLES = {
+    "rolling_median_value": ROLLING_MEDIAN_SQL,
+    "ewma_value": EWMA_SQL,
+    "anomaly_zscore": ANOMALY_ZSCORE_SQL,
+    "markov_transitions": MARKOV_SQL,
+}

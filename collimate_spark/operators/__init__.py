@@ -114,6 +114,7 @@ def _modules():
         curation,
         quality,
         timeseries,
+        dataeng,
     )
 
     return (
@@ -131,6 +132,7 @@ def _modules():
         curation,
         quality,
         timeseries,
+        dataeng,
     )
 
 

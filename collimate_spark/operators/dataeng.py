@@ -1,0 +1,260 @@
+"""Warehouse-lifecycle operators: SCD Type-2 dimension build, CDC
+merge-upsert, winsorized robust statistics, and the skyline (Pareto
+frontier) query.
+
+The reference converts raw files into columnar tables (index.js:552's
+single-pass writer) and leaves table MAINTENANCE to the consumer
+(SURVEY.md §2.2 "verified absent"); these are the canonical maintenance
+operators a warehouse built on those tables needs, each expressed as
+joins/windows so every step is shuffle-parallel.
+
+Scale notes per operator are on the docstrings; the common rule: change
+logs partition by their natural entity key (high cardinality, even),
+metric tables reduce to one row per entity BEFORE any self-comparison,
+and full-snapshot comparisons are single full-outer joins on the primary
+key — never row loops, never driver state.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from collimate_spark.catalog import load_table
+
+
+def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build an SCD Type-2 dimension from a change log: each user's event
+    stream is collapsed into runs of consecutive identical event types
+    (gaps-and-islands), emitted as validity intervals with
+    ``valid_from`` / ``valid_to`` / ``is_current``. Two window passes
+    (lag → run-id cumsum) + one hash agg + one lead — all partitioned by
+    user_id, so the plan reuses a single exchange. This is the exact
+    shape of a production SCD2 build from CDC events at any scale."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn(
+            "chg",
+            F.when(
+                F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")), 1
+            ).otherwise(0),
+        )
+        .withColumn("run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    seg = runs.groupBy("user_id", "run_id").agg(
+        F.first("event_type").alias("segment"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return (
+        seg.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select("user_id", "segment", "valid_from", "valid_to", "n_events", "is_current")
+        .orderBy("user_id", "valid_from")
+    )
+
+
+SCD2_SQL = """
+WITH runs AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM runs
+),
+seg AS (
+  SELECT user_id, run_id, MIN(event_type) AS segment,
+         MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM islands GROUP BY user_id, run_id
+)
+SELECT user_id, segment, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+       n_events,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL AS is_current
+FROM seg
+ORDER BY user_id, valid_from
+"""
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE (upsert) expressed as a single full-outer join +
+    coalesce — the engine-level shape of ``MERGE INTO`` without requiring
+    a v2/ACID table format. Base snapshot = orders with key%100 < 90;
+    delta = key%100 >= 80 with a 10%% price revision (so 80-89 exercise
+    the UPDATE path and 90-99 the INSERT path). One shuffle on the
+    primary key; the verification aggregate is a second tiny shuffle.
+    At 100 TB this is exactly one co-partitioned join on the table's
+    natural key — bucketing both snapshots by that key makes it
+    shuffle-free. Money math is done in DECIMAL, not DOUBLE: a
+    double-sum over the merged table differs across engines in the 2nd
+    decimal purely from summation order; decimal sums are exact and
+    order-free (and the final total, scale 2 and < 2^53 cents, casts
+    back to double losslessly)."""
+    orders = load_table(spark, "orders", sf_dir)
+    price_dec = F.expr("CAST(o_totalprice AS DECIMAL(18,2))")
+    base = orders.filter(F.col("o_orderkey") % 100 < 90).withColumn("o_totalprice", price_dec)
+    delta = orders.filter(F.col("o_orderkey") % 100 >= 80).withColumn(
+        "o_totalprice",
+        F.round(price_dec * F.expr("CAST(1.1 AS DECIMAL(2,1))"), 2),
+    )
+    merged = (
+        base.alias("b")
+        .join(delta.alias("d"), on=F.col("b.o_orderkey") == F.col("d.o_orderkey"), how="full_outer")
+        .select(
+            F.coalesce("d.o_orderkey", "b.o_orderkey").alias("o_orderkey"),
+            F.coalesce("d.o_orderstatus", "b.o_orderstatus").alias("o_orderstatus"),
+            F.coalesce("d.o_totalprice", "b.o_totalprice").alias("o_totalprice"),
+            F.col("d.o_orderkey").isNotNull().alias("from_delta"),
+        )
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("from_delta").cast("long")).alias("n_from_delta"),
+            F.sum("o_totalprice").cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+MERGE_UPSERT_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+  FROM orders WHERE o_orderkey % 100 < 90
+),
+delta AS (
+  SELECT o_orderkey, o_orderstatus,
+         ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)), 2)
+           AS o_totalprice
+  FROM orders WHERE o_orderkey % 100 >= 80
+),
+merged AS (
+  SELECT COALESCE(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+         COALESCE(d.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+         COALESCE(d.o_totalprice, b.o_totalprice) AS o_totalprice,
+         d.o_orderkey IS NOT NULL AS from_delta
+  FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+)
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(from_delta AS BIGINT)) AS BIGINT) AS n_from_delta,
+       CAST(SUM(o_totalprice) AS DOUBLE) AS sum_price
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clamped to [p01, p99]) robust statistics of
+    ``l_extendedprice`` per return flag. The exact percentile bounds are
+    ONE tiny aggregate (two doubles) broadcast back over the fact table
+    — the clamp itself is a narrow map, so the whole operator costs one
+    full-table agg + one group agg regardless of scale. Exact
+    ``percentile`` matches DuckDB's interpolating ``quantile_cont``."""
+    li = load_table(spark, "lineitem", sf_dir)
+    bounds = li.agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+    clamped = li.crossJoin(F.broadcast(bounds)).withColumn(
+        "wins", F.least(F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99"))
+    )
+    return (
+        clamped.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_raw"),
+            F.round(F.avg("wins"), 4).alias("avg_wins"),
+            F.round(F.min("wins"), 4).alias("min_wins"),
+            F.round(F.max("wins"), 4).alias("max_wins"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+WINSORIZE_SQL = """
+WITH bounds AS (
+  SELECT quantile_cont(l_extendedprice, 0.01) AS p01,
+         quantile_cont(l_extendedprice, 0.99) AS p99
+  FROM lineitem
+)
+SELECT l_returnflag, COUNT(*) AS n,
+       ROUND(AVG(l_extendedprice), 4) AS avg_raw,
+       ROUND(AVG(LEAST(GREATEST(l_extendedprice, p01), p99)), 4) AS avg_wins,
+       ROUND(MIN(LEAST(GREATEST(l_extendedprice, p01), p99)), 4) AS min_wins,
+       ROUND(MAX(LEAST(GREATEST(l_extendedprice, p01), p99)), 4) AS max_wins
+FROM lineitem, bounds
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of suppliers on (revenue, n_orders):
+    keep suppliers no other supplier dominates on both metrics. The fact
+    table first reduces to ONE row per supplier (the only big shuffle);
+    dominance is then a broadcast anti-join of the metric table against
+    itself — |suppliers| is ~5 orders of magnitude below |lineitem|, so
+    the quadratic comparison runs on the small reduced relation, the
+    standard distributed-skyline shape (block-nested-loop over the
+    reduced set)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    metrics = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+    m, d = metrics.alias("m"), metrics.alias("d")
+    dominated = (
+        F.col("d.revenue") >= F.col("m.revenue")
+    ) & (F.col("d.n_orders") >= F.col("m.n_orders")) & (
+        (F.col("d.revenue") > F.col("m.revenue")) | (F.col("d.n_orders") > F.col("m.n_orders"))
+    )
+    return (
+        m.join(F.broadcast(d), on=dominated, how="left_anti")
+        .select(F.col("l_suppkey").alias("s_suppkey"), "revenue", "n_orders")
+        .orderBy("s_suppkey")
+    )
+
+
+SKYLINE_SQL = """
+WITH metrics AS (
+  SELECT l_suppkey AS s_suppkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         COUNT(DISTINCT l_orderkey) AS n_orders
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT m.s_suppkey, m.revenue, m.n_orders
+FROM metrics m
+WHERE NOT EXISTS (
+  SELECT 1 FROM metrics d
+  WHERE d.revenue >= m.revenue AND d.n_orders >= m.n_orders
+    AND (d.revenue > m.revenue OR d.n_orders > m.n_orders)
+)
+ORDER BY m.s_suppkey
+"""
+
+
+QUERIES = {
+    "scd2_user_segments": scd2_user_segments,
+    "merge_upsert_orders": merge_upsert_orders,
+    "winsorize_stats": winsorize_stats,
+    "skyline_suppliers": skyline_suppliers,
+}
+
+ORACLES = {
+    "scd2_user_segments": SCD2_SQL,
+    "merge_upsert_orders": MERGE_UPSERT_SQL,
+    "winsorize_stats": WINSORIZE_SQL,
+    "skyline_suppliers": SKYLINE_SQL,
+}

@@ -115,6 +115,7 @@ def _modules():
         quality,
         timeseries,
         dataeng,
+        graph,
     )
 
     return (
@@ -133,6 +134,7 @@ def _modules():
         quality,
         timeseries,
         dataeng,
+        graph,
     )
 
 

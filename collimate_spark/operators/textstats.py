@@ -741,6 +741,115 @@ ORDER BY doc_id
 """
 
 
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining via pointwise mutual information: for bigrams
+    seen ≥5 times, PMI = ln(P(w1,w2) / (P(w1·)·P(·w2))) with the
+    positional marginals and the corpus bigram total N. Three counting
+    aggregations over one exploded bigram stream — all |vocab|-bounded,
+    joined broadcast, so the corpus is read and shuffled once. The
+    classic phrase-detection pass (word2vec preprocessing) at any
+    scale."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = X.tokens(F.col("text"))
+    bigrams = F.expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"
+    )
+    grams = (
+        docs.select(toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(F.explode(bigrams).alias("g"))
+        .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    ).cache()
+    pair_c = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left_c = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    right_c = grams.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    total = grams.agg(F.count(F.lit(1)).alias("n_total"))
+    pmi = F.log(
+        (F.col("c12") / F.col("n_total"))
+        / ((F.col("c1") / F.col("n_total")) * (F.col("c2") / F.col("n_total")))
+    )
+    return (
+        pair_c.filter(F.col("c12") >= 5)
+        .join(F.broadcast(left_c), "w1")
+        .join(F.broadcast(right_c), "w2")
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", "c12", F.round(pmi, 4).alias("pmi"))
+        .orderBy("w1", "w2")
+    )
+
+
+COLLOCATION_PMI_SQL = """
+WITH toks AS (
+  SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT u.w1, u.w2
+  FROM toks, LATERAL (
+    SELECT UNNEST(list_transform(range(1, len(t)), i -> {'w1': t[i], 'w2': t[i+1]}), recursive := true)
+  ) AS u(w1, w2)
+  WHERE len(t) >= 2
+),
+pair_c AS (SELECT w1, w2, COUNT(*) AS c12 FROM grams GROUP BY 1, 2),
+left_c AS (SELECT w1, COUNT(*) AS c1 FROM grams GROUP BY 1),
+right_c AS (SELECT w2, COUNT(*) AS c2 FROM grams GROUP BY 1),
+total AS (SELECT COUNT(*) AS n_total FROM grams)
+SELECT w1, w2, c12,
+       ROUND(ln((c12 * 1.0 / n_total) / ((c1 * 1.0 / n_total) * (c2 * 1.0 / n_total))), 4) AS pmi
+FROM pair_c JOIN left_c USING (w1) JOIN right_c USING (w2), total
+WHERE c12 >= 5
+ORDER BY w1, w2
+"""
+
+
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus term distribution: regress
+    ln(frequency) on ln(rank) over the top 1000 terms (rank by frequency
+    desc, term asc — total order). A natural corpus is near slope −1;
+    synthetic or heavily-duplicated corpora deviate, making the slope a
+    one-number corpus health check. One count agg + one 1000-row window
+    + `regr_slope`/`regr_intercept` — all JVM built-ins."""
+    docs = load_table(spark, "documents", sf_dir)
+    freq = (
+        docs.select(F.explode(X.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(1000)
+    )
+    from pyspark.sql import Window
+
+    ranked = freq.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("c"), "w"))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(F.log("c"), F.log("rank")), 4).alias("slope"),
+        F.round(F.regr_intercept(F.log("c"), F.log("rank")), 4).alias("intercept"),
+    )
+
+
+ZIPF_SQL = """
+WITH freq AS (
+  SELECT w, COUNT(*) AS c
+  FROM (
+    SELECT UNNEST(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+    FROM documents
+  )
+  GROUP BY w
+  ORDER BY c DESC, w
+  LIMIT 1000
+),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rank FROM freq
+)
+SELECT COUNT(*) AS n_terms,
+       ROUND(regr_slope(ln(c), ln(rank)), 4) AS slope,
+       ROUND(regr_intercept(ln(c), ln(rank)), 4) AS intercept
+FROM ranked
+"""
+
+
 QUERIES = {
     "text_quality_metrics": text_quality_metrics,
     "lang_id_heuristic": lang_id_heuristic,
@@ -754,10 +863,14 @@ QUERIES = {
     "quality_filter_pipeline": quality_filter_pipeline,
     "bm25_search": bm25_search,
     "lm_perplexity_score": lm_perplexity_score,
+    "collocation_pmi": collocation_pmi,
+    "zipf_slope": zipf_slope,
 }
 
 ORACLES = {
     "lm_perplexity_score": LM_PPL_SQL,
+    "collocation_pmi": COLLOCATION_PMI_SQL,
+    "zipf_slope": ZIPF_SQL,
     "quality_filter_pipeline": QUALITY_FILTER_SQL,
     "bm25_search": BM25_SQL,
     "repetition_metrics": REPETITION_SQL,

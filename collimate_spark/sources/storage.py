@@ -76,6 +76,45 @@ def write_range_clustered(
     )
 
 
+# Interchange formats the engine reads/writes natively. Parquet is the
+# canonical store (the reference's typed-binary-columnar analog); ORC is
+# the second columnar citizen (same pushdown/stats story, different
+# ecosystem); json/csv are row-interchange only — no pushdown, no stats —
+# kept for export paths. Avro needs the external spark-avro jar, which is
+# deliberately not assumed (import-gated in tests).
+INTERCHANGE_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_format(df: DataFrame, path: str, fmt: str, **options: str) -> None:
+    """Write ``df`` at ``path`` in any supported interchange format.
+    Columnar formats keep column stats + predicate pushdown; csv gets a
+    header by default so the reference's converter can round-trip it."""
+    if fmt not in INTERCHANGE_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {INTERCHANGE_FORMATS}")
+    writer = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
+def read_format(spark: SparkSession, path: str, fmt: str, schema=None) -> DataFrame:
+    """Read ``path`` back. Columnar formats carry their schema; csv/json
+    accept an explicit schema (ALWAYS pass one in production — schema
+    inference is an extra full scan)."""
+    if fmt not in INTERCHANGE_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {INTERCHANGE_FORMATS}")
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        reader = reader.option("inferSchema", True)
+    return reader.load(path)
+
+
 def read_evolving(spark: SparkSession, paths: list[str]) -> DataFrame:
     """Read Parquet batches whose schemas drifted (columns added over
     time) as ONE DataFrame: mergeSchema unions the footer schemas and

@@ -106,3 +106,43 @@ def test_read_evolving_merges_schemas(spark, tmp_path):
     assert set(got.columns) == {"id", "v", "score"}
     rows = {r.id: r for r in got.collect()}
     assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_orc_roundtrip_pushes_filters(spark, sf_dir, tmp_path):
+    from collimate_spark.sources.storage import read_format, write_format
+
+    orders = load_table(spark, "orders", sf_dir)
+    path = str(tmp_path / "orders_orc")
+    write_format(orders, path, "orc")
+    back = read_format(spark, path, "orc").filter(F.col("o_orderkey") < 100).select(
+        "o_orderkey", "o_totalprice"
+    )
+    sc = spark.sparkContext
+    plan = sc._jvm.PythonSQLUtils.explainString(back._jdf.queryExecution(), "formatted")
+    # ORC scans must push the predicate and prune to the 2-column projection
+    assert "PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,100)]" in plan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in plan
+    assert back.count() == orders.filter(F.col("o_orderkey") < 100).count() > 0
+
+
+def test_csv_json_roundtrip_counts(spark, sf_dir, tmp_path):
+    from collimate_spark.sources.storage import read_format, write_format
+
+    nation = load_table(spark, "nation", sf_dir)
+    n = nation.count()
+    for fmt in ("csv", "json"):
+        path = str(tmp_path / f"nation_{fmt}")
+        write_format(nation, path, fmt)
+        back = read_format(spark, path, fmt, schema=nation.schema)
+        assert back.count() == n
+        assert set(back.columns) == set(nation.columns)
+
+
+def test_write_format_rejects_unknown(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from collimate_spark.sources.storage import write_format
+
+    nation = load_table(spark, "nation", sf_dir)
+    with _pytest.raises(ValueError):
+        write_format(nation, str(tmp_path / "x"), "xml")

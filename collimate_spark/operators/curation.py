@@ -303,11 +303,59 @@ ORDER BY doc_id
 """
 
 
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sampling (Efraimidis-Spirakis
+    A-ES): each document draws a reproducible uniform u from an md5 of
+    its id and competes on key = ln(u)/weight (monotone in u^(1/w));
+    the top-k keys are a weighted-without-replacement sample — here
+    weight = token count, so longer documents are proportionally more
+    likely. Content-independent and engine-independent (the same md5
+    yields the same sample on any cluster layout), and distributed as a
+    single TakeOrderedAndProject: each partition keeps its local top-k,
+    the driver merges k rows. The weighted companion to
+    textstats.stratified_sample_documents."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.size(X.tokens(F.col("text")))
+    # u in (0,1): 8 md5 hex chars -> uint32, shifted off 0
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / (2.0 ** 32 + 1.0)
+    key = F.log(u) / w
+    return (
+        docs.select(
+            "doc_id",
+            w.alias("n_tokens"),
+            F.round(key, 8).alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(50)
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS n_tokens,
+         ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+            / (4294967296.0 + 1.0))
+         / len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS k
+  FROM documents
+)
+SELECT doc_id, n_tokens, ROUND(k, 8) AS sample_key
+FROM keyed
+ORDER BY k DESC, doc_id
+LIMIT 50
+"""
+
+
 QUERIES = {
     "pack_sequences": pack_sequences,
     "decontaminate_ngram": decontaminate_ngram,
     "shard_export_assignment": shard_export_assignment,
     "curate_corpus": curate_corpus,
+    "weighted_sample_documents": weighted_sample_documents,
 }
 
 ORACLES = {
@@ -315,4 +363,5 @@ ORACLES = {
     "decontaminate_ngram": DECON_SQL,
     "shard_export_assignment": SHARD_EXPORT_SQL,
     "curate_corpus": _curate_sql(),
+    "weighted_sample_documents": WEIGHTED_SAMPLE_SQL,
 }

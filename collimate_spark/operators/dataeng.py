@@ -245,11 +245,53 @@ ORDER BY m.s_suppkey
 """
 
 
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a per-month order aggregate:
+    instead of recomputing the view over the whole history when a delta
+    batch arrives, combine the MATERIALIZED partial aggregate of the old
+    data with the aggregate of just the delta (counts and decimal sums
+    are commutative monoids, so partials merge exactly). The oracle is
+    the DIRECT full aggregation — hash-equality proves the maintained
+    view identical to recomputation. At 100 TB this is the difference
+    between scanning a day and scanning a decade; the merge shuffles
+    only |months| + |delta months| partial rows."""
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "month", F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    ).withColumn("price", F.expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+    cutoff = "1997-01-01"
+    partial_cols = [
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").alias("sum_price"),
+    ]
+    base_agg = orders.filter(F.col("o_orderdate") < cutoff).groupBy("month").agg(*partial_cols)
+    delta_agg = orders.filter(F.col("o_orderdate") >= cutoff).groupBy("month").agg(*partial_cols)
+    return (
+        base_agg.unionAll(delta_agg)
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_price").cast("double").alias("sum_price"),
+        )
+        .orderBy("month")
+    )
+
+
+IVM_SQL = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY 1
+ORDER BY month
+"""
+
+
 QUERIES = {
     "scd2_user_segments": scd2_user_segments,
     "merge_upsert_orders": merge_upsert_orders,
     "winsorize_stats": winsorize_stats,
     "skyline_suppliers": skyline_suppliers,
+    "ivm_incremental_agg": ivm_incremental_agg,
 }
 
 ORACLES = {
@@ -257,4 +299,5 @@ ORACLES = {
     "merge_upsert_orders": MERGE_UPSERT_SQL,
     "winsorize_stats": WINSORIZE_SQL,
     "skyline_suppliers": SKYLINE_SQL,
+    "ivm_incremental_agg": IVM_SQL,
 }

@@ -198,6 +198,49 @@ ORDER BY o_custkey
 """
 
 
+def chi2_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence between event type and value
+    bucket — the categorical-association screen run over feature pairs
+    before model training. The contingency table is ONE hash aggregation
+    (|types| x |buckets| cells, metadata-sized); marginals and the
+    statistic fold up in two more tiny aggs, so the fact table is read
+    exactly once regardless of scale."""
+    ev = load_table(spark, "events", sf_dir)
+    cells = (
+        ev.withColumn("bucket", F.floor(F.col("value") / 50).cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    row_m = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    col_m = cells.groupBy("bucket").agg(F.sum("o").alias("ct"))
+    n = cells.agg(F.sum("o").alias("n"))
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    return (
+        cells.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "bucket")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 4).alias("chi2"),
+        )
+    )
+
+
+CHI2_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(FLOOR(value / 50) AS BIGINT) AS bucket, COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+),
+row_m AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY 1),
+col_m AS (SELECT bucket, SUM(o) AS ct FROM cells GROUP BY 1),
+tot AS (SELECT SUM(o) AS n FROM cells)
+SELECT COUNT(*) AS n_cells,
+       ROUND(SUM((o - (rt * ct * 1.0 / n)) * (o - (rt * ct * 1.0 / n))
+                 / (rt * ct * 1.0 / n)), 4) AS chi2
+FROM cells JOIN row_m USING (event_type) JOIN col_m USING (bucket), tot
+"""
+
+
 QUERIES = {
     "grouped_zscore": grouped_zscore,
     "agg_percentile": agg_percentile,
@@ -205,6 +248,7 @@ QUERIES = {
     "subquery_exists": subquery_exists,
     "unpivot_lineitem": unpivot_lineitem,
     "array_agg_sorted": array_agg_sorted,
+    "chi2_event_value": chi2_event_value,
 }
 
 ORACLES = {
@@ -214,4 +258,5 @@ ORACLES = {
     "subquery_exists": SUBQUERY_EXISTS_SQL,
     "unpivot_lineitem": UNPIVOT_SQL,
     "array_agg_sorted": ARRAY_AGG_SQL,
+    "chi2_event_value": CHI2_SQL,
 }

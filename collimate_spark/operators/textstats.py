@@ -850,6 +850,50 @@ FROM ranked
 """
 
 
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document — the classic gibberish /
+    encoded-blob detector (natural English sits near 4.1 bits/char;
+    base64 blobs near 6, repeated boilerplate far lower). Two shuffles,
+    both keyed on doc_id (char-count then entropy-sum), so documents
+    spread evenly at any corpus size; the char explode is bounded by
+    document length."""
+    docs = load_table(spark, "documents", sf_dir)
+    chars = docs.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("c")).filter(
+        F.col("c") != ""
+    )
+    from pyspark.sql import Window
+
+    counts = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.withColumn("t", F.sum("n").over(Window.partitionBy("doc_id")))
+    p = F.col("n") / F.col("t")
+    return (
+        tot.groupBy("doc_id")
+        .agg(
+            F.max("t").alias("n_chars"),
+            F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CHAR_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, UNNEST(string_split(text, '')) AS c FROM documents
+),
+counts AS (
+  SELECT doc_id, c, COUNT(*) AS n FROM chars WHERE c <> '' GROUP BY doc_id, c
+),
+tot AS (
+  SELECT doc_id, c, n, SUM(n) OVER (PARTITION BY doc_id) AS t FROM counts
+)
+SELECT doc_id, CAST(MAX(t) AS BIGINT) AS n_chars,
+       ROUND(-SUM((n * 1.0 / t) * log2(n * 1.0 / t)), 4) AS entropy_bits
+FROM tot
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_quality_metrics": text_quality_metrics,
     "lang_id_heuristic": lang_id_heuristic,
@@ -865,12 +909,14 @@ QUERIES = {
     "lm_perplexity_score": lm_perplexity_score,
     "collocation_pmi": collocation_pmi,
     "zipf_slope": zipf_slope,
+    "char_entropy": char_entropy,
 }
 
 ORACLES = {
     "lm_perplexity_score": LM_PPL_SQL,
     "collocation_pmi": COLLOCATION_PMI_SQL,
     "zipf_slope": ZIPF_SQL,
+    "char_entropy": CHAR_ENTROPY_SQL,
     "quality_filter_pipeline": QUALITY_FILTER_SQL,
     "bm25_search": BM25_SQL,
     "repetition_metrics": REPETITION_SQL,

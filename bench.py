@@ -72,6 +72,23 @@ EXTRA_QUERIES = [
     "embedding_cluster_cohesion",
     "ohlc_bars",
     "time_weighted_average",
+    # round 3, second wave
+    "rolling_median_value",
+    "ewma_value",
+    "anomaly_zscore",
+    "markov_transitions",
+    "scd2_user_segments",
+    "merge_upsert_orders",
+    "winsorize_stats",
+    "skyline_suppliers",
+    "ivm_incremental_agg",
+    "triangle_participation",
+    "pagerank_copurchase",
+    "collocation_pmi",
+    "zipf_slope",
+    "char_entropy",
+    "weighted_sample_documents",
+    "chi2_event_value",
 ]
 
 

@@ -213,7 +213,7 @@ def skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics = li.groupBy("l_suppkey").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-    )
+    ).cache()  # both sides of the dominance join reuse one fact scan
     m, d = metrics.alias("m"), metrics.alias("d")
     dominated = (
         F.col("d.revenue") >= F.col("m.revenue")

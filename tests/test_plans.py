@@ -146,3 +146,51 @@ def test_projection_prunes_payload_column(spark, sf_dir):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "text" not in read_schema
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_timeseries_windows_share_one_exchange(spark, sf_dir):
+    """rolling median / EWMA / zscore each use ONE user_id window pass:
+    exactly one hashpartitioning(user_id) exchange in the plan."""
+    from collimate_spark.operators.timeseries import anomaly_zscore, rolling_median_value
+
+    for q in (rolling_median_value, anomaly_zscore):
+        plan = _plan(q(spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning(user_id") == 1, q.__name__
+
+
+def test_skyline_reduces_before_dominance_join(spark, sf_dir):
+    """The dominance self-join must run on the reduced per-supplier
+    metric table (broadcast NLJ), never on the fact table."""
+    from collimate_spark.operators.dataeng import skyline_suppliers
+
+    plan = _plan(skyline_suppliers(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
+    # the join's streamed child is the reduced metric table (an aggregate
+    # or its cached form), never the raw lineitem FileScan
+    join_child = plan.split("BroadcastNestedLoopJoin", 1)[1].splitlines()[1]
+    assert "FileScan" not in join_child
+
+
+def test_winsorize_broadcasts_bounds(spark, sf_dir):
+    from collimate_spark.operators.dataeng import winsorize_stats
+
+    plan = _plan(winsorize_stats(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds crossJoin
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """Top-k by sample key must be TakeOrderedAndProject (per-partition
+    local top-k + driver merge), never a global sort."""
+    from collimate_spark.operators.curation import weighted_sample_documents
+
+    plan = _plan(weighted_sample_documents(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_copurchase_edges_broadcast_part_dims(spark, sf_dir):
+    from collimate_spark.operators.graph import _copurchase_edges
+
+    plan = _plan(_copurchase_edges(spark, sf_dir))
+    # both part-dim joins broadcast; the self-join co-partitions on order key
+    assert plan.count("BroadcastHashJoin") >= 2

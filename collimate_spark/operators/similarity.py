@@ -342,18 +342,137 @@ ORDER BY label
 """
 
 
+GRAM_BATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("i", T.IntegerType()),
+        T.StructField("j", T.IntegerType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram / second-moment matrix of the embedding corpus —
+    the reduce step of large-scale PCA (eigendecompose the d x d result
+    on the driver; d=64 here). Each Arrow batch contributes ONE d x d
+    partial via numpy matmul — the shuffle carries d(d+1)/2 partials per
+    batch, never per row, so the cost is independent of corpus size.
+    Output: upper-triangle (i <= j) entries of (1/n) * X^T X."""
+    emb = load_table(spark, "embeddings", sf_dir)
+
+    def gram_batches(it):
+        iu, ju = np.triu_indices(64)
+        for pdf in it:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            g = mat.T @ mat
+            yield pd.DataFrame(
+                {"i": iu, "j": ju, "s": g[iu, ju], "n": np.full(len(iu), len(mat))}
+            )
+
+    partials = emb.select("embedding").mapInPandas(gram_batches, GRAM_BATCH_SCHEMA)
+    return (
+        partials.groupBy("i", "j")
+        .agg((F.sum("s") / F.sum("n")).alias("g"))
+        .select("i", "j", F.round(F.col("g"), 6).alias("gram"))
+        .orderBy("i", "j")
+    )
+
+
+GRAM_SQL = """
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cells AS (
+  SELECT ii.i AS i, jj.j AS j, SUM(v[ii.i + 1] * v[jj.j + 1]) AS s, COUNT(*) AS n
+  FROM e, UNNEST(range(0, 64)) AS ii(i), UNNEST(range(0, 64)) AS jj(j)
+  WHERE ii.i <= jj.j
+  GROUP BY 1, 2
+)
+SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+       ROUND(s / n, 6) AS gram
+FROM cells
+ORDER BY i, j
+"""
+
+
+def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-distributed Lloyd's k-means (k=8, 5 iterations) over the
+    embedding table: assignment is an Arrow-batched argmin against the
+    broadcast k x d centroid matrix; the update step re-averages per
+    (cluster, dimension) with ONE hash aggregation and collects only the
+    k x d centroid grid to the driver (bounded, FAISS-style). Init is
+    deterministic: the k lowest vec_ids. Rows-only by construction
+    (iterative float refinement has no SQL twin); pytest asserts inertia
+    decreases monotonically and the final assignment is self-consistent
+    with the final centroids."""
+    k, iters = 8, 5
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding").cache()
+    cents = np.stack(
+        [r["embedding"] for r in emb.orderBy("vec_id").limit(k).collect()]
+    ).astype(np.float64)
+
+    def make_assign(c):
+        def assign(it):
+            for pdf in it:
+                mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                lab = d2.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cluster": lab.astype("int32"),
+                        "dist2": d2[np.arange(len(lab)), lab],
+                    }
+                )
+
+        return assign
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("dist2", T.DoubleType()),
+        ]
+    )
+    assigned = None
+    for _ in range(iters):
+        assigned = emb.mapInPandas(make_assign(cents.copy()), schema).join(emb, "vec_id")
+        grid = (
+            assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        for row in grid:
+            cents[row["cluster"], row["pos"]] = row["m"]
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.sum("dist2"), 2).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "embedding_cluster_cohesion": embedding_cluster_cohesion,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "embedding_gram_matrix": embedding_gram_matrix,
+    "kmeans_lloyd_clusters": kmeans_lloyd_clusters,
 }
 
 ORACLES = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "embedding_cluster_cohesion": COHESION_SQL,
     "embedding_quantize_int8": QUANTIZE_SQL,
+    "embedding_gram_matrix": GRAM_SQL,
+    # kmeans_lloyd_clusters: rows-only (iterative float refinement;
+    # monotone-inertia + self-consistency asserted in test_similarity.py)
     # ann_ivf_topk / ann_lsh_topk: rows-only (approximate by construction;
     # recall vs brute force asserted in tests/test_similarity.py)
 }

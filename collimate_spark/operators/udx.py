@@ -176,12 +176,39 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def hll_sketch_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the architecture that makes
+    100 TB distinct counting incremental: build one HLL sketch per day
+    partition (``hll_sketch_agg``), persist/merge them WITHOUT rescanning
+    the data (``hll_union_agg``), estimate at any rollup grain. Here:
+    daily user sketches → weekly distinct-user estimates. The weekly
+    union touches |days| sketch blobs (KBs), not the fact table. Rows-
+    only by construction (Datasketches binary format is engine-specific);
+    accuracy vs exact is asserted in tests."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.withColumn("day", F.col("ts").cast("date"))
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        daily.withColumn("week", F.date_trunc("week", "day").cast("date"))
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        )
+        .orderBy("week")
+    )
+
+
 QUERIES = {
     "pandas_udf_scalar": pandas_udf_scalar,
     "udtf_tokenize": udtf_tokenize,
     "map_functions": map_functions,
     "array_functions": array_functions,
     "agg_approx_distinct": agg_approx_distinct,
+    "hll_sketch_partitioned": hll_sketch_partitioned,
 }
 
 ORACLES = {
@@ -190,4 +217,6 @@ ORACLES = {
     "map_functions": MAP_FUNCTIONS_SQL,
     "array_functions": ARRAY_FUNCTIONS_SQL,
     # agg_approx_distinct: rows-only (engine-specific HLL implementation)
+    # hll_sketch_partitioned: rows-only (Datasketches binary sketches;
+    # estimate-vs-exact tolerance asserted in tests/test_similarity.py)
 }

@@ -89,6 +89,13 @@ EXTRA_QUERIES = [
     "char_entropy",
     "weighted_sample_documents",
     "chi2_event_value",
+    "embedding_gram_matrix",
+    "kmeans_lloyd_clusters",
+    "hll_sketch_partitioned",
+    "top_event_paths",
+    "market_basket_rules",
+    "corr_matrix_lineitem",
+    "embedding_dim_stats",
 ]
 
 

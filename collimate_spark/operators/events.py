@@ -595,6 +595,80 @@ ORDER BY user_id
 """
 
 
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: sessionize (30-min gap), take each session's first 5
+    event types in time order, and count the most common journeys — the
+    clickstream analysis behind funnel discovery. Session assembly is one
+    user_id window + one (user, session) aggregation using
+    sort_array-of-structs (deterministic order without a second window);
+    the path table that reaches the final count is |sessions| rows of
+    ≤5-type strings, and the top-k is a TakeOrdered, not a global sort."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > 1800 * 1_000_000)
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.slice(F.expr("transform(evs, e -> e.event_type)"), 1, 5)
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+TOP_PATHS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+paths AS (
+  SELECT array_to_string(
+           list_slice(list(event_type ORDER BY ts, event_id), 1, 5), '>') AS path
+  FROM sess
+  GROUP BY user_id, session_id
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
 QUERIES = {
     "json_extract_events": json_extract_events,
     "tumbling_window_agg": tumbling_window_agg,
@@ -608,10 +682,12 @@ QUERIES = {
     "hypertable_rollup": hypertable_rollup,
     "ohlc_bars": ohlc_bars,
     "time_weighted_average": time_weighted_average,
+    "top_event_paths": top_event_paths,
 }
 
 ORACLES = {
     "ohlc_bars": OHLC_SQL,
+    "top_event_paths": TOP_PATHS_SQL,
     "time_weighted_average": TWA_SQL,
     "cohort_retention": COHORT_SQL,
     "hypertable_rollup": HYPERTABLE_SQL,

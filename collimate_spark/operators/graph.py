@@ -158,12 +158,76 @@ ORDER BY node
 """
 
 
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over orders-as-baskets: for part pairs
+    co-purchased in ≥2 orders, emit support, confidence P(y|x) and lift.
+    The basket self-join is co-partitioned on the order key (per-basket
+    fan-out bounded by basket size); item marginals are |parts|-sized and
+    broadcast. The full Apriori generalization iterates this same shape
+    per itemset size — the pair pass shown here is the one that matters
+    at scale (larger itemsets prune exponentially)."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    a, b = li.alias("a"), li.alias("b")
+    pair_c = (
+        a.join(
+            b,
+            on=(F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y"))
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= 2)
+    )
+    item_c = li.groupBy(F.col("l_partkey").alias("k")).agg(F.count(F.lit(1)).alias("c"))
+    cx = F.broadcast(item_c.select(F.col("k").alias("x"), F.col("c").alias("c_x")))
+    cy = F.broadcast(item_c.select(F.col("k").alias("y"), F.col("c").alias("c_y")))
+    return (
+        pair_c.join(cx, "x")
+        .join(cy, "y")
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            F.round(F.col("c_xy") / F.col("c_x"), 4).alias("confidence"),
+            F.round(
+                (F.col("c_xy") / F.col("c_x")) / (F.col("c_y") / F.lit(float(n_orders))), 4
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("c_xy"), "x", "y")
+        .limit(100)
+    )
+
+
+MARKET_BASKET_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM li),
+pair_c AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS c_xy
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+item_c AS (SELECT l_partkey AS k, COUNT(*) AS c FROM li GROUP BY 1)
+SELECT x, y, c_xy,
+       ROUND(c_xy * 1.0 / cx.c, 4) AS confidence,
+       ROUND((c_xy * 1.0 / cx.c) / (cy.c / n_orders), 4) AS lift
+FROM pair_c
+JOIN item_c cx ON cx.k = x
+JOIN item_c cy ON cy.k = y, n
+ORDER BY c_xy DESC, x, y
+LIMIT 100
+"""
+
+
 QUERIES = {
     "triangle_participation": triangle_participation,
     "pagerank_copurchase": pagerank_copurchase,
+    "market_basket_rules": market_basket_rules,
 }
 
 ORACLES = {
     "triangle_participation": TRIANGLE_SQL,
     "pagerank_copurchase": PAGERANK_SQL,
+    "market_basket_rules": MARKET_BASKET_SQL,
 }

@@ -241,6 +241,33 @@ FROM cells JOIN row_m USING (event_type) JOIN col_m USING (bucket), tot
 """
 
 
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix of the four lineitem measures in ONE
+    aggregation pass (all pairs as parallel `corr` aggregates — the
+    columnar-scan-once answer; a naive per-pair loop would rescan the
+    fact table six times)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [
+        F.round(F.corr(a, b), 4).alias(f"corr_{a[2:]}_{b[2:]}")
+        for idx, a in enumerate(cols)
+        for b in cols[idx + 1 :]
+    ]
+    return li.agg(F.count(F.lit(1)).alias("n"), *aggs)
+
+
+CORR_MATRIX_SQL = """
+SELECT COUNT(*) AS n,
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_quantity_extendedprice,
+       ROUND(corr(l_quantity, l_discount), 4) AS corr_quantity_discount,
+       ROUND(corr(l_quantity, l_tax), 4) AS corr_quantity_tax,
+       ROUND(corr(l_extendedprice, l_discount), 4) AS corr_extendedprice_discount,
+       ROUND(corr(l_extendedprice, l_tax), 4) AS corr_extendedprice_tax,
+       ROUND(corr(l_discount, l_tax), 4) AS corr_discount_tax
+FROM lineitem
+"""
+
+
 QUERIES = {
     "grouped_zscore": grouped_zscore,
     "agg_percentile": agg_percentile,
@@ -249,6 +276,7 @@ QUERIES = {
     "unpivot_lineitem": unpivot_lineitem,
     "array_agg_sorted": array_agg_sorted,
     "chi2_event_value": chi2_event_value,
+    "corr_matrix_lineitem": corr_matrix_lineitem,
 }
 
 ORACLES = {
@@ -259,4 +287,5 @@ ORACLES = {
     "unpivot_lineitem": UNPIVOT_SQL,
     "array_agg_sorted": ARRAY_AGG_SQL,
     "chi2_event_value": CHI2_SQL,
+    "corr_matrix_lineitem": CORR_MATRIX_SQL,
 }

@@ -456,6 +456,43 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature profile of the embedding corpus (mean / std
+    / min / max / zero-fraction) — the drift monitor run before any
+    ANN index rebuild. One posexplode + one (dim)-keyed aggregation;
+    the result is d rows regardless of corpus size."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    dims = emb.select(F.posexplode(F.expr("CAST(embedding AS array<double>)")).alias("pos", "v"))
+    return (
+        dims.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("v"), 5).alias("mean"),
+            F.round(F.stddev_samp("v"), 5).alias("std"),
+            F.round(F.min("v"), 5).alias("min"),
+            F.round(F.max("v"), 5).alias("max"),
+        )
+        .orderBy("pos")
+    )
+
+
+DIM_STATS_SQL = """
+WITH dims AS (
+  SELECT r.i - 1 AS pos, v[r.i] AS x
+  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       UNNEST(range(1, len(v) + 1)) AS r(i)
+)
+SELECT CAST(pos AS INTEGER) AS pos, COUNT(*) AS n,
+       ROUND(AVG(x), 5) AS mean,
+       ROUND(stddev_samp(x), 5) AS std,
+       ROUND(MIN(x), 5) AS min,
+       ROUND(MAX(x), 5) AS max
+FROM dims
+GROUP BY pos
+ORDER BY pos
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "embedding_cluster_cohesion": embedding_cluster_cohesion,
@@ -464,6 +501,7 @@ QUERIES = {
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_gram_matrix": embedding_gram_matrix,
     "kmeans_lloyd_clusters": kmeans_lloyd_clusters,
+    "embedding_dim_stats": embedding_dim_stats,
 }
 
 ORACLES = {
@@ -471,6 +509,7 @@ ORACLES = {
     "embedding_cluster_cohesion": COHESION_SQL,
     "embedding_quantize_int8": QUANTIZE_SQL,
     "embedding_gram_matrix": GRAM_SQL,
+    "embedding_dim_stats": DIM_STATS_SQL,
     # kmeans_lloyd_clusters: rows-only (iterative float refinement;
     # monotone-inertia + self-consistency asserted in test_similarity.py)
     # ann_ivf_topk / ann_lsh_topk: rows-only (approximate by construction;

@@ -669,6 +669,60 @@ LIMIT 20
 """
 
 
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE ``session_window`` operator
+    (the same physical operator Structured Streaming uses for stateful
+    sessionization) — one aggregation, no manual lag/cumsum. Oracled by
+    the equivalent gap-merge SQL: a session is a maximal run of events
+    with < 30 minutes between consecutive ones, and its window end is
+    last_event + 30 min (Spark's session_window contract). Per user:
+    session count, mean session event count, mean session span."""
+    ev = load_table(spark, "events", sf_dir)
+    sess = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.round(
+                F.avg(F.expr("timestampdiff(MICROSECOND, w.start, w.end)") / 1e6), 4
+            ).alias("avg_session_secs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         EPOCH(MAX(ts)) + 1800 - EPOCH(MIN(ts)) AS span_secs
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       ROUND(AVG(span_secs), 4) AS avg_session_secs
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "json_extract_events": json_extract_events,
     "tumbling_window_agg": tumbling_window_agg,
@@ -683,11 +737,13 @@ QUERIES = {
     "ohlc_bars": ohlc_bars,
     "time_weighted_average": time_weighted_average,
     "top_event_paths": top_event_paths,
+    "session_window_agg": session_window_agg,
 }
 
 ORACLES = {
     "ohlc_bars": OHLC_SQL,
     "top_event_paths": TOP_PATHS_SQL,
+    "session_window_agg": SESSION_WINDOW_SQL,
     "time_weighted_average": TWA_SQL,
     "cohort_retention": COHORT_SQL,
     "hypertable_rollup": HYPERTABLE_SQL,

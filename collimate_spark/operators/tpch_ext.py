@@ -554,6 +554,52 @@ LIMIT 100
 """
 
 
+def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the ubiquitous BI
+    comparison query: one star-join aggregate to (nation, year), then a
+    lag window over the tiny result (|nations| x |years| rows). The fact
+    table is scanned once; growth math never touches it."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(F.round(F.sum(li.l_extendedprice * (1 - li.l_discount)), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    return (
+        rev.withColumn("prev_rev", F.lag("revenue").over(w))
+        .withColumn(
+            "yoy_pct",
+            F.round((F.col("revenue") - F.col("prev_rev")) / F.col("prev_rev") * 100, 4),
+        )
+        .select("n_name", "yr", "revenue", "yoy_pct")
+        .orderBy("n_name", "yr")
+    )
+
+
+YOY_SQL = """
+WITH rev AS (
+  SELECT n_name, EXTRACT(year FROM o_orderdate) AS yr,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, CAST(yr AS INTEGER) AS yr, revenue,
+       ROUND((revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w * 100, 4) AS yoy_pct
+FROM rev
+WINDOW w AS (PARTITION BY n_name ORDER BY yr)
+ORDER BY n_name, yr
+"""
+
+
 QUERIES = {
     "q2_cheapest_supplier": q2_cheapest_supplier,
     "q7_nation_volume": q7_nation_volume,
@@ -568,6 +614,7 @@ QUERIES = {
     "q20_excess_shippers": q20_excess_shippers,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_idle_rich_customers": q22_idle_rich_customers,
+    "yoy_revenue_growth": yoy_revenue_growth,
 }
 
 ORACLES = {
@@ -584,4 +631,5 @@ ORACLES = {
     "q20_excess_shippers": Q20_SQL,
     "q21_waiting_suppliers": Q21_SQL,
     "q22_idle_rich_customers": Q22_SQL,
+    "yoy_revenue_growth": YOY_SQL,
 }

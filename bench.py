@@ -96,6 +96,8 @@ EXTRA_QUERIES = [
     "market_basket_rules",
     "corr_matrix_lineitem",
     "embedding_dim_stats",
+    "session_window_agg",
+    "yoy_revenue_growth",
 ]
 
 

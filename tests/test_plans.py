@@ -194,3 +194,19 @@ def test_copurchase_edges_broadcast_part_dims(spark, sf_dir):
     plan = _plan(_copurchase_edges(spark, sf_dir))
     # both part-dim joins broadcast; the self-join co-partitions on order key
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
+    """AQE must be on and actively coalescing small shuffle partitions
+    (AQEShuffleRead coalesced) — the runtime re-plan the engine relies on
+    for skew and small-partition handling at scale."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    df = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .count()
+    )
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "AQEShuffleRead coalesced" in plan

@@ -146,3 +146,28 @@ def test_write_format_rejects_unknown(spark, sf_dir, tmp_path):
     nation = load_table(spark, "nation", sf_dir)
     with _pytest.raises(ValueError):
         write_format(nation, str(tmp_path / "x"), "xml")
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, sf_dir, tmp_path):
+    """A fact table partitioned on order_year joined to a FILTERED dim
+    must scan only the matching partitions even though the filter is on
+    the dim side — Spark's dynamic partition pruning (the mechanism that
+    turns star-join queries into partial scans at 100 TB)."""
+    orders = load_table(spark, "orders", sf_dir).withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_partitioned(orders, path, ["order_year"])
+    fact = spark.read.parquet(path)
+    # dim must be an INDEPENDENT table with a filter Catalyst cannot fold
+    # into a static partition predicate, else static pruning wins instead
+    dim_path = str(tmp_path / "year_dim")
+    orders.select("order_year").distinct().withColumn(
+        "tag", F.when(F.col("order_year") == 1995, "keep").otherwise("drop")
+    ).write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("tag") == "keep")
+    joined = fact.join(dim, "order_year").groupBy("order_year").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan or "dynamicpruning" in plan.lower()
+    rows = joined.collect()
+    assert len(rows) == 1 and rows[0]["order_year"] == 1995

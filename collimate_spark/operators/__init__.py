@@ -132,6 +132,7 @@ def _modules():
         timeseries,
         dataeng,
         graph,
+        stats,
     )
 
     return (
@@ -151,6 +152,7 @@ def _modules():
         timeseries,
         dataeng,
         graph,
+        stats,
     )
 
 

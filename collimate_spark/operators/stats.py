@@ -1,0 +1,373 @@
+"""Statistical-modeling operators the reference's downstream consumers run
+over a converted columnar store (SURVEY.md §2.2 lists the reference itself
+has none — its README delegates querying to the un-vendored ``frame``):
+
+- grouped ordinary-least-squares regression (built-in ``regr_*`` aggregates),
+- RFM (recency / frequency / monetary) customer segmentation,
+- Pareto 80/20 cumulative-contribution analysis,
+- Misra-Gries heavy hitters: a real mergeable sketch pass + exact verify,
+- CUSUM changepoint detection via a prefix-sum/running-min identity.
+
+Scale posture notes are per-operator; the common theme is that every
+full-table pass is a single shuffle-free scan + one keyed aggregation, and
+the only global windows run over already-aggregated dimension-sized frames
+(customers, parts), never over fact rows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from collimate_spark.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS regression
+
+
+def regr_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS of extendedprice on quantity using the built-in
+    ``regr_slope/regr_intercept/regr_r2`` aggregates (JVM-side, one partial
+    agg + one final agg — the same two-phase plan as any SUM). No Python,
+    no second pass: Spark's regr_* maintain the (n, Σx, Σy, Σxx, Σxy, Σyy)
+    moment sketch per group, which is mergeable and skew-immune."""
+    li = load_table(spark, "lineitem", sf_dir)
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 4).alias("r2"),
+            F.round(F.corr(y, x), 4).alias("pearson_r"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+REGR_PRICE_TREND_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+       ROUND(corr(l_extendedprice, l_quantity), 4) AS pearson_r
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM: per customer, days since last order (vs the corpus max
+    date), order count, total spend; then quartile each dimension with
+    ``ntile(4)`` and emit the three-digit segment.
+
+    Scale: the fact scan is one groupBy(o_custkey) — shuffle on a
+    high-cardinality key. The global max date joins in via
+    crossJoin(broadcast(1-row agg)), NOT an empty-partition window over
+    facts. The ntile windows are global total orders, but they run over the
+    per-CUSTOMER frame (|customers| ≈ |facts| / 10²…10³); at 100 TB swap
+    them for approx_percentile-derived bucket thresholds — documented
+    trade: exact rank vs one single-task sort of the dimension."""
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    global_max = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("max_date"))
+    rfm = per_cust.crossJoin(F.broadcast(global_max)).withColumn(
+        "recency_days", F.datediff("max_date", "last_order")
+    )
+    # ties broken by custkey -> total order -> identical ntile on any engine
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    w_m = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    return (
+        rfm.select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            F.ntile(4).over(w_r).alias("r_quartile"),
+            F.ntile(4).over(w_f).alias("f_quartile"),
+            F.ntile(4).over(w_m).alias("m_quartile"),
+        )
+        .withColumn(
+            "segment",
+            F.concat_ws("", F.col("r_quartile"), F.col("f_quartile"), F.col("m_quartile")),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+RFM_SEGMENTATION_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(MAX(o_orderdate) AS DATE) AS last_order,
+         COUNT(*) AS frequency,
+         ROUND(SUM(o_totalprice), 2) AS monetary
+  FROM orders
+  GROUP BY o_custkey
+), g AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS max_date FROM orders),
+rfm AS (
+  SELECT o_custkey, date_diff('day', last_order, max_date) AS recency_days,
+         frequency, monetary
+  FROM per_cust, g
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_quartile,
+       NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_quartile,
+       NTILE(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_quartile,
+       CAST(NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS VARCHAR) ||
+       CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS VARCHAR) ||
+       CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS VARCHAR) AS segment
+FROM rfm
+ORDER BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pareto / cumulative contribution
+
+
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 analysis: revenue per part, cumulative share in descending
+    revenue order, and the flag for the prefix that reaches 80%.
+
+    The fact pass is one groupBy(l_partkey). The cumulative window is a
+    global total order — but over the per-PART aggregate (dimension-sized);
+    the total joins in as a broadcast 1-row agg, not a second global
+    window. Ties broken by partkey so the running sum is deterministic.
+
+    Sums run in DECIMAL(18,2): per-part revenue sums land on half-cent
+    boundaries where a parallel double reduction rounds differently per
+    engine (observed at sf0.01); decimal partial aggregation is exact and
+    association-free, so any plan produces the identical cumulative sum."""
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev_d"))
+    total = per_part.agg(F.sum("rev_d").cast("double").alias("total_revenue"))
+    w = Window.orderBy(F.col("rev_d").desc(), F.col("l_partkey").asc())
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            # round the DECIMAL (exact HALF_UP both engines), THEN cast:
+            # ROUND(double, 2) disagrees across engines at exact half-cents
+            F.round(F.col("rev_d"), 2).cast("double").alias("revenue"),
+            F.round(
+                F.sum("rev_d").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+                / F.col("total_revenue"),
+                6,
+            ).alias("cum_share"),
+        )
+        .withColumn("in_top80", (F.col("cum_share") <= 0.8).cast("int"))
+        .orderBy(F.col("revenue").desc(), F.col("l_partkey").asc())
+    )
+
+
+PARETO_REVENUE_SHARE_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_d
+  FROM lineitem
+  GROUP BY l_partkey
+), t AS (SELECT CAST(SUM(rev_d) AS DOUBLE) AS total_revenue FROM per_part)
+SELECT l_partkey,
+       CAST(ROUND(rev_d, 2) AS DOUBLE) AS revenue,
+       ROUND(CAST(SUM(rev_d) OVER (ORDER BY rev_d DESC, l_partkey ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / total_revenue, 6) AS cum_share,
+       CAST(ROUND(CAST(SUM(rev_d) OVER (ORDER BY rev_d DESC, l_partkey ASC
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS DOUBLE) / total_revenue, 6) <= 0.8 AS INT) AS in_top80
+FROM per_part, t
+ORDER BY revenue DESC, l_partkey ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (sketch + exact verify)
+
+MG_COUNTERS = 30  # < vocab size, so the sketch genuinely evicts
+HH_PHI = 1.0 / 30.0  # phi-heavy-hitter threshold: freq > phi * N
+
+
+def _mg_partition(pdfs) -> "pd.DataFrame":
+    """Per-partition Misra-Gries summary with MG_COUNTERS counters.
+
+    Guarantee: any item with partition frequency > n_p / MG_COUNTERS
+    survives with estimate >= freq - n_p / MG_COUNTERS; the union of
+    per-partition survivors is therefore a superset of the global
+    phi-heavy-hitters whenever phi >= 1/MG_COUNTERS. Emits <= MG_COUNTERS
+    rows per partition — constant-size output regardless of input size,
+    which is the whole point of sketching at 100 TB."""
+    counters: dict[str, int] = {}
+    for pdf in pdfs:
+        for text in pdf["text"]:
+            for w in text.lower().split():
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < MG_COUNTERS:
+                    counters[w] = 1
+                else:
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+    if counters:
+        yield pd.DataFrame({"word": list(counters), "est": list(counters.values())})
+
+
+def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phi-heavy-hitter words (freq > N/30) via a two-phase
+    sketch-then-verify plan:
+
+    1. mapInPandas Misra-Gries per partition -> <= 30 (word, est) rows per
+       task, merged by one tiny groupBy. Candidates are a guaranteed
+       superset of the true heavy hitters (see _mg_partition).
+    2. Exact verify: one explode+count pass over the corpus, inner-joined
+       to the broadcast candidate set, filtered by the exact threshold.
+
+    The verify pass makes the result exact (hence DuckDB-oracled); the
+    sketch pass is what survives 100 TB — candidate cardinality is bounded
+    by 30 x #partitions, so the broadcast join prunes the exact count to a
+    handful of keys instead of the full vocabulary."""
+    docs = load_table(spark, "documents", sf_dir)
+    candidates = (
+        docs.select("text")
+        .mapInPandas(_mg_partition, "word string, est long")
+        .groupBy("word")
+        .agg(F.sum("est").alias("est"))
+        .select("word")
+    )
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    total = words.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        words.join(F.broadcast(candidates), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") > F.lit(HH_PHI) * F.col("n_total"))
+        .select("word", "freq", F.round(F.col("freq") / F.col("n_total"), 6).alias("share"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+    )
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+  FROM documents
+), w2 AS (SELECT word FROM w WHERE word <> ''),
+t AS (SELECT COUNT(*) AS n_total FROM w2)
+SELECT word, COUNT(*) AS freq,
+       ROUND(COUNT(*) * 1.0 / MAX(n_total), 6) AS share
+FROM w2, t
+GROUP BY word
+HAVING COUNT(*) > {HH_PHI!r} * MAX(n_total)
+ORDER BY freq DESC, word
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection
+
+CUSUM_SLACK = 0.5  # k: drift allowance in sigma units
+CUSUM_H = 4.0  # alarm threshold in sigma units
+
+
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided standardized CUSUM per user series:
+    ``S_i = max(0, S_{i-1} + z_i - k)``, alarms where ``S_i > h``.
+
+    The recursion is NOT a built-in window aggregate, but it has a closed
+    form: with ``d_i = z_i - k`` and prefix sums ``P_i``,
+    ``S_i = P_i - min(0, min_{j<=i} P_j)`` — two window passes (running
+    sum + running min), all JVM-side, partitioned by user_id. This is the
+    standard trick for turning a clamp-at-zero recursion into windowed
+    prefix scans; no UDF, no iteration, scale-safe on any series length."""
+    ev = load_table(spark, "events", sf_dir)
+    w_all = Window.partitionBy("user_id")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w_seq.rowsBetween(Window.unboundedPreceding, 0)
+    scored = (
+        ev.withColumn("mu", F.avg("value").over(w_all))
+        .withColumn("sigma", F.stddev_samp("value").over(w_all))
+        .withColumn("d", (F.col("value") - F.col("mu")) / F.col("sigma") - CUSUM_SLACK)
+        .withColumn("p", F.sum("d").over(run))
+        .withColumn("s", F.col("p") - F.least(F.lit(0.0), F.min("p").over(run)))
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("s") > CUSUM_H).cast("int")).alias("n_alarms"),
+            F.round(F.max("s"), 4).alias("max_cusum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+CUSUM_SQL = f"""
+WITH scored AS (
+  SELECT user_id, ts, event_id, value,
+         AVG(value) OVER (PARTITION BY user_id) AS mu,
+         stddev_samp(value) OVER (PARTITION BY user_id) AS sigma
+  FROM events
+), d AS (
+  SELECT user_id, ts, event_id,
+         (value - mu) / sigma - {CUSUM_SLACK!r} AS d
+  FROM scored
+), p AS (
+  SELECT user_id, ts, event_id,
+         SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM d
+), s AS (
+  SELECT user_id,
+         p - LEAST(0.0, MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+  FROM p
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(s > {CUSUM_H!r} AS INT)) AS BIGINT) AS n_alarms,
+       ROUND(MAX(s), 4) AS max_cusum
+FROM s
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+QUERIES = {
+    "regr_price_trend": regr_price_trend,
+    "rfm_segmentation": rfm_segmentation,
+    "pareto_revenue_share": pareto_revenue_share,
+    "heavy_hitters_words": heavy_hitters_words,
+    "cusum_changepoints": cusum_changepoints,
+}
+
+ORACLES = {
+    "regr_price_trend": REGR_PRICE_TREND_SQL,
+    "rfm_segmentation": RFM_SEGMENTATION_SQL,
+    "pareto_revenue_share": PARETO_REVENUE_SHARE_SQL,
+    "heavy_hitters_words": HEAVY_HITTERS_SQL,
+    "cusum_changepoints": CUSUM_SQL,
+}

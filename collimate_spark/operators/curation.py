@@ -350,12 +350,142 @@ LIMIT 50
 """
 
 
+# ---------------------------------------------------------------------------
+# Sliding-window chunking (RAG / context-window preprocessing)
+
+CHUNK_TOKENS = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # overlap = CHUNK_TOKENS - CHUNK_STRIDE
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into fixed-token sliding windows with overlap
+    (stride < window), the standard chunking step before embedding or
+    context packing. Pure JVM plan: tokens -> ``sequence(0, n-1, stride)``
+    start offsets -> ``posexplode`` + ``slice`` — no UDF, no shuffle at
+    all (chunking is embarrassingly row-local; writers repartition
+    downstream if they need size-balanced output files). Trailing chunks
+    may be shorter than CHUNK_TOKENS; every token is covered by >= 1
+    chunk. Contrast with ``pack_sequences`` (which concatenates ACROSS
+    documents); chunking splits WITHIN documents and keeps provenance."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = X.tokens(F.col("text"))
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(CHUNK_STRIDE))
+    return (
+        docs.select("doc_id", toks.alias("toks"), F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "start",
+            F.least(F.size("toks") - F.col("start"), F.lit(CHUNK_TOKENS)).alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.slice("toks", F.col("start") + 1, CHUNK_TOKENS)).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_TOKS_SQL = "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+
+CHUNK_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start
+  FROM tok
+), idx AS (
+  SELECT doc_id, toks, start, CAST(start / {CHUNK_STRIDE} AS INT) AS chunk_idx
+  FROM starts
+)
+SELECT doc_id, chunk_idx, CAST(start AS INT) AS start,
+       CAST(LEAST(len(toks) - start, {CHUNK_TOKENS}) AS INT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, start + 1, start + {CHUNK_TOKENS}), ' ') AS chunk_text
+FROM idx
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain mixing
+
+MIX_TEMPERATURE = 0.5  # tau: c_s^tau re-weighting (tau<1 upweights small domains)
+MIX_TARGET_FRACTION = 0.5  # overall corpus fraction to keep
+
+
+def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain (source) re-sampling — the multilingual /
+    multi-domain mixing rule (sample domain s with probability
+    proportional to ``c_s^tau``, tau < 1 flattening the distribution so
+    small domains are not drowned out). Per-source keep-rate
+    ``p_s = min(1, (c_s^tau / sum c^tau) * N_target / c_s)`` is computed
+    from the data in one tiny agg (|sources| rows), broadcast back, and
+    each row keeps deterministically via an md5(doc_id) uniform — the
+    same reproducible-across-engines device as
+    ``stratified_sample_documents``, but with DATA-DEPENDENT rates.
+    Scale: one scan + one |sources|-row broadcast join; no shuffle of the
+    corpus itself."""
+    docs = load_table(spark, "documents", sf_dir)
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    totals = per_src.agg(
+        F.sum(F.sqrt("n_total")).alias("z"),
+        F.sum("n_total").alias("corpus_n"),
+    )
+    rates = per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_total",
+        F.least(
+            F.lit(1.0),
+            (F.sqrt("n_total") / F.col("z"))
+            * (F.lit(MIX_TARGET_FRACTION) * F.col("corpus_n"))
+            / F.col("n_total"),
+        ).alias("p_keep"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("double")
+    ) / (2.0 ** 32)
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .select("source", "n_total", "p_keep", (u < F.col("p_keep")).cast("int").alias("kept"))
+        .groupBy("source", "n_total", F.round("p_keep", 6).alias("target_rate"))
+        .agg(
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.round(F.sum("kept") / F.count(F.lit(1)), 4).alias("achieved_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+DOMAIN_MIX_SQL = f"""
+WITH per_src AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source),
+tot AS (SELECT SUM(sqrt(n_total)) AS z, SUM(n_total) AS corpus_n FROM per_src),
+rates AS (
+  SELECT source, n_total,
+         LEAST(1.0, (sqrt(n_total) / z) * ({MIX_TARGET_FRACTION!r} * corpus_n) / n_total)
+           AS p_keep
+  FROM per_src, tot
+), flagged AS (
+  SELECT d.source, r.n_total, r.p_keep,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   / 4294967296.0 < r.p_keep
+              THEN 1 ELSE 0 END AS kept
+  FROM documents d JOIN rates r USING (source)
+)
+SELECT source, n_total, ROUND(p_keep, 6) AS target_rate,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       ROUND(SUM(kept) * 1.0 / COUNT(*), 4) AS achieved_rate
+FROM flagged
+GROUP BY source, n_total, ROUND(p_keep, 6)
+ORDER BY source
+"""
+
+
 QUERIES = {
     "pack_sequences": pack_sequences,
     "decontaminate_ngram": decontaminate_ngram,
     "shard_export_assignment": shard_export_assignment,
     "curate_corpus": curate_corpus,
     "weighted_sample_documents": weighted_sample_documents,
+    "chunk_documents": chunk_documents,
+    "domain_mix_temperature": domain_mix_temperature,
 }
 
 ORACLES = {
@@ -364,4 +494,6 @@ ORACLES = {
     "shard_export_assignment": SHARD_EXPORT_SQL,
     "curate_corpus": _curate_sql(),
     "weighted_sample_documents": WEIGHTED_SAMPLE_SQL,
+    "chunk_documents": CHUNK_SQL,
+    "domain_mix_temperature": DOMAIN_MIX_SQL,
 }

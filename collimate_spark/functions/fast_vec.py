@@ -144,3 +144,99 @@ def srp_probe_masks(bits: int = SRP_BITS, radius: int = SRP_PROBE_RADIUS) -> lis
             (1 << i) | (1 << j) for i in range(bits) for j in range(i + 1, bits)
         ]
     return masks
+
+
+# --- product quantization (PQ) ---------------------------------------------
+
+PQ_M = 8  # subspaces (64-dim -> 8 chunks of 8 dims)
+PQ_KS = 16  # centroids per subspace -> 4-bit codes, m bytes per vector
+
+_PQ_CACHE: dict[tuple[str, int, int], np.ndarray] = {}
+
+
+def _train_kmeans_l2(
+    X: np.ndarray, k: int, seed: int = KMEANS_SEED, iters: int = KMEANS_ITERS
+) -> np.ndarray:
+    """Plain euclidean Lloyd's with k-means++ init (PQ codebooks live in
+    subspace coordinates, NOT on the unit sphere — spherical assignment
+    would be wrong here). Deterministic for fixed input order and seed."""
+    X = X.astype(np.float64, copy=False)
+    n = len(X)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    chosen = [int(rng.integers(n))]
+    d2 = np.full(n, np.inf)
+    for _ in range(k - 1):
+        d2 = np.minimum(d2, ((X - X[chosen[-1]]) ** 2).sum(axis=1))
+        total = d2.sum()
+        if total <= 0:
+            chosen.append(int(rng.integers(n)))
+        else:
+            chosen.append(int(rng.choice(n, p=d2 / total)))
+    C = X[chosen].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        newC = np.vstack(
+            [X[assign == j].mean(axis=0) if (assign == j).any() else C[j] for j in range(k)]
+        )
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
+def trained_pq_codebooks(
+    spark, df, m: int = PQ_M, ks: int = PQ_KS, cache_key: str = ""
+) -> np.ndarray:
+    """Train (or fetch memoized) PQ codebooks, shape (m, ks, dim/m), on the
+    same deterministic bounded sample as ``trained_quantizer``. Vectors
+    are L2-normalized BEFORE splitting, so squared ADC distance is
+    monotone in cosine (on the unit sphere L2² = 2 − 2·cos)."""
+    import pyspark.sql.functions as F
+
+    key = (cache_key, m, ks)
+    hit = _PQ_CACHE.get(key)
+    if hit is not None:
+        return hit
+    n = df.count()
+    modulus = max(1, n // SAMPLE_CAP)
+    sample = df.select("vec_id", "embedding")
+    if modulus > 1:
+        sample = sample.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(modulus)) == 0)
+    rows = sorted(sample.collect(), key=lambda r: r[0])
+    X = _normalize(np.array([r[1] for r in rows], dtype=np.float64))
+    sub = X.shape[1] // m
+    books = np.stack(
+        [
+            _train_kmeans_l2(X[:, j * sub : (j + 1) * sub], ks, seed=KMEANS_SEED + j)
+            for j in range(m)
+        ]
+    )
+    _PQ_CACHE[key] = books
+    return books
+
+
+def pq_encode(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) int32 codes: per subspace, the L2-nearest codebook entry of
+    the NORMALIZED vector chunk. Vectorized per Arrow batch."""
+    X = _normalize(mat.astype(np.float64, copy=False))
+    m, ks, sub = books.shape
+    out = np.empty((len(X), m), dtype=np.int32)
+    for j in range(m):
+        chunk = X[:, j * sub : (j + 1) * sub]
+        # argmin ||x - c||² = argmin (−2 x·c + ||c||²)
+        d = -2.0 * (chunk @ books[j].T) + (books[j] ** 2).sum(axis=1)
+        out[:, j] = np.argmin(d, axis=1)
+    return out
+
+
+def pq_adc_lut(q: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(m, ks) asymmetric-distance lookup table for one NORMALIZED query:
+    entry [j, c] = ||q_j − books[j, c]||². ADC distance of a coded vector
+    is then m table lookups + a sum — the compressed-domain scan that
+    reads m bytes per candidate instead of the full float vector."""
+    qn = q / (np.linalg.norm(q) or 1.0)
+    m, ks, sub = books.shape
+    return np.stack(
+        [((books[j] - qn[j * sub : (j + 1) * sub]) ** 2).sum(axis=1) for j in range(m)]
+    )

@@ -230,6 +230,70 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_ranked(scored)
 
 
+PQ_RERANK = 100  # ADC shortlist size fed to exact re-ranking (per-query constant)
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-k: PQ codebooks (8 subspaces × 16
+    centroids, trained on the same deterministic bounded sample as IVF)
+    encode every corpus vector as 8 small codes; queries score candidates
+    in the COMPRESSED domain via an ADC lookup table (8 table reads + a
+    sum per candidate — ~32× less memory traffic than the float vector),
+    keep an ADC shortlist of PQ_RERANK, and exactly re-rank only the
+    shortlist with the deterministic JVM cosine fold.
+
+    This is the complementary scale path to IVF/LSH: those prune WHICH
+    candidates are scored; PQ compresses HOW each candidate is scored, so
+    a full scan touches m bytes per vector instead of 4·dim. (FAISS
+    composes both as IVFPQ; here they are separate operators so each is
+    testable alone.) Approximate by construction → rows-only driver
+    check; recall vs brute force asserted in tests/test_similarity.py."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = fast_vec.trained_pq_codebooks(spark, emb, cache_key=sf_dir)
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect(),
+        key=lambda r: r[0],
+    )
+    luts = {
+        int(r[0]): fast_vec.pq_adc_lut(np.array(r[1], dtype=np.float64), books) for r in q_rows
+    }
+    m = books.shape[0]
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode_udf(s: pd.Series) -> pd.Series:
+        mat = np.vstack(s.to_numpy())
+        return pd.Series(fast_vec.pq_encode(mat, books).tolist())
+
+    @pandas_udf(T.DoubleType())
+    def adc_udf(codes: pd.Series, qid: pd.Series) -> pd.Series:
+        cm = np.vstack(codes.to_numpy())
+        qv = qid.to_numpy()
+        out = np.empty(len(cm), dtype=np.float64)
+        for q in np.unique(qv):
+            mask = qv == q
+            out[mask] = luts[int(q)][np.arange(m)[None, :], cm[mask]].sum(axis=1)
+        return pd.Series(out)
+
+    corpus = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    ).withColumn("codes", encode_udf(F.col("c_emb")))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    shortlist_w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("cand_id").asc()
+    )
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("adc", adc_udf(F.col("codes"), F.col("query_id")))
+        .withColumn("adc_rk", F.row_number().over(shortlist_w))
+        .filter(F.col("adc_rk") <= PQ_RERANK)
+        .withColumn("cos_raw", V.cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    return _topk_ranked(scored)
+
+
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization of the embedding column — the
     4× storage/bandwidth compressor every large ANN corpus applies before
@@ -498,6 +562,7 @@ QUERIES = {
     "embedding_cluster_cohesion": embedding_cluster_cohesion,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_pq_topk": ann_pq_topk,
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_gram_matrix": embedding_gram_matrix,
     "kmeans_lloyd_clusters": kmeans_lloyd_clusters,
@@ -512,6 +577,6 @@ ORACLES = {
     "embedding_dim_stats": DIM_STATS_SQL,
     # kmeans_lloyd_clusters: rows-only (iterative float refinement;
     # monotone-inertia + self-consistency asserted in test_similarity.py)
-    # ann_ivf_topk / ann_lsh_topk: rows-only (approximate by construction;
-    # recall vs brute force asserted in tests/test_similarity.py)
+    # ann_ivf_topk / ann_lsh_topk / ann_pq_topk: rows-only (approximate by
+    # construction; recall vs brute force asserted in tests/test_similarity.py)
 }

@@ -25,6 +25,7 @@ from collimate_spark.operators.similarity import (
     ann_bruteforce_topk,
     ann_ivf_topk,
     ann_lsh_topk,
+    ann_pq_topk,
     centroids,
 )
 
@@ -269,3 +270,56 @@ def test_hll_weekly_estimates_within_tolerance(spark, sf_dir):
     assert set(est) == set(exact)
     for wk, n in exact.items():
         assert abs(est[wk] - n) / max(n, 1) < 0.05, (wk, est[wk], n)
+
+
+def test_pq_recall_clustered(spark, clustered_dir):
+    """PQ + exact re-rank on clustered data: the ADC shortlist keeps the
+    true neighbors (same-cluster cosine ≈ 0.85 -> small ADC distance), so
+    recall after re-ranking should be near-exact (measured 1.0). Also pin
+    the compression claim: codes are PQ_M small ints, 4-bit range."""
+    recall, n_pq, n_bf = _recall(spark, ann_bruteforce_topk, ann_pq_topk, clustered_dir)
+    assert n_pq == n_bf
+    assert recall >= 0.9, f"PQ recall {recall}"
+    emb = load_table(spark, "embeddings", clustered_dir)
+    rows = sorted(emb.select("vec_id", "embedding").collect(), key=lambda r: r[0])
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    books = fast_vec.trained_pq_codebooks(spark, emb, cache_key=clustered_dir)
+    codes = fast_vec.pq_encode(X, books)
+    assert codes.shape == (len(X), fast_vec.PQ_M)
+    assert codes.min() >= 0 and codes.max() < fast_vec.PQ_KS
+
+
+def test_pq_adc_monotone_in_cosine(spark, clustered_dir):
+    """ADC distance must rank high-cosine pairs ahead of low-cosine pairs
+    on average: Spearman-style check that the ADC-nearest PQ_RERANK set
+    of query 0 captures most of the true top-10 (shortlist recall, before
+    re-ranking)."""
+    from collimate_spark.operators.similarity import PQ_RERANK
+
+    emb = load_table(spark, "embeddings", clustered_dir)
+    rows = sorted(emb.select("vec_id", "embedding").collect(), key=lambda r: r[0])
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    books = fast_vec.trained_pq_codebooks(spark, emb, cache_key=clustered_dir)
+    codes = fast_vec.pq_encode(X, books)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for q in range(3):
+        lut = fast_vec.pq_adc_lut(X[q], books)
+        adc = lut[np.arange(fast_vec.PQ_M)[None, :], codes].sum(axis=1)
+        adc[q] = np.inf
+        shortlist = set(np.argsort(adc, kind="stable")[:PQ_RERANK])
+        cos = Xn @ Xn[q]
+        cos[q] = -np.inf
+        true10 = set(np.argsort(-cos, kind="stable")[:10])
+        assert len(true10 & shortlist) >= 8, (q, len(true10 & shortlist))
+
+
+def test_pq_recall_floor_driver_data(spark, sf_dir):
+    """Driver-data (isotropic) floor for PQ: with re-ranking on a
+    PQ_RERANK shortlist the worst case is shortlist-random, so pin
+    recall within [floor, 1] and determinism across two runs."""
+    recall, n_pq, n_bf = _recall(spark, ann_bruteforce_topk, ann_pq_topk, sf_dir)
+    assert n_pq == n_bf
+    assert 1.0 >= recall >= 0.1, f"PQ driver recall {recall}"
+    a = [tuple(r) for r in ann_pq_topk(spark, sf_dir).collect()]
+    b = [tuple(r) for r in ann_pq_topk(spark, sf_dir).collect()]
+    assert a == b

@@ -98,6 +98,15 @@ EXTRA_QUERIES = [
     "embedding_dim_stats",
     "session_window_agg",
     "yoy_revenue_growth",
+    # round 3, third wave
+    "regr_price_trend",
+    "rfm_segmentation",
+    "pareto_revenue_share",
+    "heavy_hitters_words",
+    "cusum_changepoints",
+    "chunk_documents",
+    "domain_mix_temperature",
+    "ann_pq_topk",
 ]
 
 

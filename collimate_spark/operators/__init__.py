@@ -110,7 +110,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # weighted_sample_documents, chi2_event_value, embedding_gram_matrix,
 # kmeans_lloyd_clusters (rows-only), hll_sketch_partitioned (rows-only),
 # top_event_paths, market_basket_rules, corr_matrix_lineitem,
-# embedding_dim_stats, session_window_agg, yoy_revenue_growth.
+# embedding_dim_stats, session_window_agg, yoy_revenue_growth,
+# regr_price_trend, rfm_segmentation, pareto_revenue_share,
+# heavy_hitters_words, cusum_changepoints, chunk_documents,
+# domain_mix_temperature, ann_pq_topk (rows-only).
 # (*dedup_survivor_best_quality IS in this round's window already.)
 
 

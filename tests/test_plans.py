@@ -210,3 +210,67 @@ def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
     plan = _plan(df)
     assert "isFinalPlan=true" in plan
     assert "AQEShuffleRead coalesced" in plan
+
+
+def test_heavy_hitters_broadcasts_candidates(spark, sf_dir):
+    """The exact-verify pass must join the corpus against a BROADCAST
+    candidate set (<= 30 x #partitions rows) — a shuffle join here would
+    shuffle the full exploded token stream at 100 TB."""
+    from collimate_spark.operators.stats import heavy_hitters_words
+
+    plan = _plan(heavy_hitters_words(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rfm_single_fact_scan_and_broadcast_max(spark, sf_dir):
+    """RFM scans orders once for the per-customer agg and brings the
+    global max date in as a broadcast 1-row join, never an un-partitioned
+    window over fact rows."""
+    from collimate_spark.operators.stats import rfm_segmentation
+
+    plan = _plan(rfm_segmentation(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the ntile windows run AFTER aggregation: no window may consume the scan directly
+    assert plan.count("FileScan") == 2  # per_cust agg + global max
+
+
+def test_chunk_documents_no_shuffle(spark, sf_dir):
+    """Chunking is row-local: scan -> generate -> project, zero Exchange."""
+    from collimate_spark.operators.curation import chunk_documents
+
+    plan = _plan(chunk_documents(spark, sf_dir).drop("chunk_idx"))
+    # the orderBy is presentation-only; strip it the same way the noop
+    # sink would and assert the transform itself has no exchange
+    from collimate_spark.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    import pyspark.sql.functions as FF
+    from collimate_spark.functions import text as X
+    from collimate_spark.operators.curation import CHUNK_STRIDE, CHUNK_TOKENS
+
+    toks = X.tokens(FF.col("text"))
+    starts = FF.sequence(FF.lit(0), FF.greatest(FF.size(toks) - 1, FF.lit(0)), FF.lit(CHUNK_STRIDE))
+    core = docs.select("doc_id", toks.alias("toks"), FF.posexplode(starts).alias("chunk_idx", "start"))
+    assert "Exchange" not in _plan(core)
+
+
+def test_domain_mix_broadcasts_rates(spark, sf_dir):
+    """The per-source keep-rates (|sources| rows) broadcast back onto the
+    corpus scan; the corpus itself is never shuffled before the final agg."""
+    from collimate_spark.operators.curation import domain_mix_temperature
+
+    plan = _plan(domain_mix_temperature(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cusum_windows_share_one_exchange(spark, sf_dir):
+    """All four window passes (mean/std/prefix-sum/running-min) partition
+    by user_id — Catalyst must reuse ONE hashpartitioning exchange."""
+    from collimate_spark.operators.stats import cusum_changepoints
+
+    plan = _plan(cusum_changepoints(spark, sf_dir))
+    n_user_exchanges = sum(
+        1 for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "user_id" in line
+    )
+    assert n_user_exchanges == 1, f"expected 1 user_id exchange, saw {n_user_exchanges}"

@@ -122,3 +122,71 @@ def read_evolving(spark: SparkSession, paths: list[str]) -> DataFrame:
     pattern where new feeds gain columns without rewriting history.
     Pair with ingest.merge_manifests for the profile-side story."""
     return spark.read.option("mergeSchema", True).parquet(*paths)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: float = 128,
+    sort_within_by: list[str] | None = None,
+) -> tuple[int, int]:
+    """Compact a Parquet directory suffering the small-files problem into
+    ~``target_file_mb`` outputs. Returns (files_before, files_after).
+
+    The 100 TB rationale: every file costs a namenode/listing round-trip,
+    a footer read, and a scheduler task; streaming sinks and partitioned
+    appends routinely leave thousands of KB-sized files. Compaction sizes
+    the output count off the directory's actual byte size (not row
+    counts), rewrites once via coalesce — a shuffle-FREE narrow repack —
+    and atomically swaps directories. With ``sort_within_by`` it instead
+    range-repartitions on those columns (one shuffle) so the rewrite also
+    re-establishes clustering (min/max pruning) while compacting.
+
+    Local-FS note: the swap uses two renames (not atomic vs readers); on
+    object stores you'd write to a new prefix and flip a manifest/pointer.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    size = 0
+    n_before = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                size += os.path.getsize(os.path.join(root, f))
+                n_before += 1
+    n_out = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_within_by:
+        df = df.repartitionByRange(n_out, *[F.col(c) for c in sort_within_by])
+    else:
+        df = df.coalesce(n_out)
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    n_after = sum(
+        1
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return n_before, n_after
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Ingest a directory of raw media/blob files via Spark's binaryFile
+    source: one row per file with (path, modificationTime, length,
+    content) — the standard on-ramp for multimodal corpora stored as
+    loose files rather than parquet-packed binary columns. Column
+    pruning applies: a query over (path, length) never reads content
+    bytes. Feed the result to operators/multimodal.extract_features after
+    renaming content -> payload."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -171,3 +171,72 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, sf_dir, tmp_path):
     assert "dynamicpruningexpression" in plan or "dynamicpruning" in plan.lower()
     rows = joined.collect()
     assert len(rows) == 1 and rows[0]["order_year"] == 1995
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """200-file directory compacts to the byte-sized output count with
+    identical row multiset."""
+    from collimate_spark.sources.storage import compact_small_files
+
+    src = str(tmp_path / "shattered")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.repartition(200).write.mode("overwrite").parquet(src)
+    before_cnt = spark.read.parquet(src).count()
+    n_before, n_after = compact_small_files(spark, src, target_file_mb=128)
+    assert n_before >= 200
+    assert n_after < 8  # sf0.001 lineitem is well under one 128 MB target
+    after = spark.read.parquet(src)
+    assert after.count() == before_cnt
+    # spot-check content equality via checksum of a stable aggregate
+    a = li.groupBy("l_returnflag").count().collect()
+    b = after.groupBy("l_returnflag").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_compact_with_clustering_restores_pruning(spark, sf_dir, tmp_path):
+    """sort_within_by re-clusters while compacting: per-file l_orderkey
+    ranges must be near-disjoint afterwards (min/max pruning works)."""
+    import pyarrow.parquet as pq
+    import os
+
+    from collimate_spark.sources.storage import compact_small_files
+
+    src = str(tmp_path / "unclustered")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.repartition(50).write.mode("overwrite").parquet(src)
+    compact_small_files(spark, src, target_file_mb=0.05, sort_within_by=["l_orderkey"])
+    files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["l_orderkey"])
+        col = t.column("l_orderkey").to_pylist()
+        if col:
+            ranges.append((min(col), max(col)))
+    ranges.sort()
+    overlaps = sum(1 for (a, b), (c, d) in zip(ranges, ranges[1:]) if c < b)
+    assert overlaps == 0, f"file key ranges overlap after clustering: {ranges}"
+
+
+def test_read_binary_dir_prunes_content(spark, tmp_path):
+    """binaryFile source reads loose blobs; a metadata-only projection
+    must not read content bytes (ReadSchema excludes it)."""
+    from collimate_spark.sources.storage import read_binary_dir
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    for i in range(5):
+        (d / f"img_{i}.bin").write_bytes(bytes([i]) * (100 + i))
+    df = read_binary_dir(spark, str(d), glob="*.bin")
+    rows = df.select("path", "length").orderBy("length").collect()
+    assert [r.length for r in rows] == [100, 101, 102, 103, 104]
+    meta_only = df.select("path", "length")
+    plan = meta_only._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan.lower().split("readschema")[-1][:200]
+    full = df.select("content").collect()
+    assert sorted(len(r.content) for r in full) == [100, 101, 102, 103, 104]

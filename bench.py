@@ -107,6 +107,7 @@ EXTRA_QUERIES = [
     "chunk_documents",
     "domain_mix_temperature",
     "ann_pq_topk",
+    "multimodal_video_features",
 ]
 
 

@@ -113,7 +113,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # embedding_dim_stats, session_window_agg, yoy_revenue_growth,
 # regr_price_trend, rfm_segmentation, pareto_revenue_share,
 # heavy_hitters_words, cusum_changepoints, chunk_documents,
-# domain_mix_temperature, ann_pq_topk (rows-only).
+# domain_mix_temperature, ann_pq_topk (rows-only),
+# multimodal_video_features (rows-only).
 # (*dedup_survivor_best_quality IS in this round's window already.)
 
 

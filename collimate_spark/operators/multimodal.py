@@ -1,12 +1,14 @@
 """Multimodal column handling: opaque ``binary`` payloads + typed metadata
 structs, processed via Arrow-batched ``mapInPandas``.
 
-The decode step is REAL for PNG payloads — a stdlib zlib/struct decoder
-(functions/png.py) produces actual pixel arrays — and for WAV payloads —
-a stdlib RIFF/PCM decoder (functions/wav.py) produces actual int16 sample
-arrays; swap in PIL/libvips/torchaudio at the single marked call sites in
-a deployment with codecs installed. Video remains gated behind
-``decode_other_stub``. The Spark-side plumbing
+The decode step is REAL for all three non-text modalities: PNG (stdlib
+zlib/struct decoder, functions/png.py → pixel arrays), WAV (stdlib
+RIFF/PCM decoder, functions/wav.py → int16 sample arrays), and video via
+YUV4MPEG2 (ASCII-header raw-plane decoder, functions/y4m.py → per-frame
+luma arrays); swap in PIL/libvips/torchaudio/pyav at the single marked
+call sites in a deployment with compressed-codec libraries.
+``decode_other_stub`` remains only for compressed containers (mp4/h264)
+that genuinely need ffmpeg. The Spark-side plumbing
 — schema, binary columns, batch iteration, partition sizing — is
 identical either way and is tested (tests/test_multimodal.py). At 100 TB
 the payloads live in Parquet binary columns co-partitioned with their
@@ -25,7 +27,7 @@ import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
 from collimate_spark.catalog import load_table
-from collimate_spark.functions import png, wav
+from collimate_spark.functions import png, wav, y4m
 
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
@@ -83,11 +85,13 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_other_stub(payload: bytes) -> None:
-    """Placeholder for VIDEO decodes (ffmpeg/pyav in a real deployment;
-    this container ships no video codecs). Image (PNG) and audio (WAV)
-    decodes are REAL — functions/png.py and functions/wav.py."""
+    """Placeholder for COMPRESSED-container decodes (mp4/h264/vp9 —
+    ffmpeg/pyav in a real deployment; this container ships no codec
+    libraries). Uncompressed formats of all three modalities decode for
+    REAL: PNG (functions/png.py), WAV (functions/wav.py), and YUV4MPEG2
+    video (functions/y4m.py)."""
     raise NotImplementedError(
-        "video codecs are not available in this container; "
+        "compressed-container codecs are not available in this container; "
         "swap in ffmpeg/pyav in a real deployment"
     )
 
@@ -303,15 +307,119 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VIDEO_W, VIDEO_H = 12, 8
+VIDEO_FPS = (25, 1)
+
+VIDEO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("luma_mean", T.DoubleType()),
+        T.StructField("motion", T.DoubleType()),
+    ]
+)
+
+
+def synthesize_y4m_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic tiny .y4m clips derived from asset_id — a horizontal
+    gradient that pans one pixel per frame (so inter-frame motion is
+    nonzero and exactly computable). Frame f, pixel (r, c) =
+    (asset_id·11 + r·13 + (c + f)·29) mod 256; frame count and chroma
+    mode also vary with asset_id."""
+    for pdf in batches:
+        rows = []
+        for asset_id in pdf["asset_id"]:
+            aid = int(asset_id)
+            n = 3 + (aid % 4)
+            f = np.arange(n).reshape(-1, 1, 1)
+            r = np.arange(VIDEO_H).reshape(1, -1, 1)
+            c = np.arange(VIDEO_W).reshape(1, 1, -1)
+            luma = ((aid * 11 + r * 13 + (c + f) * 29) % 256).astype(np.uint8)
+            chroma = "mono" if aid % 2 == 0 else "420jpeg"
+            rows.append(
+                {"asset_id": asset_id, "payload": y4m.encode(luma, fps=VIDEO_FPS, chroma=chroma)}
+            )
+        yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+
+def extract_video_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas video feature extractor: REAL YUV4MPEG2 decode
+    (functions/y4m.py — the call site where pyav/ffmpeg slots in) →
+    exact per-clip stats: frame geometry, luma mean, and motion = mean
+    absolute luma difference between consecutive frames (the frame-
+    sampling / shot-detection primitive)."""
+    for pdf in batches:
+        out = []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            (num, den), luma = y4m.decode(bytes(payload))
+            x = luma.astype(np.float64)
+            motion = float(np.abs(np.diff(x, axis=0)).mean()) if len(x) > 1 else 0.0
+            out.append(
+                {
+                    "asset_id": asset_id,
+                    "width": luma.shape[2],
+                    "height": luma.shape[1],
+                    "n_frames": luma.shape[0],
+                    "fps": num / den,
+                    "luma_mean": float(x.mean()),
+                    "motion": motion,
+                }
+            )
+        yield pd.DataFrame(out, columns=[f.name for f in VIDEO_FEATURE_SCHEMA.fields])
+
+
+def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video pipeline with a REAL YUV4MPEG2 round-trip: synthesize
+    deterministic panning-gradient clips per asset (encode), decode them
+    back in the feature kernel, and aggregate geometry/motion stats per
+    id bucket. Frame stats are asserted exactly in
+    tests/test_multimodal.py. Rows-only correctness (frame synthesis is
+    engine-specific). With this, all three non-text modalities
+    (image/PNG, audio/WAV, video/Y4M) have real stdlib decoders; the
+    only deployment swap is codec libraries at the marked call sites."""
+    ids = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.col("doc_id").alias("asset_id"))
+        .filter(F.col("asset_id") < 200)
+    )
+    payloads = ids.mapInPandas(
+        synthesize_y4m_payloads,
+        T.StructType(
+            [
+                T.StructField("asset_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    feats = payloads.mapInPandas(extract_video_features, VIDEO_FEATURE_SCHEMA)
+    return (
+        feats.groupBy((F.col("asset_id") % 10).alias("id_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.min("n_frames").alias("min_frames"),
+            F.max("n_frames").alias("max_frames"),
+            F.sum(F.col("n_frames")).alias("sum_frames"),
+            F.round(F.avg("luma_mean"), 4).alias("avg_luma"),
+            F.round(F.avg("motion"), 4).alias("avg_motion"),
+        )
+        .orderBy("id_bucket")
+    )
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
     "multimodal_image_features": multimodal_image_features,
     "multimodal_audio_features": multimodal_audio_features,
+    "multimodal_video_features": multimodal_video_features,
 }
 
 ORACLES = {
     "multimodal_metadata": MULTIMODAL_META_SQL,
-    # multimodal_features / multimodal_image_features: rows-only
-    # (byte-level / pixel-level features are engine-specific)
+    # multimodal_features / multimodal_image_features /
+    # multimodal_audio_features / multimodal_video_features: rows-only
+    # (byte/pixel/sample/frame-level features are engine-specific)
 }

@@ -108,6 +108,7 @@ EXTRA_QUERIES = [
     "domain_mix_temperature",
     "ann_pq_topk",
     "multimodal_video_features",
+    "inverted_index_postings",
 ]
 
 

@@ -100,22 +100,52 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # Round-4 rotation candidates: registered late in round 3, never
 # driver-checked (all green in tests/test_oracle_parity.py at sf0.001 AND
 # sf0.01). Swap these into the window next round, rotating out queries
-# green in 2+ driver rounds: salted_join_hot_key, asof_join_forward,
-# dedup_survivor_best_quality*, lm_perplexity_score,
-# embedding_cluster_cohesion, ohlc_bars, time_weighted_average,
-# rolling_median_value, ewma_value, anomaly_zscore, markov_transitions,
-# scd2_user_segments, merge_upsert_orders, winsorize_stats,
-# skyline_suppliers, ivm_incremental_agg, triangle_participation,
-# pagerank_copurchase, collocation_pmi, zipf_slope, char_entropy,
-# weighted_sample_documents, chi2_event_value, embedding_gram_matrix,
-# kmeans_lloyd_clusters (rows-only), hll_sketch_partitioned (rows-only),
-# top_event_paths, market_basket_rules, corr_matrix_lineitem,
-# embedding_dim_stats, session_window_agg, yoy_revenue_growth,
-# regr_price_trend, rfm_segmentation, pareto_revenue_share,
-# heavy_hitters_words, cusum_changepoints, chunk_documents,
-# domain_mix_temperature, ann_pq_topk (rows-only),
-# multimodal_video_features (rows-only).
-# (*dedup_survivor_best_quality IS in this round's window already.)
+# green in 2+ driver rounds. tests/test_registration.py accepts a
+# north-star query being here instead of in the window — but ONLY here,
+# so the exemption is explicit and reviewed.
+ROTATION_CANDIDATES: tuple[str, ...] = (
+    "salted_join_hot_key",
+    "asof_join_forward",
+    "lm_perplexity_score",
+    "embedding_cluster_cohesion",
+    "ohlc_bars",
+    "time_weighted_average",
+    "rolling_median_value",
+    "ewma_value",
+    "anomaly_zscore",
+    "markov_transitions",
+    "scd2_user_segments",
+    "merge_upsert_orders",
+    "winsorize_stats",
+    "skyline_suppliers",
+    "ivm_incremental_agg",
+    "triangle_participation",
+    "pagerank_copurchase",
+    "collocation_pmi",
+    "zipf_slope",
+    "char_entropy",
+    "weighted_sample_documents",
+    "chi2_event_value",
+    "embedding_gram_matrix",
+    "kmeans_lloyd_clusters",  # rows-only
+    "hll_sketch_partitioned",  # rows-only
+    "top_event_paths",
+    "market_basket_rules",
+    "corr_matrix_lineitem",
+    "embedding_dim_stats",
+    "session_window_agg",
+    "yoy_revenue_growth",
+    "regr_price_trend",
+    "rfm_segmentation",
+    "pareto_revenue_share",
+    "heavy_hitters_words",
+    "cusum_changepoints",
+    "chunk_documents",
+    "domain_mix_temperature",
+    "ann_pq_topk",  # rows-only
+    "multimodal_video_features",  # rows-only
+    "inverted_index_postings",
+)
 
 
 def _modules():

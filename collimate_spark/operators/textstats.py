@@ -7,7 +7,7 @@ work pipelines inside whole-stage codegen; no shuffle except final sorts.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from collimate_spark.catalog import load_table
 from collimate_spark.functions import text as X
@@ -894,6 +894,76 @@ ORDER BY doc_id
 """
 
 
+INV_POSTINGS_CAP = 10  # postings sample per term in the output
+
+
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the inverted index (term → document/position postings)
+    — the build step behind bm25_search, exposed as its own operator:
+    per term, document frequency, total term frequency, and a bounded
+    deterministic sample of the first INV_POSTINGS_CAP postings in
+    (doc_id, pos) order.
+
+    Scale shape: posexplode → ONE shuffle on term for the ranking window,
+    and the final aggregation reuses the same hashpartitioning exchange.
+    The postings sample is capped BEFORE aggregation (rank ≤ cap inside
+    the window), so no task ever materializes a full posting list — the
+    classic skew trap of index builds where stopword terms have |corpus|
+    postings."""
+    docs = load_table(spark, "documents", sf_dir)
+    postings = docs.select(
+        "doc_id", F.posexplode(X.tokens(F.col("text"))).alias("pos", "term")
+    ).filter(F.col("term") != "")
+    w = Window.partitionBy("term").orderBy("doc_id", "pos")
+    return (
+        postings.withColumn("rk", F.row_number().over(w))
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+            F.concat_ws(
+                " ",
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rk") <= INV_POSTINGS_CAP,
+                            F.format_string("%06d:%04d", F.col("doc_id"), F.col("pos")),
+                        )
+                    )
+                ),
+            ).alias("postings_sample"),
+        )
+        .orderBy("term")
+    )
+
+
+INVERTED_INDEX_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), post0 AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+  FROM tok
+), post AS (
+  SELECT doc_id, term, pos FROM post0 WHERE term <> ''
+), ranked AS (
+  SELECT term, doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id, pos) AS rk
+  FROM post
+)
+SELECT term,
+       COUNT(DISTINCT doc_id) AS df,
+       COUNT(*) AS tf,
+       array_to_string(
+         list_sort(list(printf('%06d:%04d', doc_id, pos)) FILTER (WHERE rk <= {INV_POSTINGS_CAP})),
+         ' ') AS postings_sample
+FROM ranked
+GROUP BY term
+ORDER BY term
+"""
+
+
 QUERIES = {
     "text_quality_metrics": text_quality_metrics,
     "lang_id_heuristic": lang_id_heuristic,
@@ -910,6 +980,7 @@ QUERIES = {
     "collocation_pmi": collocation_pmi,
     "zipf_slope": zipf_slope,
     "char_entropy": char_entropy,
+    "inverted_index_postings": inverted_index_postings,
 }
 
 ORACLES = {
@@ -927,4 +998,5 @@ ORACLES = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "text_length_histogram": TEXT_LEN_HIST_SQL,
     "text_pii_scrub": PII_SCRUB_SQL,
+    "inverted_index_postings": INVERTED_INDEX_SQL,
 }

@@ -14,7 +14,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from collimate_spark.operators import DRIVER_PRIORITY  # noqa: E402
+from collimate_spark.operators import DRIVER_PRIORITY, ROTATION_CANDIDATES  # noqa: E402
 
 NORTH_STAR_PREFIXES = (
     "dedup_",
@@ -43,14 +43,28 @@ def test_first_50_queries_match_priority():
 
 
 def test_every_north_star_query_in_window():
+    """North-star queries live in the driver window — or, for operators
+    registered after the round's window froze, in the explicit
+    ROTATION_CANDIDATES queue for the next round. Nothing may be in
+    neither (that would silently skip driver verification forever)."""
     names = list(entrymod.queries().keys())
     window = set(names[:50])
     outside = [
         n
         for n in names
-        if n.startswith(NORTH_STAR_PREFIXES) and n not in window
+        if n.startswith(NORTH_STAR_PREFIXES)
+        and n not in window
+        and n not in ROTATION_CANDIDATES
     ]
     assert not outside, f"north-star queries outside driver window: {outside}"
+
+
+def test_rotation_candidates_are_registered_and_not_windowed():
+    names = list(entrymod.queries().keys())
+    window = set(names[:50])
+    assert not (set(ROTATION_CANDIDATES) & window), "candidate already in window"
+    missing = set(ROTATION_CANDIDATES) - set(names)
+    assert not missing, f"rotation candidates not registered: {missing}"
 
 
 def test_oracles_subset_of_queries():

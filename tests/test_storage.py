@@ -240,3 +240,43 @@ def test_read_binary_dir_prunes_content(spark, tmp_path):
     assert "content" not in plan.lower().split("readschema")[-1][:200]
     full = df.select("content").collect()
     assert sorted(len(r.content) for r in full) == [100, 101, 102, 103, 104]
+
+
+def test_zorder_narrows_ranges_on_both_dims(spark, sf_dir, tmp_path):
+    """Z-order on (l_partkey, l_suppkey): per-file min/max spans must
+    shrink on BOTH dimensions (a 1-D sort narrows only its own key; a
+    random layout narrows neither)."""
+    import os
+    import pyarrow.parquet as pq
+
+    from collimate_spark.sources.storage import write_zorder_clustered
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dst = str(tmp_path / "zordered")
+    write_zorder_clustered(li, dst, ["l_partkey", "l_suppkey"], n_files=16)
+    back = spark.read.parquet(dst)
+    assert back.count() == li.count()
+    spans = {"l_partkey": [], "l_suppkey": []}
+    full = {
+        c: (
+            li.agg(F.min(c), F.max(c)).collect()[0][1]
+            - li.agg(F.min(c), F.max(c)).collect()[0][0]
+        )
+        for c in spans
+    }
+    files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(dst)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert len(files) >= 8
+    for f in files:
+        t = pq.read_table(f, columns=list(spans))
+        for c in spans:
+            col = t.column(c).to_pylist()
+            if col:
+                spans[c].append(max(col) - min(col))
+    for c, ss in spans.items():
+        avg_frac = (sum(ss) / len(ss)) / max(full[c], 1)
+        assert avg_frac <= 0.55, f"{c}: avg per-file span {avg_frac:.2f} of full range"

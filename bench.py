@@ -109,6 +109,8 @@ EXTRA_QUERIES = [
     "ann_pq_topk",
     "multimodal_video_features",
     "inverted_index_postings",
+    "pit_join_scd2",
+    "join_null_safe",
 ]
 
 

@@ -145,6 +145,8 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "ann_pq_topk",  # rows-only
     "multimodal_video_features",  # rows-only
     "inverted_index_postings",
+    "pit_join_scd2",
+    "join_null_safe",
 )
 
 

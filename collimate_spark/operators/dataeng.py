@@ -286,12 +286,93 @@ ORDER BY month
 """
 
 
+PIT_SHIFT_MIN = 10  # probe instant = event ts + this many minutes
+
+
+def pit_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: enrich a probe stream with the SCD2
+    segment VALID AT each probe instant (probe = event ts shifted
+    +PIT_SHIFT_MIN minutes — the late-arriving-fact shape, so probes
+    genuinely cross segment boundaries instead of trivially landing in
+    their own segment).
+
+    Scale shape: the naive formulation is an interval join (equality on
+    user + ``valid_from <= t < valid_to``), which blows up to
+    |events|×|segments| per user before filtering. Here it's the union +
+    ``last(ignorenulls)`` carry-forward window — segment starts and
+    probes interleave on one per-user timeline, one shuffle, linear work
+    (the same device as asof_join_events_orders). The DuckDB oracle runs
+    the DIRECT interval join, so the window rewrite is cross-checked
+    against the declarative semantics, boundary inclusivity included
+    (``[valid_from, valid_to)``: a probe exactly on a boundary belongs to
+    the NEWER segment — the ``is_seg`` sort key pins that)."""
+    seg = scd2_user_segments(spark, sf_dir).select(
+        "user_id", F.col("valid_from").alias("t"), "segment", F.lit(1).alias("is_seg")
+    )
+    probes = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.expr(f"timestampadd(MINUTE, {PIT_SHIFT_MIN}, ts)").alias("t"),
+        "event_id",
+        F.lit(0).alias("is_seg"),
+    )
+    unioned = seg.select(
+        "user_id", "t", "segment", "is_seg", F.lit(None).cast("long").alias("event_id")
+    ).unionByName(probes.withColumn("segment", F.lit(None).cast("string")))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t").asc(), F.col("is_seg").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        unioned.withColumn("seg_at_t", F.last("segment", ignorenulls=True).over(w))
+        .filter(F.col("is_seg") == 0)
+        .select("event_id", "user_id", F.col("t").alias("probe_ts"), F.col("seg_at_t").alias("segment"))
+        .orderBy("event_id")
+    )
+
+
+PIT_JOIN_SQL = f"""
+WITH runs AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM runs
+),
+seg AS (
+  SELECT user_id, run_id, MIN(event_type) AS segment, MIN(ts) AS valid_from
+  FROM islands GROUP BY user_id, run_id
+),
+dim AS (
+  SELECT user_id, segment, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+  FROM seg
+),
+probes AS (
+  SELECT event_id, user_id, ts + INTERVAL {PIT_SHIFT_MIN} MINUTE AS probe_ts
+  FROM events
+)
+SELECT p.event_id, p.user_id, p.probe_ts, d.segment
+FROM probes p
+JOIN dim d
+  ON p.user_id = d.user_id
+ AND p.probe_ts >= d.valid_from
+ AND (d.valid_to IS NULL OR p.probe_ts < d.valid_to)
+ORDER BY p.event_id
+"""
+
+
 QUERIES = {
     "scd2_user_segments": scd2_user_segments,
     "merge_upsert_orders": merge_upsert_orders,
     "winsorize_stats": winsorize_stats,
     "skyline_suppliers": skyline_suppliers,
     "ivm_incremental_agg": ivm_incremental_agg,
+    "pit_join_scd2": pit_join_scd2,
 }
 
 ORACLES = {
@@ -300,4 +381,5 @@ ORACLES = {
     "winsorize_stats": WINSORIZE_SQL,
     "skyline_suppliers": SKYLINE_SQL,
     "ivm_incremental_agg": IVM_SQL,
+    "pit_join_scd2": PIT_JOIN_SQL,
 }

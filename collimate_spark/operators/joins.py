@@ -482,6 +482,58 @@ ORDER BY cust_a
 """
 
 
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the
+    NULL-keyed rows MATCH each other instead of silently dropping — the
+    semantics MERGE/dedup pipelines need when the business key is
+    nullable. Left side: orders with '1-URGENT' nullified; right side: a
+    broadcast priority dim with the same nullification, so the NULL
+    bucket exercises the null=null match. Regular equi-join drops those
+    rows; ``eqNullSafe`` keeps them, and Spark still plans a
+    BroadcastHashJoin (null-safe equality is hashable — unlike general
+    theta predicates)."""
+    orders = load_table(spark, "orders", sf_dir)
+    left = orders.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pr"),
+    )
+    dim = (
+        orders.select(
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pr_dim")
+        )
+        .distinct()
+        .withColumn("pr_rank", F.coalesce(F.substring("pr_dim", 1, 1).cast("int"), F.lit(0)))
+    )
+    return (
+        left.join(F.broadcast(dim), left["pr"].eqNullSafe(dim["pr_dim"]))
+        .groupBy("pr_rank")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("pr").isNull().cast("long")).alias("n_null_keys"),
+        )
+        .orderBy("pr_rank")
+    )
+
+
+JOIN_NULL_SAFE_SQL = """
+WITH l AS (
+  SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS pr FROM orders
+),
+d AS (
+  SELECT DISTINCT NULLIF(o_orderpriority, '1-URGENT') AS pr_dim FROM orders
+),
+d2 AS (
+  SELECT pr_dim, COALESCE(CAST(substr(pr_dim, 1, 1) AS INT), 0) AS pr_rank FROM d
+)
+SELECT pr_rank,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN l.pr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys
+FROM l JOIN d2 ON l.pr IS NOT DISTINCT FROM d2.pr_dim
+GROUP BY pr_rank
+ORDER BY pr_rank
+"""
+
+
 QUERIES = {
     "join_left_outer": join_left_outer,
     "join_full_outer": join_full_outer,
@@ -494,6 +546,7 @@ QUERIES = {
     "fuzzy_name_match": fuzzy_name_match,
     "salted_join_hot_key": salted_join_hot_key,
     "asof_join_forward": asof_join_forward,
+    "join_null_safe": join_null_safe,
 }
 
 ORACLES = {
@@ -508,4 +561,5 @@ ORACLES = {
     "join_theta_inequality": JOIN_THETA_SQL,
     "asof_join_events_orders": ASOF_JOIN_SQL,
     "range_join_events_orders": RANGE_JOIN_SQL,
+    "join_null_safe": JOIN_NULL_SAFE_SQL,
 }

@@ -230,3 +230,97 @@ class CollimateLegacyDataSource(DataSource):
 def register(spark) -> None:
     """Idempotently register the connector on a session."""
     spark.dataSource.register(CollimateLegacyDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Writer: DataFrame -> reference-format store directory
+
+MAX_CATEGORICAL = 65536  # reference/index.js:57
+K8_MAX = 256  # 8-bit code ceiling (index.js:390, with full-scan encounter=1)
+
+
+def write_legacy_store(df, path: str, categorical_threshold: int | None = None) -> dict:
+    """Export a DataFrame to the reference's on-disk format so its
+    downstream consumers (`frame`/`beam`, README.md:3-4) can load our
+    results byte-compatibly. Returns the index manifest dict.
+
+    Faithful reference semantics (SURVEY.md §1.2-1.4):
+    - integer NULL -> 0 sentinel (index.js:467-471); float NULL -> NaN
+      (index.js:472-476) — the format cannot express real nulls;
+    - string columns with <= categorical_threshold distinct values
+      dictionary-encode with FIRST-ENCOUNTER code order (index.js:330-334)
+      — k8 when <= 256 values else k16 (index.js:390) — and NULL becomes
+      a real decoder entry (index.js:423-431); other strings dump as a
+      .json array;
+    - int64 narrows to .i32 when every value fits (the reference's own
+      int ceiling: bigger integers were never typed int32, index.js:169),
+      else falls back to the .json string path;
+    - index.json manifest maps ORIGINAL names to sanitized filenames.
+
+    Scale note: the format is one UNSPLITTABLE buffer per column with
+    sequential code assignment — a single-writer sink by the reference's
+    own design (it holds everything in memory, index.js:552). This export
+    therefore materializes the frame driver-side via Arrow and is meant
+    for dimension/result-sized data; 100 TB tables stay in Parquet and
+    interop happens the other direction (the reader above)."""
+    from collimate_spark.ingest import sanitize
+
+    os.makedirs(path, exist_ok=True)
+    table = df.toArrow()
+    n = table.num_rows
+    if categorical_threshold is None:
+        categorical_threshold = MAX_CATEGORICAL
+    index: dict[str, str] = {}
+
+    def _json_dump(fname: str, values) -> None:
+        with open(os.path.join(path, fname), "w") as f:
+            json.dump(values, f)
+
+    for name, col in zip(table.column_names, table.columns):
+        sane = sanitize(name)
+        pa_t = col.type
+        if pa.types.is_integer(pa_t):
+            vals = col.to_pandas()
+            arr64 = vals.fillna(0).to_numpy(dtype="int64")
+            if arr64.size and (arr64.min() < -(2**31) or arr64.max() > 2**31 - 1):
+                fname = sane + ".json"
+                _json_dump(fname, [None if v is None else str(v) for v in vals.tolist()])
+            else:
+                fname = sane + ".i32"
+                arr64.astype("<i4").tofile(os.path.join(path, fname))
+            index[name] = fname
+        elif pa.types.is_floating(pa_t):
+            ext = ".f32" if pa.types.is_float32(pa_t) else ".f64"
+            np_dt = "<f4" if ext == ".f32" else "<f8"
+            arr = col.to_pandas().to_numpy(dtype="float64")  # pandas NULL -> NaN
+            arr.astype(np_dt).tofile(os.path.join(path, sane + ext))
+            index[name] = sane + ext
+        elif pa.types.is_boolean(pa_t):
+            arr = col.to_pandas().fillna(0).to_numpy(dtype="uint8")
+            arr.astype("<u1").tofile(os.path.join(path, sane + ".u8"))
+            index[name] = sane + ".u8"
+        else:
+            values = [
+                v if (v is None or isinstance(v, str)) else json.dumps(v)
+                for v in col.to_pylist()
+            ]
+            encoder: dict = {}
+            for v in values:
+                if v not in encoder:
+                    encoder[v] = len(encoder)  # first-encounter order
+            if len(encoder) <= min(categorical_threshold, MAX_CATEGORICAL):
+                ext = ".k8" if len(encoder) <= K8_MAX else ".k16"
+                np_dt = "<u1" if ext == ".k8" else "<u2"
+                codes = np.array([encoder[v] for v in values], dtype=np_dt)
+                codes.tofile(os.path.join(path, sane + ext))
+                decoder = [None] * len(encoder)
+                for v, c in encoder.items():
+                    decoder[c] = v
+                _json_dump(sane + ext + ".key", decoder)
+                index[name] = sane + ext
+            else:
+                fname = sane + ".json"
+                _json_dump(fname, values)
+                index[name] = fname
+    _json_dump("index.json", index)
+    return index

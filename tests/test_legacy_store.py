@@ -135,3 +135,62 @@ def test_store_without_manifest(legacy, store_dir, tmp_path):
     df = legacy.read.format("collimate_legacy").load(d2)
     assert sorted(df.columns) == ["color", "id", "label", "price", "qty"]
     assert df.count() == N
+
+
+def test_writer_roundtrip_through_reader(legacy, tmp_path):
+    """write_legacy_store -> read.format('collimate_legacy') preserves
+    values with the reference's sentinel semantics."""
+    from pyspark.sql import functions as F
+
+    from collimate_spark.sources.legacy_store import write_legacy_store
+
+    src = legacy.createDataFrame(
+        [(0, None, 1.5, "x"), (1, 7, None, None), (2, 8, 2.5, "y"), (3, None, 3.5, "x")],
+        "id: int, k: int, v: double, s: string",
+    )
+    d = str(tmp_path / "export")
+    index = write_legacy_store(src, d)
+    assert index == {"id": "id.i32", "k": "k.i32", "v": "v.f64", "s": "s.k8"}
+    back = legacy.read.format("collimate_legacy").load(d)
+    rows = {r.id: r for r in back.collect()}
+    assert rows[0].k == 0 and rows[1].k == 7  # int NULL -> 0 sentinel
+    import math
+
+    assert math.isnan(rows[1].v) and rows[2].v == 2.5  # float NULL -> NaN
+    assert rows[0].s == "x" and rows[1].s is None  # dict null entry decodes
+
+
+def test_writer_first_seen_code_order_and_width(tmp_path, legacy):
+    import json as _json
+
+    from collimate_spark.sources.legacy_store import write_legacy_store
+
+    vals = ["banana", "apple", "banana", "cherry", "apple"]
+    src = legacy.createDataFrame([(i, v) for i, v in enumerate(vals)], "id: int, fruit: string")
+    d = str(tmp_path / "order")
+    write_legacy_store(src.coalesce(1).sortWithinPartitions("id"), d)
+    key = _json.load(open(os.path.join(d, "fruit.k8.key")))
+    assert key == ["banana", "apple", "cherry"]  # first-encounter order
+    codes = np.fromfile(os.path.join(d, "fruit.k8"), dtype="<u1")
+    assert codes.tolist() == [0, 1, 0, 2, 1]
+    # k16 promotion past 256 distinct values
+    many = legacy.createDataFrame(
+        [(i, f"v{i}") for i in range(300)], "id: int, s: string"
+    )
+    d2 = str(tmp_path / "wide")
+    idx = write_legacy_store(many.coalesce(1).sortWithinPartitions("id"), d2)
+    assert idx["s"] == "s.k16"
+    assert np.fromfile(os.path.join(d2, "s.k16"), dtype="<u2").max() == 299
+
+
+def test_writer_int64_narrowing_and_json_fallback(tmp_path, legacy):
+    from collimate_spark.sources.legacy_store import write_legacy_store
+
+    small = legacy.createDataFrame([(1, 10), (2, 20)], "id: long, x: long")
+    d = str(tmp_path / "narrow")
+    idx = write_legacy_store(small, d)
+    assert idx["x"] == "x.i32"
+    big = legacy.createDataFrame([(1, 2**40)], "id: long, x: long")
+    d2 = str(tmp_path / "big")
+    idx2 = write_legacy_store(big, d2)
+    assert idx2["x"] == "x.json"

@@ -353,3 +353,65 @@ def stream_static_enrich(events: DataFrame, dim: DataFrame, key: str = "user_id"
     The standard pattern for attaching user/item attributes to an event
     stream before windowed aggregation."""
     return events.join(F.broadcast(dim), key, "left")
+
+
+def heavy_hitter_counts_batch(
+    batch: DataFrame, counts_dir: str, epoch_id: int
+) -> DataFrame:
+    """One micro-batch of streaming heavy-hitter tracking over a document
+    stream: tokenize the batch, write THIS epoch's per-word counts under
+    ``counts_dir/epoch=N`` (overwrite → replay-idempotent, same device as
+    near_dup_candidates_batch), then return the merged word totals over
+    all epochs ≤ N. The merged view is a sum over per-epoch partial
+    counts — the mergeable-sketch property made explicit as a parquet
+    layout: each epoch's state is vocabulary-sized (bounded), never
+    corpus-sized, and compaction is a trivial re-aggregation of epoch
+    partitions. The streaming twin of operators/stats.heavy_hitters_words
+    (which adds the in-task Misra-Gries bound; here the per-epoch agg
+    plays that role since a micro-batch IS a bounded slice)."""
+    import os
+
+    spark = batch.sparkSession
+    words = batch.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    epoch_counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    epoch_counts.write.mode("overwrite").parquet(
+        os.path.join(counts_dir, f"epoch={epoch_id}")
+    )
+    merged = (
+        spark.read.option("basePath", counts_dir)
+        .parquet(counts_dir)
+        .filter(F.col("epoch") <= epoch_id)
+        .groupBy("word")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return merged
+
+
+def heavy_hitters_stream(
+    docs: DataFrame, counts_dir: str, out_dir: str, checkpoint: str, phi: float = 1.0 / 30.0
+):
+    """Streaming phi-heavy-hitters: after each micro-batch, emit the words
+    whose cumulative frequency exceeds phi of the cumulative total, tagged
+    with the epoch — a per-epoch snapshot of the hot vocabulary. Restarts
+    resume from the persisted epoch partitions; replayed epochs overwrite
+    their own partition and recompute the same snapshot."""
+
+    def _body(batch: DataFrame, epoch_id: int) -> None:
+        merged = heavy_hitter_counts_batch(batch, counts_dir, epoch_id)
+        total = merged.agg(F.sum("cnt").alias("n_total"))
+        (
+            merged.crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") > phi * F.col("n_total"))
+            .select("word", "cnt", F.lit(epoch_id).alias("epoch"))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        docs.writeStream.foreachBatch(_body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

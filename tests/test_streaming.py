@@ -380,3 +380,55 @@ def test_rate_source_connector(spark, tmp_path):
     got_users = {r.user_id for r in rows}
     assert got_users <= set(range(7))
     assert sum(r.n for r in rows) >= 100  # stream actually flowed
+
+
+def test_heavy_hitters_stream_cumulative_and_idempotent(spark, tmp_path):
+    """Streaming heavy hitters: per-epoch snapshots reflect CUMULATIVE
+    counts across epochs; replaying an epoch's batch body does not
+    double-count (overwritten epoch partition)."""
+    import json
+
+    from collimate_spark.streaming.pipeline import (
+        heavy_hitter_counts_batch,
+        heavy_hitters_stream,
+    )
+
+    indir = str(tmp_path / "hh_in")
+    counts_dir = str(tmp_path / "hh_counts")
+    out_dir = str(tmp_path / "hh_out")
+    ckpt = str(tmp_path / "hh_ckpt")
+    os.makedirs(indir)
+
+    def _write_docs(name, docs):
+        with open(os.path.join(indir, name), "w") as fh:
+            for i, t in docs:
+                fh.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    # 'hot' dominates both batches; 'cold' stays under the phi threshold
+    _write_docs("b1.jsonl", [(1, "hot hot hot hot cold"), (2, "hot hot hot warm warm")])
+    _write_docs("b2.jsonl", [(3, "hot hot hot hot hot warm")])
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(indir)
+    )
+    q = heavy_hitters_stream(docs, counts_dir, out_dir, ckpt, phi=0.30)
+    q.awaitTermination(180)
+
+    snaps = spark.read.parquet(out_dir).collect()
+    by_epoch = {}
+    for r in snaps:
+        by_epoch.setdefault(r.epoch, {})[r.word] = r.cnt
+    last_epoch = max(by_epoch)
+    # cumulative totals: hot = 7+5 = 12 of 16 words by the final epoch
+    assert by_epoch[last_epoch]["hot"] == 12
+    assert "cold" not in by_epoch[last_epoch]  # 1/16 < phi
+    # warm: 2/10=0.2 < phi in epoch with only b1; 3/16 < phi finally
+    assert "warm" not in by_epoch[last_epoch]
+
+    # replay idempotency at the batch level
+    b = spark.createDataFrame([(9, "hot hot")], DOC_SCHEMA)
+    merged1 = {r.word: r.cnt for r in heavy_hitter_counts_batch(b, counts_dir, last_epoch + 1).collect()}
+    merged2 = {r.word: r.cnt for r in heavy_hitter_counts_batch(b, counts_dir, last_epoch + 1).collect()}
+    assert merged1 == merged2
+    assert merged1["hot"] == 14

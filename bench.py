@@ -111,6 +111,7 @@ EXTRA_QUERIES = [
     "inverted_index_postings",
     "pit_join_scd2",
     "join_null_safe",
+    "quantile_sketch_value",
 ]
 
 

@@ -147,6 +147,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "inverted_index_postings",
     "pit_join_scd2",
     "join_null_safe",
+    "quantile_sketch_value",  # rows-only
 )
 
 

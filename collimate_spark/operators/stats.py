@@ -16,6 +16,7 @@ the only global windows run over already-aggregated dimension-sized frames
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -356,12 +357,71 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch
+
+QS_K = 128  # samples kept per partition summary
+QS_TARGETS = (0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+def _partition_quantile_summary(pdfs) -> "pd.DataFrame":
+    """Per-partition bounded quantile summary: the K equi-rank order
+    statistics of the partition plus its row count. Size is O(K) no
+    matter how many rows the partition holds — the mergeable-summary
+    property (this is the GK/KLL idea with the simplest possible
+    compaction: one uniform rank grid per partition; merge error is
+    O(1/K) per partition, additive across merges)."""
+    vals = []
+    n = 0
+    for pdf in pdfs:
+        v = pdf["value"].to_numpy(dtype="float64")
+        vals.append(v)
+        n += len(v)
+    if n == 0:
+        return
+    allv = np.sort(np.concatenate(vals), kind="stable")
+    idx = np.minimum((np.arange(1, QS_K + 1) * n / QS_K).astype(np.int64) - 1, n - 1)
+    idx = np.maximum(idx, 0)
+    yield pd.DataFrame(
+        {"q": allv[idx], "w": np.full(QS_K, n / QS_K, dtype="float64")}
+    )
+
+
+def quantile_sketch_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quantile estimation via bounded mergeable summaries:
+    each partition emits K weighted order statistics (mapInPandas), and
+    the merge is a WEIGHTED-rank selection over the P×K summary rows —
+    a window cum-sum over a metadata-sized frame, never a second pass
+    over the data. The quantile companion to hll_sketch_partitioned:
+    state per partition is O(K), so a 100 TB column summarizes in one
+    scan + one tiny shuffle. Rows-only driver check (estimates depend on
+    the partition grid); the error bound vs the exact percentile is
+    asserted in tests/test_quantile_sketch.py."""
+    ev = load_table(spark, "events", sf_dir)
+    summaries = ev.select("value").mapInPandas(
+        _partition_quantile_summary, "q double, w double"
+    )
+    w_cum = Window.orderBy("q", "w").rowsBetween(Window.unboundedPreceding, 0)
+    total = summaries.agg(F.sum("w").alias("n_total"))
+    ranked = summaries.crossJoin(F.broadcast(total)).withColumn(
+        "cum", F.sum("w").over(w_cum)
+    )
+    picks = [
+        F.min(F.when(F.col("cum") >= F.col("n_total") * p, F.col("q"))).alias(
+            f"p{int(p * 100):02d}"
+        )
+        for p in QS_TARGETS
+    ]
+    return ranked.agg(F.count(F.lit(1)).alias("n_summary_rows"), *picks)
+
+
 QUERIES = {
     "regr_price_trend": regr_price_trend,
     "rfm_segmentation": rfm_segmentation,
     "pareto_revenue_share": pareto_revenue_share,
     "heavy_hitters_words": heavy_hitters_words,
     "cusum_changepoints": cusum_changepoints,
+    "quantile_sketch_value": quantile_sketch_value,
 }
 
 ORACLES = {

@@ -1,0 +1,35 @@
+"""Mergeable quantile summary: error bound vs exact percentile, summary
+size bound, and determinism for a fixed partition layout."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from collimate_spark.catalog import load_table
+from collimate_spark.operators.stats import QS_K, QS_TARGETS, quantile_sketch_value
+
+
+def test_quantile_sketch_error_bound(spark, sf_dir):
+    est = quantile_sketch_value(spark, sf_dir).collect()[0]
+    ev = load_table(spark, "events", sf_dir)
+    n_parts = ev.select("value").rdd.getNumPartitions()
+    assert est.n_summary_rows <= n_parts * QS_K
+    exact = ev.agg(
+        *[
+            F.expr(f"percentile(value, {p})").alias(f"p{int(p*100):02d}")
+            for p in QS_TARGETS
+        ]
+    ).collect()[0]
+    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    spread = hi - lo
+    for p in QS_TARGETS:
+        k = f"p{int(p*100):02d}"
+        # rank error <= n_parts/QS_K of total rank mass; translate into a
+        # loose value tolerance via the distribution spread
+        assert abs(est[k] - exact[k]) <= 0.05 * spread, (k, est[k], exact[k])
+
+
+def test_quantile_sketch_deterministic(spark, sf_dir):
+    a = quantile_sketch_value(spark, sf_dir).collect()
+    b = quantile_sketch_value(spark, sf_dir).collect()
+    assert a == b

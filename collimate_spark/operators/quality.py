@@ -227,6 +227,26 @@ ORDER BY status
 """
 
 
+def observed_write(df, path: str, metric_cols: list[str]) -> dict:
+    """Write ``df`` to Parquet while collecting in-flight quality metrics
+    with ``DataFrame.observe`` — row count plus per-column null counts and
+    min/max — in the SAME pass as the write (Spark's Observation API
+    attaches accumulator-backed aggregates to the plan; no second scan).
+    This is the cheap always-on monitoring hook a 100 TB pipeline wants on
+    every sink: the write you were doing anyway doubles as the profiler.
+    Returns the metrics dict."""
+    from pyspark.sql import Observation
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in metric_cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"))
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    obs = Observation("write_quality")
+    df.observe(obs, *aggs).write.mode("overwrite").parquet(path)
+    return obs.get
+
+
 QUERIES = {
     "data_quality_report": data_quality_report,
     "snapshot_diff": snapshot_diff,

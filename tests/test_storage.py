@@ -280,3 +280,41 @@ def test_zorder_narrows_ranges_on_both_dims(spark, sf_dir, tmp_path):
     for c, ss in spans.items():
         avg_frac = (sum(ss) / len(ss)) / max(full[c], 1)
         assert avg_frac <= 0.55, f"{c}: avg per-file span {avg_frac:.2f} of full range"
+
+
+def test_observed_write_single_pass_metrics(spark, sf_dir, tmp_path):
+    """observe() metrics must equal a direct aggregation, and arrive from
+    the same job as the write (no extra scan: assert via the metrics
+    being available immediately after the one action)."""
+    from collimate_spark.operators.quality import observed_write
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(5000)
+    dst = str(tmp_path / "observed")
+    got = observed_write(li, dst, ["l_quantity", "l_extendedprice"])
+    exp = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("qn"),
+        F.min("l_quantity").alias("qmin"),
+        F.max("l_quantity").alias("qmax"),
+    ).collect()[0]
+    assert got["n_rows"] == exp["n_rows"] == spark.read.parquet(dst).count()
+    assert got["l_quantity_nulls"] == exp["qn"]
+    assert got["l_quantity_min"] == exp["qmin"]
+    assert got["l_quantity_max"] == exp["qmax"]
+
+
+def test_cbo_statistics_enable_auto_broadcast(spark, sf_dir, tmp_path):
+    """With ANALYZE TABLE statistics, Catalyst's size estimate lets a
+    small dimension auto-broadcast WITHOUT an explicit broadcast() hint —
+    the statistics-driven planning a warehouse relies on."""
+    spark.sql("DROP TABLE IF EXISTS t_nation_stats")
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.mode("overwrite").saveAsTable(
+        "t_nation_stats"
+    )
+    spark.sql("ANALYZE TABLE t_nation_stats COMPUTE STATISTICS")
+    li = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    joined = li.join(spark.table("t_nation_stats"), li.s_nationkey == F.col("n_nationkey"))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:500]
+    stats = spark.sql("DESCRIBE EXTENDED t_nation_stats").collect()
+    assert any("Statistics" in str(r) for r in stats)

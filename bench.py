@@ -112,6 +112,7 @@ EXTRA_QUERIES = [
     "pit_join_scd2",
     "join_null_safe",
     "quantile_sketch_value",
+    "udtf_parse_props",
 ]
 
 

@@ -148,6 +148,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "pit_join_scd2",
     "join_null_safe",
     "quantile_sketch_value",  # rows-only
+    "udtf_parse_props",
 )
 
 

@@ -92,6 +92,63 @@ ORDER BY doc_id, pos
 """
 
 
+@udtf
+class ParsePropsUDTF:
+    """POLYMORPHIC table function: the output schema is computed at plan
+    time by ``analyze()`` from the literal key list — one LongType column
+    per requested JSON key. This is the dynamic-schema UDTF surface
+    (Spark 4): the same function handles any props layout without a
+    hard-coded returnType; schema resolution happens once on the driver,
+    row processing stays per-executor."""
+
+    @staticmethod
+    def analyze(props, keys):
+        import json as _json
+
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        names = [k.strip() for k in keys.value.split(",") if k.strip()]
+        if not names:
+            raise ValueError("parse_props requires a non-empty literal key list")
+        return AnalyzeResult(StructType([StructField(n, LongType()) for n in names]))
+
+    def eval(self, props: str, keys: str):
+        import json as _json
+
+        names = [k.strip() for k in keys.split(",") if k.strip()]
+        try:
+            d = _json.loads(props) if props else {}
+        except ValueError:
+            d = {}
+        yield tuple(
+            int(d[k]) if isinstance(d.get(k), (int, float)) else None for k in names
+        )
+
+
+def udtf_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-schema UDTF in a LATERAL join: extract the literal-listed
+    JSON keys from events.props, schema decided by analyze()."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") < 2000)
+    ev.createOrReplaceTempView("events_slice")
+    spark.udtf.register("parse_props", ParsePropsUDTF)
+    return spark.sql(
+        """
+        SELECT event_id, p.k
+        FROM events_slice, LATERAL parse_props(props, 'k') p
+        ORDER BY event_id
+        """
+    )
+
+
+UDTF_PROPS_SQL = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE event_id < 2000
+ORDER BY event_id
+"""
+
+
 def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed column surface: build a map, read keys and values back.
     Output stays scalar (value-hash friendly)."""
@@ -205,6 +262,7 @@ def hll_sketch_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "pandas_udf_scalar": pandas_udf_scalar,
     "udtf_tokenize": udtf_tokenize,
+    "udtf_parse_props": udtf_parse_props,
     "map_functions": map_functions,
     "array_functions": array_functions,
     "agg_approx_distinct": agg_approx_distinct,
@@ -214,6 +272,7 @@ QUERIES = {
 ORACLES = {
     "pandas_udf_scalar": PANDAS_UDF_SQL,
     "udtf_tokenize": UDTF_SQL,
+    "udtf_parse_props": UDTF_PROPS_SQL,
     "map_functions": MAP_FUNCTIONS_SQL,
     "array_functions": ARRAY_FUNCTIONS_SQL,
     # agg_approx_distinct: rows-only (engine-specific HLL implementation)

@@ -113,6 +113,7 @@ EXTRA_QUERIES = [
     "join_null_safe",
     "quantile_sketch_value",
     "udtf_parse_props",
+    "set_overlap_join_prefix",
 ]
 
 

@@ -149,6 +149,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "join_null_safe",
     "quantile_sketch_value",  # rows-only
     "udtf_parse_props",
+    "set_overlap_join_prefix",
 )
 
 

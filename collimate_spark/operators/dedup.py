@@ -631,8 +631,80 @@ ORDER BY component
 """
 
 
+OVERLAP_T = 15  # token-set overlap threshold
+OVERLAP_SLICE = 1500  # bound the corpus slice so the oracle's O(n²) verify stays tractable
+
+
+def set_overlap_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the ppjoin family):
+    all doc pairs whose distinct-token sets overlap in ≥ OVERLAP_T tokens.
+
+    The exact complement to MinHash: no false negatives by construction.
+    Order every set by ascending global token frequency (rarest first,
+    ties by token); a pair with overlap ≥ T MUST share a token within the
+    first ``|s| − T + 1`` tokens of that order (pigeonhole), so only
+    prefix tokens are indexed. Candidate generation is an equi-join on
+    prefix tokens — the rarest tokens, so buckets are the SMALLEST ones
+    (that's the point of frequency ordering: the inverted index shrinks
+    where collisions would be worst). One exact array_intersect verify
+    join finishes the job. The DuckDB oracle is the naive O(n²) loop over
+    the same slice — proving the filter loses nothing."""
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < OVERLAP_SLICE)
+        .select("doc_id", F.array_distinct(X.tokens(F.col("text"))).alias("s"))
+    )
+    tok = docs.select("doc_id", F.explode("s").alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("freq").asc(), F.col("token").asc())
+    prefix = (
+        tok.join(F.broadcast(freq), "token")
+        .withColumn("rk", F.row_number().over(w))
+        .join(docs.select("doc_id", F.size("s").alias("sz")), "doc_id")
+        .filter(F.col("rk") <= F.col("sz") - OVERLAP_T + 1)
+        .select("token", "doc_id")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "token")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("set_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("set_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("overlap", F.size(F.array_intersect("set_a", "set_b")))
+        .filter(F.col("overlap") >= OVERLAP_T)
+        .select("doc_a", "doc_b", "overlap")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SET_OVERLAP_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS s
+  FROM documents
+  WHERE doc_id < {OVERLAP_SLICE}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.s, b.s)) AS overlap
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) >= {OVERLAP_T}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "set_overlap_join_prefix": set_overlap_join_prefix,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_expr": dedup_minhash_lsh_expr,
@@ -643,6 +715,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "set_overlap_join_prefix": SET_OVERLAP_SQL,
     "dedup_connected_components": CC_SQL,
     "dedup_survivor_best_quality": SURVIVOR_QUALITY_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,

@@ -631,8 +631,8 @@ ORDER BY component
 """
 
 
-OVERLAP_T = 15  # token-set overlap threshold
-OVERLAP_SLICE = 1500  # bound the corpus slice so the oracle's O(n²) verify stays tractable
+OVERLAP_T = 27  # token-set overlap threshold (doc sets span 6-31 distinct tokens)
+OVERLAP_SLICE = 800  # bound the corpus slice so the oracle's O(n²) verify stays tractable
 
 
 def set_overlap_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -114,6 +114,7 @@ EXTRA_QUERIES = [
     "quantile_sketch_value",
     "udtf_parse_props",
     "set_overlap_join_prefix",
+    "bfs_distances",
 ]
 
 

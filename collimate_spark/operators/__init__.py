@@ -150,6 +150,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "quantile_sketch_value",  # rows-only
     "udtf_parse_props",
     "set_overlap_join_prefix",
+    "bfs_distances",
 )
 
 

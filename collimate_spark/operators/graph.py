@@ -220,14 +220,67 @@ LIMIT 100
 """
 
 
+BFS_SOURCE = 1  # source part key
+BFS_MAX_HOPS = 4
+
+
+def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances (≤ BFS_MAX_HOPS) over the
+    undirected co-purchase graph — synchronous frontier expansion: each
+    round joins the CURRENT frontier to the edge list, anti-joins the
+    visited set, unions, localCheckpoints (lineage truncation, same
+    device as connected components / PageRank). Work per round is
+    |frontier|·avg-degree — the textbook distributed BFS; rounds =
+    graph diameter bound, each one join + one distinct shuffle.
+    Oracle: DuckDB recursive CTE computing min-hops with the same hop
+    cap — the declarative twin of the iterative plan."""
+    e = _copurchase_edges(spark, sf_dir)
+    edges = e.select("x", "y").unionAll(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    visited = spark.createDataFrame([(BFS_SOURCE, 0)], "node: long, dist: int")
+    frontier = visited
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        neighbors = (
+            frontier.join(edges, frontier["node"] == edges["x"])
+            .select(F.col("y").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+        )
+        neighbors = neighbors.localCheckpoint(eager=True)
+        if neighbors.isEmpty():
+            break
+        visited = visited.unionAll(neighbors).localCheckpoint(eager=True)
+        frontier = neighbors
+    return visited.orderBy("node")
+
+
+BFS_SQL = f"""
+WITH RECURSIVE {_EDGES_CTE},
+sym AS (SELECT x, y FROM edges UNION ALL SELECT y, x FROM edges),
+bfs(node, dist) AS (
+  SELECT CAST({BFS_SOURCE} AS BIGINT) AS node, 0 AS dist
+  UNION
+  SELECT s.y, b.dist + 1
+  FROM bfs b JOIN sym s ON s.x = b.node
+  WHERE b.dist < {BFS_MAX_HOPS}
+)
+SELECT node, MIN(dist) AS dist
+FROM bfs
+GROUP BY node
+ORDER BY node
+"""
+
+
 QUERIES = {
     "triangle_participation": triangle_participation,
     "pagerank_copurchase": pagerank_copurchase,
     "market_basket_rules": market_basket_rules,
+    "bfs_distances": bfs_distances,
 }
 
 ORACLES = {
     "triangle_participation": TRIANGLE_SQL,
     "pagerank_copurchase": PAGERANK_SQL,
     "market_basket_rules": MARKET_BASKET_SQL,
+    "bfs_distances": BFS_SQL,
 }

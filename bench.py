@@ -115,6 +115,7 @@ EXTRA_QUERIES = [
     "udtf_parse_props",
     "set_overlap_join_prefix",
     "bfs_distances",
+    "price_histogram",
 ]
 
 

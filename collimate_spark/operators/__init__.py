@@ -151,6 +151,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "udtf_parse_props",
     "set_overlap_join_prefix",
     "bfs_distances",
+    "price_histogram",
 )
 
 

@@ -358,6 +358,63 @@ ORDER BY user_id
 
 
 # ---------------------------------------------------------------------------
+# Equi-width numeric histogram
+
+HIST_BUCKETS = 20
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of l_extendedprice: data-derived [min, max]
+    from one broadcast 1-row agg, then a single conditional-bucket pass —
+    the numeric companion to textstats.text_length_histogram. The bucket
+    expression is plain floor arithmetic (identical in DuckDB, which
+    lacks width_bucket), clamped so x = max lands in the last bucket.
+    Two scans total regardless of scale; no shuffle except the final
+    HIST_BUCKETS-row agg."""
+    li = load_table(spark, "lineitem", sf_dir)
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / HIST_BUCKETS
+    bucket = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast("int"),
+        F.lit(HIST_BUCKETS - 1),
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            bucket.alias("bucket"),
+            F.round(F.col("lo") + bucket * width, 2).alias("bucket_lo"),
+            F.col("l_extendedprice").alias("x"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("x"), 2).alias("avg_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+PRICE_HISTOGRAM_SQL = f"""
+WITH b AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem),
+bucketed AS (
+  SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / {HIST_BUCKETS})) AS INT),
+               {HIST_BUCKETS - 1}) AS bucket,
+         lo, hi, l_extendedprice AS x
+  FROM lineitem, b
+)
+SELECT bucket,
+       ROUND(lo + bucket * ((hi - lo) / {HIST_BUCKETS}), 2) AS bucket_lo,
+       COUNT(*) AS n,
+       ROUND(AVG(x), 2) AS avg_price
+FROM bucketed
+GROUP BY bucket, lo, hi
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # Mergeable quantile sketch
 
 QS_K = 128  # samples kept per partition summary
@@ -422,6 +479,7 @@ QUERIES = {
     "heavy_hitters_words": heavy_hitters_words,
     "cusum_changepoints": cusum_changepoints,
     "quantile_sketch_value": quantile_sketch_value,
+    "price_histogram": price_histogram,
 }
 
 ORACLES = {
@@ -430,4 +488,5 @@ ORACLES = {
     "pareto_revenue_share": PARETO_REVENUE_SHARE_SQL,
     "heavy_hitters_words": HEAVY_HITTERS_SQL,
     "cusum_changepoints": CUSUM_SQL,
+    "price_histogram": PRICE_HISTOGRAM_SQL,
 }

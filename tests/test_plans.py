@@ -274,3 +274,47 @@ def test_cusum_windows_share_one_exchange(spark, sf_dir):
         if "Exchange hashpartitioning" in line and "user_id" in line
     )
     assert n_user_exchanges == 1, f"expected 1 user_id exchange, saw {n_user_exchanges}"
+
+
+def test_inverted_index_reuses_term_exchange(spark, sf_dir):
+    """The ranking window and the final agg both key on term — Catalyst
+    must reuse ONE hashpartitioning(term) exchange, not shuffle twice."""
+    from collimate_spark.operators.textstats import inverted_index_postings
+
+    plan = _plan(inverted_index_postings(spark, sf_dir))
+    n = sum(
+        1 for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "term" in line
+    )
+    assert n == 1, f"expected 1 term exchange, saw {n}"
+
+
+def test_pit_join_single_user_exchange(spark, sf_dir):
+    """The PIT join is a carry-forward window over ONE per-user timeline;
+    its plan must not contain an interval join (no BroadcastNestedLoop /
+    cartesian) — that is the whole point of the rewrite."""
+    from collimate_spark.operators.dataeng import pit_join_scd2
+
+    plan = _plan(pit_join_scd2(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_set_overlap_broadcasts_frequency_table(spark, sf_dir):
+    """The vocabulary-sized token-frequency table must broadcast onto the
+    exploded token stream (a shuffle join there would shuffle the corpus
+    to join 31 rows)."""
+    from collimate_spark.operators.dedup import set_overlap_join_prefix
+
+    plan = _plan(set_overlap_join_prefix(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_price_histogram_broadcasts_bounds(spark, sf_dir):
+    """The min/max bounds row joins via broadcast; only the final
+    20-row aggregation shuffles."""
+    from collimate_spark.operators.stats import price_histogram
+
+    plan = _plan(price_histogram(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("FileScan") == 2  # bounds agg + bucketing pass

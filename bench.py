@@ -116,6 +116,7 @@ EXTRA_QUERIES = [
     "set_overlap_join_prefix",
     "bfs_distances",
     "price_histogram",
+    "k_anonymity_report",
 ]
 
 

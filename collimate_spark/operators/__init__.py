@@ -152,6 +152,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "set_overlap_join_prefix",
     "bfs_distances",
     "price_histogram",
+    "k_anonymity_report",
 )
 
 

@@ -227,6 +227,37 @@ ORDER BY status
 """
 
 
+K_ANON = 5  # minimum group size for the quasi-identifier combination
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the privacy gate a training-data release runs
+    before shipping user-derived tables: group by the quasi-identifier
+    combination (nation, market segment), flag groups smaller than
+    K_ANON whose members could be re-identified by those attributes
+    alone. One hash aggregation at any scale; the violating-group list
+    is by definition small (each group < k rows). Suppression/
+    generalization is then ``join(violators, 'left_anti')`` or coarsening
+    the identifier — this operator is the measurement step."""
+    cust = load_table(spark, "customer", sf_dir)
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .withColumn("violates_k", (F.col("group_size") < K_ANON).cast("int"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+K_ANONYMITY_SQL = f"""
+SELECT c_nationkey, c_mktsegment,
+       COUNT(*) AS group_size,
+       CAST(COUNT(*) < {K_ANON} AS INT) AS violates_k
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
 def observed_write(df, path: str, metric_cols: list[str]) -> dict:
     """Write ``df`` to Parquet while collecting in-flight quality metrics
     with ``DataFrame.observe`` — row count plus per-column null counts and
@@ -250,9 +281,11 @@ def observed_write(df, path: str, metric_cols: list[str]) -> dict:
 QUERIES = {
     "data_quality_report": data_quality_report,
     "snapshot_diff": snapshot_diff,
+    "k_anonymity_report": k_anonymity_report,
 }
 
 ORACLES = {
     "data_quality_report": DATA_QUALITY_SQL,
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
+    "k_anonymity_report": K_ANONYMITY_SQL,
 }

@@ -84,3 +84,45 @@ def _parses_number(s):
         return True
     except (TypeError, ValueError):
         return False
+
+
+def test_chunk_documents_coverage_property(spark):
+    """Chunking invariants on adversarial token counts (1, stride-1,
+    stride, stride+1, window, window+1, 3·window): every token of every
+    doc is covered by >= 1 chunk, no chunk exceeds CHUNK_TOKENS, stride
+    spacing is exact, and reassembling stride-aligned chunk heads
+    reproduces the document."""
+    import pyspark.sql.functions as F
+
+    from collimate_spark.operators.curation import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+
+    sizes = [1, CHUNK_STRIDE - 1, CHUNK_STRIDE, CHUNK_STRIDE + 1,
+             CHUNK_TOKENS, CHUNK_TOKENS + 1, CHUNK_TOKENS * 3]
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n)), "xx", "src", n)
+        for i, n in enumerate(sizes)
+    ]
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = chunk_documents(spark, d).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(sizes):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert [c.start for c in chunks] == list(range(0, n, CHUNK_STRIDE))
+        covered = set()
+        for c in chunks:
+            toks = c.chunk_text.split(" ")
+            assert len(toks) == c.n_chunk_tokens <= CHUNK_TOKENS
+            assert toks[0] == f"t{i}_{c.start}"
+            covered.update(range(c.start, c.start + c.n_chunk_tokens))
+        assert covered == set(range(n)), f"doc {i}: tokens uncovered"

@@ -318,3 +318,36 @@ def test_price_histogram_broadcasts_bounds(spark, sf_dir):
     plan = _plan(price_histogram(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert plan.count("FileScan") == 2  # bounds agg + bucketing pass
+
+
+def test_plan_features_helper(spark, sf_dir):
+    """plans.plan_features distills the counts the other tests grep for;
+    sanity-check it against a known query shape (q1: one scan, one agg
+    shuffle, pushed shipdate filter, codegen spans present)."""
+    from collimate_spark.plans import assert_scalable, plan_features
+
+    f = plan_features(q1_pricing_summary(spark, sf_dir))
+    assert f["n_scans"] == 1
+    assert f["n_exchanges"] >= 1
+    assert any("l_shipdate" in p for p in f["pushed_filters"])
+    assert not f["has_cartesian"]
+    assert_scalable(
+        q1_pricing_summary(spark, sf_dir),
+        max_exchanges=2,
+        allow_bnl=False,
+        require_pushdown=True,
+    )
+
+
+def test_assert_scalable_catches_cartesian(spark, sf_dir):
+    import pytest
+
+    from collimate_spark.catalog import load_table
+    from collimate_spark.plans import assert_scalable
+
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    bad = n.crossJoin(r)
+    with pytest.raises(AssertionError, match="Cartesian|BroadcastNestedLoop"):
+        # crossJoin plans as BNL when one side broadcasts; forbid both
+        assert_scalable(bad, allow_bnl=False)

@@ -3,6 +3,8 @@ reads must prune."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from collimate_spark.catalog import load_table
@@ -307,7 +309,13 @@ def test_cbo_statistics_enable_auto_broadcast(spark, sf_dir, tmp_path):
     """With ANALYZE TABLE statistics, Catalyst's size estimate lets a
     small dimension auto-broadcast WITHOUT an explicit broadcast() hint —
     the statistics-driven planning a warehouse relies on."""
+    import shutil
+
     spark.sql("DROP TABLE IF EXISTS t_nation_stats")
+    # a previous session's managed-table directory survives the (per-
+    # session) derby metastore, so DROP alone cannot clear it
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(warehouse, "t_nation_stats"), ignore_errors=True)
     spark.read.parquet(f"{sf_dir}/nation.parquet").write.mode("overwrite").saveAsTable(
         "t_nation_stats"
     )
@@ -318,3 +326,4 @@ def test_cbo_statistics_enable_auto_broadcast(spark, sf_dir, tmp_path):
     assert "BroadcastHashJoin" in plan, plan[:500]
     stats = spark.sql("DESCRIBE EXTENDED t_nation_stats").collect()
     assert any("Statistics" in str(r) for r in stats)
+    spark.sql("DROP TABLE t_nation_stats")

@@ -117,6 +117,7 @@ EXTRA_QUERIES = [
     "bfs_distances",
     "price_histogram",
     "k_anonymity_report",
+    "entity_resolution_customers",
 ]
 
 

@@ -153,6 +153,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "bfs_distances",
     "price_histogram",
     "k_anonymity_report",
+    "entity_resolution_customers",
 )
 
 

@@ -482,6 +482,116 @@ ORDER BY cust_a
 """
 
 
+def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution capstone: blocking → verify → cluster → canonical
+    id. Deletion-neighborhood blocking proposes candidate name pairs
+    (never O(n²) — see fuzzy_name_match), exact ``levenshtein == 1``
+    verifies them, pointer-doubling connected components
+    (dedup.propagate_components, O(log d) rounds) merges transitive
+    matches (A~B, B~C ⇒ one entity even when A~C fails verification),
+    and each customer resolves to the minimum custkey of its component —
+    singletons to themselves. This is the full shape of production ER:
+    every stage is the scalable form (equi-join blocking, pair-local
+    verify, logarithmic clustering), composed. Oracle: the same edges in
+    DuckDB + a recursive-CTE reachability closure."""
+    from collimate_spark.operators.dedup import propagate_components
+
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    keyed = cust.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("c_name")),
+                lambda i: F.concat(
+                    F.col("c_name").substr(F.lit(1), i - 1),
+                    F.lit("*"),
+                    F.col("c_name").substr(i + 1, F.length("c_name")),
+                ),
+            )
+        ).alias("k"),
+    )
+    pairs = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), "k")
+        .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            F.col("b.c_name").alias("name_b"),
+        )
+        .distinct()
+        .filter(F.levenshtein("name_a", "name_b") == 1)
+        .select("cust_a", "cust_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("cust_a").alias("src"), F.col("cust_b").alias("dst")),
+                F.struct(F.col("cust_b").alias("src"), F.col("cust_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    labels = propagate_components(edges).select(
+        F.col("doc_id").alias("c_custkey"), F.col("comp").alias("entity_id")
+    )
+    resolved = cust.join(labels, "c_custkey", "left").select(
+        "c_custkey",
+        F.coalesce("entity_id", "c_custkey").alias("entity_id"),
+    )
+    return (
+        resolved.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("c_custkey").alias("min_member"),
+            F.max("c_custkey").alias("max_member"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("entity_id")
+    )
+
+
+ENTITY_RESOLUTION_SQL = """
+WITH RECURSIVE keyed AS (
+  SELECT c_custkey, c_name,
+         unnest(list_transform(range(1, LENGTH(c_name) + 1),
+                i -> substr(c_name, 1, i - 1) || '*' || substr(c_name, i + 1))) AS k
+  FROM customer
+),
+cand AS (
+  SELECT DISTINCT a.c_custkey AS cust_a, a.c_name AS name_a,
+                  b.c_custkey AS cust_b, b.c_name AS name_b
+  FROM keyed a JOIN keyed b ON a.k = b.k AND a.c_custkey < b.c_custkey
+),
+pairs AS (
+  SELECT cust_a, cust_b FROM cand WHERE levenshtein(name_a, name_b) = 1
+),
+edges AS (
+  SELECT cust_a AS src, cust_b AS dst FROM pairs
+  UNION ALL SELECT cust_b, cust_a FROM pairs
+),
+reach AS (
+    SELECT src AS node, src AS member FROM edges
+  UNION
+    SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.member
+),
+cc AS (
+  SELECT node AS c_custkey, MIN(member) AS entity_id
+  FROM reach GROUP BY node
+)
+SELECT entity_id,
+       COUNT(*) AS n_members,
+       MIN(c_custkey) AS min_member,
+       MAX(c_custkey) AS max_member
+FROM cc
+GROUP BY entity_id
+HAVING COUNT(*) > 1
+ORDER BY entity_id
+"""
+
+
 def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the
     NULL-keyed rows MATCH each other instead of silently dropping — the
@@ -547,6 +657,7 @@ QUERIES = {
     "salted_join_hot_key": salted_join_hot_key,
     "asof_join_forward": asof_join_forward,
     "join_null_safe": join_null_safe,
+    "entity_resolution_customers": entity_resolution_customers,
 }
 
 ORACLES = {
@@ -562,4 +673,5 @@ ORACLES = {
     "asof_join_events_orders": ASOF_JOIN_SQL,
     "range_join_events_orders": RANGE_JOIN_SQL,
     "join_null_safe": JOIN_NULL_SAFE_SQL,
+    "entity_resolution_customers": ENTITY_RESOLUTION_SQL,
 }

@@ -493,7 +493,13 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     singletons to themselves. This is the full shape of production ER:
     every stage is the scalable form (equi-join blocking, pair-local
     verify, logarithmic clustering), composed. Oracle: the same edges in
-    DuckDB + a recursive-CTE reachability closure."""
+    DuckDB + a recursive-CTE reachability closure.
+
+    On the driver testdata the sequential customer names chain end-to-end
+    into ONE entity (Customer#...1 ~ #...2 ~ ...) — degenerate as a
+    business result but a deliberate stress case here: a component whose
+    DIAMETER is the whole table is exactly where naive label propagation
+    needs O(n) rounds and pointer doubling needs O(log n)."""
     from collimate_spark.operators.dedup import propagate_components
 
     cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")

@@ -118,6 +118,8 @@ EXTRA_QUERIES = [
     "price_histogram",
     "k_anonymity_report",
     "entity_resolution_customers",
+    "multimodal_image_resize",
+    "multimodal_frame_sample",
 ]
 
 

@@ -154,6 +154,8 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "price_histogram",
     "k_anonymity_report",
     "entity_resolution_customers",
+    "multimodal_image_resize",  # rows-only
+    "multimodal_frame_sample",  # rows-only
 )
 
 

@@ -409,17 +409,167 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_FACTOR = 2  # 2×2 block-mean downsample
+FRAME_STRIDE = 2  # keep every 2nd frame
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("in_w", T.IntegerType()),
+        T.StructField("in_h", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("in_mean", T.DoubleType()),
+        T.StructField("out_mean", T.DoubleType()),
+        T.StructField("out_bytes", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas image RESIZE kernel: real PNG decode → 2×2 block-mean
+    downsample (numpy reshape trick, the area-average resize) → real PNG
+    re-encode. Block-mean preserves the global pixel mean up to uint8
+    rounding — asserted exactly in tests. This is the thumbnail/
+    preprocessing pass of a multimodal pipeline; PIL/libvips slot in at
+    the same call site for resampling filters beyond area-average."""
+    f = RESIZE_FACTOR
+    for pdf in batches:
+        out = []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            px = png.decode(bytes(payload)).astype(np.float64)
+            h, w, ch = px.shape
+            h2, w2 = (h // f) * f, (w // f) * f
+            small = (
+                px[:h2, :w2]
+                .reshape(h2 // f, f, w2 // f, f, ch)
+                .mean(axis=(1, 3))
+            )
+            small_u8 = np.round(small).astype(np.uint8)
+            re_encoded = png.encode(small_u8)
+            out.append(
+                {
+                    "asset_id": asset_id,
+                    "in_w": w,
+                    "in_h": h,
+                    "out_w": small_u8.shape[1],
+                    "out_h": small_u8.shape[0],
+                    "in_mean": float(px.mean()),
+                    "out_mean": float(small.mean()),
+                    "out_bytes": len(re_encoded),
+                }
+            )
+        yield pd.DataFrame(out, columns=[f_.name for f_ in RESIZE_SCHEMA.fields])
+
+
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize pipeline: synthesize PNGs → block-mean downsample →
+    re-encode, aggregating geometry + mean-preservation stats per id
+    bucket. Rows-only (pixel synthesis is engine-specific); exact
+    mean-preservation pinned in tests/test_multimodal.py."""
+    ids = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.col("doc_id").alias("asset_id"))
+        .filter(F.col("asset_id") < 200)
+    )
+    payloads = ids.mapInPandas(
+        synthesize_png_payloads,
+        T.StructType(
+            [
+                T.StructField("asset_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    feats = payloads.mapInPandas(resize_images, RESIZE_SCHEMA)
+    return (
+        feats.groupBy((F.col("asset_id") % 10).alias("id_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("out_w").alias("out_w"),
+            F.min("out_h").alias("out_h"),
+            F.round(F.avg(F.abs(F.col("in_mean") - F.col("out_mean"))), 6).alias(
+                "avg_mean_drift"
+            ),
+            F.sum("out_bytes").alias("sum_out_bytes"),
+        )
+        .orderBy("id_bucket")
+    )
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas video FRAME-SAMPLE kernel: real Y4M decode → keep every
+    FRAME_STRIDE-th frame → re-encode the sampled clip. The cheap-pass
+    primitive before expensive per-frame models (caption/embed every
+    k-th frame)."""
+    for pdf in batches:
+        out = []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            fps, luma = y4m.decode(bytes(payload))
+            sampled = luma[::FRAME_STRIDE]
+            re_encoded = y4m.encode(sampled, fps=fps, chroma="mono")
+            x = sampled.astype(np.float64)
+            out.append(
+                {
+                    "asset_id": asset_id,
+                    "width": luma.shape[2],
+                    "height": luma.shape[1],
+                    "n_frames": sampled.shape[0],
+                    "fps": fps[0] / fps[1],
+                    "luma_mean": float(x.mean()),
+                    "motion": float(np.abs(np.diff(x, axis=0)).mean()) if len(x) > 1 else 0.0,
+                }
+            )
+            assert y4m.is_y4m(re_encoded)
+        yield pd.DataFrame(out, columns=[f.name for f in VIDEO_FEATURE_SCHEMA.fields])
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline: synthesize clips → keep every 2nd frame →
+    aggregate sampled-clip stats per id bucket. n_frames must equal
+    ceil(original/2) exactly — pinned in tests. Rows-only."""
+    ids = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.col("doc_id").alias("asset_id"))
+        .filter(F.col("asset_id") < 200)
+    )
+    payloads = ids.mapInPandas(
+        synthesize_y4m_payloads,
+        T.StructType(
+            [
+                T.StructField("asset_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    feats = payloads.mapInPandas(sample_frames, VIDEO_FEATURE_SCHEMA)
+    return (
+        feats.groupBy((F.col("asset_id") % 10).alias("id_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.min("n_frames").alias("min_frames"),
+            F.max("n_frames").alias("max_frames"),
+            F.sum("n_frames").alias("sum_frames"),
+            F.round(F.avg("luma_mean"), 4).alias("avg_luma"),
+        )
+        .orderBy("id_bucket")
+    )
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
     "multimodal_image_features": multimodal_image_features,
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_video_features": multimodal_video_features,
+    "multimodal_image_resize": multimodal_image_resize,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLES = {
     "multimodal_metadata": MULTIMODAL_META_SQL,
     # multimodal_features / multimodal_image_features /
-    # multimodal_audio_features / multimodal_video_features: rows-only
+    # multimodal_audio_features / multimodal_video_features /
+    # multimodal_image_resize / multimodal_frame_sample: rows-only
     # (byte/pixel/sample/frame-level features are engine-specific)
 }

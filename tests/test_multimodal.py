@@ -298,3 +298,53 @@ def test_video_features_real_decode(spark, sf_dir):
         # unrounded mean within the rounding quantum instead
         assert abs(row.avg_luma - float(np.mean(exp["luma"]))) <= 5.0001e-5
         assert abs(row.avg_motion - float(np.mean(exp["motion"]))) <= 5.0001e-5
+
+
+def test_image_resize_mean_preservation(spark, sf_dir):
+    """Block-mean downsample preserves the global pixel mean exactly
+    (before uint8 rounding): drift must be 0 for our even-dimension
+    images, and output geometry must be exactly half."""
+    from collimate_spark.operators.multimodal import (
+        IMG_H,
+        IMG_W,
+        RESIZE_FACTOR,
+        multimodal_image_resize,
+    )
+
+    rows = multimodal_image_resize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.out_w == IMG_W // RESIZE_FACTOR
+        assert r.out_h == IMG_H // RESIZE_FACTOR
+        # float means identical before rounding: drift exactly 0
+        assert r.avg_mean_drift == 0.0
+        assert r.sum_out_bytes > 0
+
+
+def test_frame_sample_counts_exact(spark, sf_dir):
+    """Every-2nd-frame sampling: sampled count = ceil(n/2) per clip,
+    verified through the aggregated min/max/sum against the synthesis
+    rule n = 3 + (aid % 4)."""
+    from collimate_spark.operators.multimodal import multimodal_frame_sample
+
+    got = {r.id_bucket: r for r in multimodal_frame_sample(spark, sf_dir).collect()}
+    ids = [
+        r.asset_id
+        for r in load_table(spark, "documents", sf_dir)
+        .select(F.col("doc_id").alias("asset_id"))
+        .filter(F.col("asset_id") < 200)
+        .collect()
+    ]
+    import math
+
+    by_bucket = {}
+    for aid in ids:
+        n = 3 + (aid % 4)
+        s = math.ceil(n / 2)
+        b = by_bucket.setdefault(aid % 10, [])
+        b.append(s)
+    for bucket, exp in by_bucket.items():
+        r = got[bucket]
+        assert r.min_frames == min(exp)
+        assert r.max_frames == max(exp)
+        assert r.sum_frames == sum(exp)

@@ -120,6 +120,7 @@ EXTRA_QUERIES = [
     "entity_resolution_customers",
     "multimodal_image_resize",
     "multimodal_frame_sample",
+    "grouped_agg_gini",
 ]
 
 

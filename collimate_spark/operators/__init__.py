@@ -156,6 +156,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "entity_resolution_customers",
     "multimodal_image_resize",  # rows-only
     "multimodal_frame_sample",  # rows-only
+    "grouped_agg_gini",
 )
 
 

@@ -149,6 +149,62 @@ ORDER BY event_id
 """
 
 
+@pandas_udf(T.DoubleType())
+def gini_agg(x: pd.Series) -> float:
+    """GROUPED_AGG pandas UDF (the UDAF surface: whole group in, one
+    scalar out, usable inside groupBy().agg() alongside built-ins).
+    Gini coefficient via the sorted-rank identity
+    ``G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n``; numpy-vectorized per group.
+    NOTE the scale trade vs Spark's own AggregateFunction: the whole
+    group materializes in one Python worker (no partial aggregation), so
+    this surface fits dimension-sized groups — built-in moment sketches
+    (regr_*, corr) stay the fact-scale path."""
+    v = np.sort(x.to_numpy(dtype="float64"))
+    n = len(v)
+    if n == 0 or v.sum() == 0:
+        return 0.0
+    i = np.arange(1, n + 1, dtype="float64")
+    return float(2.0 * (i * v).sum() / (n * v.sum()) - (n + 1.0) / n)
+
+
+@pandas_udf(T.LongType())
+def count_agg(x: pd.Series) -> int:
+    """Companion GROUPED_AGG count: Spark forbids mixing pandas and JVM
+    aggregates in one agg call, so the row count rides the same
+    Python-side aggregation."""
+    return len(x)
+
+
+def grouped_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag price inequality (Gini) through the GROUPED_AGG
+    pandas-UDF path (two pandas aggregates in one agg call)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            count_agg(F.col("l_extendedprice")).alias("n"),
+            F.round(gini_agg(F.col("l_extendedprice")), 4).alias("gini_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+GROUPED_AGG_GINI_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice AS x,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS i
+  FROM lineitem
+)
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(2.0 * SUM(i * x) / (COUNT(*) * SUM(x)) - (COUNT(*) + 1.0) / COUNT(*), 4)
+         AS gini_price
+FROM ranked
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed column surface: build a map, read keys and values back.
     Output stays scalar (value-hash friendly)."""
@@ -263,6 +319,7 @@ QUERIES = {
     "pandas_udf_scalar": pandas_udf_scalar,
     "udtf_tokenize": udtf_tokenize,
     "udtf_parse_props": udtf_parse_props,
+    "grouped_agg_gini": grouped_agg_gini,
     "map_functions": map_functions,
     "array_functions": array_functions,
     "agg_approx_distinct": agg_approx_distinct,
@@ -273,6 +330,7 @@ ORACLES = {
     "pandas_udf_scalar": PANDAS_UDF_SQL,
     "udtf_tokenize": UDTF_SQL,
     "udtf_parse_props": UDTF_PROPS_SQL,
+    "grouped_agg_gini": GROUPED_AGG_GINI_SQL,
     "map_functions": MAP_FUNCTIONS_SQL,
     "array_functions": ARRAY_FUNCTIONS_SQL,
     # agg_approx_distinct: rows-only (engine-specific HLL implementation)

@@ -121,6 +121,7 @@ EXTRA_QUERIES = [
     "multimodal_image_resize",
     "multimodal_frame_sample",
     "grouped_agg_gini",
+    "sliding_distinct_users",
 ]
 
 

@@ -157,6 +157,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "multimodal_image_resize",  # rows-only
     "multimodal_frame_sample",  # rows-only
     "grouped_agg_gini",
+    "sliding_distinct_users",
 )
 
 

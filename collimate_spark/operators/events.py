@@ -723,6 +723,68 @@ ORDER BY user_id
 """
 
 
+SDU_WINDOW_DAYS = 7
+
+
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day DISTINCT active users per day — the windowed
+    COUNT(DISTINCT) neither Spark nor DuckDB supports as a window
+    function (distinct state is not frame-shrinkable). The scalable
+    rewrite: reduce to distinct (day, user) pairs FIRST (one dedup
+    shuffle collapses the fact table to activity grain), then each pair
+    covers the SDU_WINDOW_DAYS report days it contributes to via an
+    explode(sequence) — a bounded ×7 fan-out of the small activity table,
+    NOT of the fact table — and one count-distinct per report day
+    finishes. At 100 TB the footprint is |active-pairs|·7, independent
+    of event volume; the HLL variant (windowed sketch-merge) drops the
+    ×7 to ×1 at 2% error and is the hll_sketch_partitioned composition.
+    Report days clip to the observed [min_day, max_day] so ramp-up days
+    count only real history (and the fan-out needs no post-filter)."""
+    ev = load_table(spark, "events", sf_dir)
+    pairs = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    bounds = pairs.agg(F.max("day").alias("max_day"))
+    covered = (
+        pairs.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.least(
+                        F.date_add(F.col("day"), SDU_WINDOW_DAYS - 1), F.col("max_day")
+                    ),
+                )
+            ).alias("report_day"),
+        )
+    )
+    return (
+        covered.groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+        .orderBy("report_day")
+    )
+
+
+SLIDING_DISTINCT_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+b AS (SELECT MAX(day) AS max_day FROM pairs),
+offs AS (SELECT unnest(range(0, {SDU_WINDOW_DAYS})) AS o),
+covered AS (
+  SELECT p.user_id, p.day + CAST(offs.o AS INT) AS report_day, b.max_day
+  FROM pairs p, offs, b
+)
+SELECT report_day,
+       COUNT(DISTINCT user_id) AS n_active_users
+FROM covered
+WHERE report_day <= max_day
+GROUP BY 1
+ORDER BY report_day
+"""
+
+
 QUERIES = {
     "json_extract_events": json_extract_events,
     "tumbling_window_agg": tumbling_window_agg,
@@ -738,6 +800,7 @@ QUERIES = {
     "time_weighted_average": time_weighted_average,
     "top_event_paths": top_event_paths,
     "session_window_agg": session_window_agg,
+    "sliding_distinct_users": sliding_distinct_users,
 }
 
 ORACLES = {
@@ -755,4 +818,5 @@ ORACLES = {
     "pivot_event_counts": PIVOT_SQL,
     "date_spine_fill": DATE_SPINE_SQL,
     "interpolate_missing_values": INTERPOLATE_SQL,
+    "sliding_distinct_users": SLIDING_DISTINCT_SQL,
 }

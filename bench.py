@@ -122,6 +122,7 @@ EXTRA_QUERIES = [
     "multimodal_frame_sample",
     "grouped_agg_gini",
     "sliding_distinct_users",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -158,6 +158,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "multimodal_frame_sample",  # rows-only
     "grouped_agg_gini",
     "sliding_distinct_users",
+    "ann_ivfpq_topk",  # rows-only
 )
 
 

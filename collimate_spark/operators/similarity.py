@@ -294,6 +294,78 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_ranked(scored)
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed — FAISS's IVFPQ layout as DataFrame ops: the
+    coarse quantizer prunes WHICH candidates are scored (probe NPROBE of
+    IVF_K cells), PQ compresses HOW the survivors are scored (ADC table
+    lookups on 8-byte codes), and an exact re-rank of the PQ_RERANK
+    shortlist restores ranking fidelity. Scan cost ≈
+    |corpus|·NPROBE/IVF_K candidates × m byte-lookups each — the two
+    multiplicative savings compound, which is why this is the default
+    billion-scale ANN index. Rows-only; recall vs brute force on the
+    clustered fixture asserted in tests/test_similarity.py."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    C = fast_vec.trained_quantizer(spark, emb, IVF_K, cache_key=sf_dir)
+    books = fast_vec.trained_pq_codebooks(spark, emb, cache_key=sf_dir)
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect(),
+        key=lambda r: r[0],
+    )
+    luts = {
+        int(r[0]): fast_vec.pq_adc_lut(np.array(r[1], dtype=np.float64), books) for r in q_rows
+    }
+    m = books.shape[0]
+
+    @pandas_udf(T.IntegerType())
+    def assign_udf(s: pd.Series) -> pd.Series:
+        mat = np.vstack(s.to_numpy())
+        return pd.Series(fast_vec.assign_clusters(mat, C).astype(np.int32))
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_udf(s: pd.Series) -> pd.Series:
+        mat = np.vstack(s.to_numpy())
+        probes = fast_vec.probe_clusters(mat, C, NPROBE)
+        return pd.Series([row.astype("int32").tolist() for row in probes])
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode_udf(s: pd.Series) -> pd.Series:
+        mat = np.vstack(s.to_numpy())
+        return pd.Series(fast_vec.pq_encode(mat, books).tolist())
+
+    @pandas_udf(T.DoubleType())
+    def adc_udf(codes: pd.Series, qid: pd.Series) -> pd.Series:
+        cm = np.vstack(codes.to_numpy())
+        qv = qid.to_numpy()
+        out = np.empty(len(cm), dtype=np.float64)
+        for q in np.unique(qv):
+            mask = qv == q
+            out[mask] = luts[int(q)][np.arange(m)[None, :], cm[mask]].sum(axis=1)
+        return pd.Series(out)
+
+    corpus = (
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+        .withColumn("cluster", assign_udf(F.col("c_emb")))
+        .withColumn("codes", encode_udf(F.col("c_emb")))
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .withColumn("cluster", F.explode(probe_udf(F.col("q_emb"))))
+    )
+    shortlist_w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("cand_id").asc()
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cluster")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("adc", adc_udf(F.col("codes"), F.col("query_id")))
+        .withColumn("adc_rk", F.row_number().over(shortlist_w))
+        .filter(F.col("adc_rk") <= PQ_RERANK)
+        .withColumn("cos_raw", V.cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    return _topk_ranked(scored)
+
+
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization of the embedding column — the
     4× storage/bandwidth compressor every large ANN corpus applies before
@@ -563,6 +635,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_gram_matrix": embedding_gram_matrix,
     "kmeans_lloyd_clusters": kmeans_lloyd_clusters,
@@ -577,6 +650,7 @@ ORACLES = {
     "embedding_dim_stats": DIM_STATS_SQL,
     # kmeans_lloyd_clusters: rows-only (iterative float refinement;
     # monotone-inertia + self-consistency asserted in test_similarity.py)
-    # ann_ivf_topk / ann_lsh_topk / ann_pq_topk: rows-only (approximate by
-    # construction; recall vs brute force asserted in tests/test_similarity.py)
+    # ann_ivf_topk / ann_lsh_topk / ann_pq_topk / ann_ivfpq_topk: rows-only
+    # (approximate by construction; recall vs brute force asserted in
+    # tests/test_similarity.py)
 }

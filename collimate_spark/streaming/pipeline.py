@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from collimate_spark.ingest import NULL_TOKENS, sanitize
 
@@ -474,4 +474,61 @@ def user_lifetime_stats(events: DataFrame) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
+    )
+
+
+def cdc_apply_stream(changes: DataFrame, table_dir: str, checkpoint: str):
+    """Streaming CDC apply: a change stream of (op ∈ {upsert, delete},
+    key, value, seq) folds into a keyed table via foreachBatch MERGE —
+    the streaming twin of dataeng.merge_upsert_orders. Per micro-batch:
+    collapse the batch to its LAST change per key (max seq — a batch may
+    carry several changes for one key), full-outer-join onto the current
+    table, apply upserts/deletes, atomically swap the table directory.
+
+    Idempotent under replay: applying the same collapsed batch to the
+    post-merge table is a fixpoint (upserts re-write identical rows,
+    deletes re-delete absent keys), so a foreachBatch retry cannot
+    corrupt state. On a real deployment the swap is a MERGE INTO on an
+    ACID table format; the join shape — one co-partitioned merge on the
+    table's key — is identical."""
+    import os
+    import shutil
+    import uuid
+
+    def _body(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+        last = (
+            batch.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        if os.path.isdir(table_dir):
+            current = spark.read.parquet(table_dir)
+        else:
+            current = spark.createDataFrame([], "key long, value double")
+        merged = (
+            current.alias("t")
+            .join(last.alias("c"), F.col("t.key") == F.col("c.key"), "full_outer")
+            .filter(F.coalesce(F.col("c.op"), F.lit("keep")) != "delete")
+            .select(
+                F.coalesce(F.col("c.key"), F.col("t.key")).alias("key"),
+                F.coalesce(F.col("c.value"), F.col("t.value")).alias("value"),
+            )
+        )
+        tmp = f"{table_dir}__stage_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(table_dir):
+            old = f"{table_dir}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(table_dir, old)
+            os.rename(tmp, table_dir)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, table_dir)
+
+    return (
+        changes.writeStream.foreachBatch(_body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )

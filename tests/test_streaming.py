@@ -497,3 +497,41 @@ def test_transform_with_state_lifetime_stats(spark, tmp_path):
         latest[r.user_id] = r
     assert latest[1].n_events == 3 and abs(latest[1].total_value - 17.5) < 1e-9
     assert latest[2].n_events == 1 and abs(latest[2].total_value - 7.0) < 1e-9
+
+
+def test_cdc_apply_stream_merges_upserts_and_deletes(spark, tmp_path):
+    """Two CDC batches fold into the keyed table in order: batch 2's
+    update wins over batch 1's insert, its delete removes a live key,
+    and within-batch multi-changes collapse to the max-seq one."""
+    import json
+
+    from collimate_spark.streaming.pipeline import cdc_apply_stream
+
+    indir = str(tmp_path / "cdc_in")
+    table = str(tmp_path / "cdc_table")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    os.makedirs(indir)
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("key", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    with open(os.path.join(indir, "b1.jsonl"), "w") as fh:
+        fh.write(json.dumps({"op": "upsert", "key": 1, "value": 10.0, "seq": 1}) + "\n")
+        fh.write(json.dumps({"op": "upsert", "key": 2, "value": 20.0, "seq": 2}) + "\n")
+    with open(os.path.join(indir, "b2.jsonl"), "w") as fh:
+        fh.write(json.dumps({"op": "upsert", "key": 1, "value": 11.0, "seq": 3}) + "\n")
+        fh.write(json.dumps({"op": "upsert", "key": 1, "value": 12.0, "seq": 4}) + "\n")
+        fh.write(json.dumps({"op": "delete", "key": 2, "value": None, "seq": 5}) + "\n")
+        fh.write(json.dumps({"op": "upsert", "key": 3, "value": 30.0, "seq": 6}) + "\n")
+
+    changes = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(indir)
+    )
+    q = cdc_apply_stream(changes, table, ckpt)
+    q.awaitTermination(180)
+    got = {r.key: r.value for r in spark.read.parquet(table).collect()}
+    assert got == {1: 12.0, 3: 30.0}, got

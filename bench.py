@@ -123,6 +123,7 @@ EXTRA_QUERIES = [
     "grouped_agg_gini",
     "sliding_distinct_users",
     "ann_ivfpq_topk",
+    "ann_range_search",
 ]
 
 

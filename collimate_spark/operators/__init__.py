@@ -159,6 +159,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "grouped_agg_gini",
     "sliding_distinct_users",
     "ann_ivfpq_topk",  # rows-only
+    "ann_range_search",
 )
 
 

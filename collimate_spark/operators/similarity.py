@@ -102,6 +102,64 @@ ORDER BY query_id, rk
 """
 
 
+RANGE_SEARCH_R = 0.25  # cosine radius
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search — the other vector-retrieval primitive: ALL
+    candidates within a cosine radius of each query, not a fixed k.
+    Exact scan form (broadcast queries × corpus, filter on cosine ≥ R);
+    the sublinear path composes exactly like top-k: IVF cells whose
+    centroid cone intersects the radius, or LSH buckets, prune the scan
+    while the radius filter stays the final arbiter. Unlike top-k the
+    result size is data-dependent — the scale risk is an over-wide
+    radius, so emit per-query counts alongside pairs to make blowups
+    observable."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    hits = (
+        corpus.join(F.broadcast(queries))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cos_raw", V.cosine(F.col("q_emb"), F.col("c_emb")))
+        .filter(F.round(F.col("cos_raw"), 6) >= RANGE_SEARCH_R)
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_radius"),
+            F.round(F.max("cos_raw"), 4).alias("max_cosine"),
+            F.min("cand_id").alias("min_cand"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ANN_RANGE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+hits AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         list_sum(list_transform(list_zip(q.q_emb, CAST(c.embedding AS DOUBLE[])), s -> s[1]*s[2]))
+           / (sqrt(list_sum(list_transform(q.q_emb, x -> x*x)))
+            * sqrt(list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x*x)))) AS cos_raw
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, COUNT(*) AS n_in_radius,
+       ROUND(MAX(cos_raw), 4) AS max_cosine,
+       MIN(cand_id) AS min_cand
+FROM hits
+WHERE ROUND(cos_raw, 6) >= {RANGE_SEARCH_R}
+GROUP BY query_id
+ORDER BY query_id
+"""
+
+
 def centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fully-distributed per-label centroid vectors: element-wise mean via
     posexplode + groupBy(label, pos) — shuffle on (label, pos), no driver
@@ -631,6 +689,7 @@ ORDER BY pos
 
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_range_search": ann_range_search,
     "embedding_cluster_cohesion": embedding_cluster_cohesion,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -644,6 +703,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
+    "ann_range_search": ANN_RANGE_SQL,
     "embedding_cluster_cohesion": COHESION_SQL,
     "embedding_quantize_int8": QUANTIZE_SQL,
     "embedding_gram_matrix": GRAM_SQL,

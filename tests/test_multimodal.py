@@ -177,6 +177,25 @@ try:
     def test_png_property_roundtrip(pixels):
         assert np.array_equal(png.decode(png.encode(pixels)), pixels)
 
+    @settings(max_examples=25, deadline=None)
+    @given(
+        hnp.arrays(
+            np.uint8,
+            st.tuples(st.integers(0, 6), st.integers(1, 8).map(lambda h: h * 2),
+                      st.integers(1, 8).map(lambda w: w * 2)),
+            elements=st.integers(0, 255),
+        ),
+        st.sampled_from([(25, 1), (30, 1), (30000, 1001)]),
+        st.sampled_from(["mono", "420jpeg"]),
+    )
+    def test_y4m_property_roundtrip(frames, fps, chroma):
+        from collimate_spark.functions import y4m
+
+        got_fps, got = y4m.decode(y4m.encode(frames, fps=fps, chroma=chroma))
+        assert got_fps == fps
+        assert got.shape == frames.shape
+        assert np.array_equal(got, frames)
+
 except ImportError:  # hypothesis is expected in this container; belt+braces
     pass
 

@@ -124,6 +124,7 @@ EXTRA_QUERIES = [
     "sliding_distinct_users",
     "ann_ivfpq_topk",
     "ann_range_search",
+    "grouped_arrow_profile",
 ]
 
 

@@ -160,6 +160,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "sliding_distinct_users",
     "ann_ivfpq_topk",  # rows-only
     "ann_range_search",
+    "grouped_arrow_profile",
 )
 
 

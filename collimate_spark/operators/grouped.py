@@ -61,6 +61,57 @@ ORDER BY event_id
 """
 
 
+def _arrow_value_profile(table):
+    """applyInArrow body: per-group profile computed directly on pyarrow
+    buffers (no pandas materialization — Arrow compute kernels end to
+    end). Returns a 1-row table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    v = table.column("value")
+    return pa.table(
+        {
+            "event_type": [table.column("event_type")[0].as_py()],
+            "n": [table.num_rows],
+            "v_min": [pc.round(pc.min(v), ndigits=4).as_py()],
+            "v_max": [pc.round(pc.max(v), ndigits=4).as_py()],
+            "v_mean": [round(pc.mean(v).as_py(), 4)],
+        }
+    )
+
+
+def grouped_arrow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-NATIVE grouped map (``applyInArrow`` — Spark 4's zero-pandas
+    grouped API): each group arrives as a pyarrow Table, compute runs on
+    Arrow buffers via pyarrow.compute, and the result ships back without
+    a pandas hop — the lowest-overhead Python grouped path (no index
+    reconstruction, no dtype coercion). Same scale caveat as any grouped
+    map: whole group in one worker; fine for the handful of event
+    types."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInArrow(
+            _arrow_value_profile,
+            "event_type string, n long, v_min double, v_max double, v_mean double",
+        )
+        .orderBy("event_type")
+    )
+
+
+GROUPED_ARROW_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(MIN(value), 4) AS v_min,
+       ROUND(MAX(value), 4) AS v_max,
+       ROUND(AVG(value), 4) AS v_mean
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles (Spark `percentile` ==
     DuckDB `quantile_cont`)."""
@@ -270,6 +321,7 @@ FROM lineitem
 
 QUERIES = {
     "grouped_zscore": grouped_zscore,
+    "grouped_arrow_profile": grouped_arrow_profile,
     "agg_percentile": agg_percentile,
     "agg_argmax": agg_argmax,
     "subquery_exists": subquery_exists,
@@ -281,6 +333,7 @@ QUERIES = {
 
 ORACLES = {
     "grouped_zscore": GROUPED_ZSCORE_SQL,
+    "grouped_arrow_profile": GROUPED_ARROW_SQL,
     "agg_percentile": AGG_PERCENTILE_SQL,
     "agg_argmax": AGG_ARGMAX_SQL,
     "subquery_exists": SUBQUERY_EXISTS_SQL,

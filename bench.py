@@ -125,6 +125,8 @@ EXTRA_QUERIES = [
     "ann_ivfpq_topk",
     "ann_range_search",
     "grouped_arrow_profile",
+    "table_profile_lineitem",
+    "benford_first_digit",
 ]
 
 

@@ -161,6 +161,8 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "ann_ivfpq_topk",  # rows-only
     "ann_range_search",
     "grouped_arrow_profile",
+    "table_profile_lineitem",
+    "benford_first_digit",
 )
 
 

@@ -258,6 +258,114 @@ ORDER BY c_nationkey, c_mktsegment
 """
 
 
+def table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column auto-profile — the df.describe()/summary() role as an
+    oracled long-format query: per numeric column, null count, distinct
+    count, min/max/mean. ONE wide conditional aggregation produces every
+    cell (no per-column scans — the same single-pass trick
+    ingest.profile uses for type inference), then an unpivot to rows.
+    This is the table-health dashboard query a warehouse runs after
+    every load; at 100 TB it is exactly one scan."""
+    li = load_table(spark, "lineitem", sf_dir)
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            a
+            for c in cols
+            for a in (
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+                F.countDistinct(c).alias(f"{c}__distinct"),
+                F.round(F.min(c), 4).alias(f"{c}__min"),
+                F.round(F.max(c), 4).alias(f"{c}__max"),
+                F.round(F.avg(c), 4).alias(f"{c}__mean"),
+            )
+        ],
+    )
+    profiles = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+            F.col(f"{c}__mean").alias("mean_val"),
+        )
+        for c in cols
+    ]
+    return (
+        agg.select(F.explode(F.array(*profiles)).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )
+
+
+_PROFILE_COLS_SQL = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       ROUND(MIN({c}), 4) AS min_val, ROUND(MAX({c}), 4) AS max_val,
+       ROUND(AVG({c}), 4) AS mean_val
+FROM lineitem"""
+    for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+)
+
+TABLE_PROFILE_SQL = f"""
+SELECT * FROM ({_PROFILE_COLS_SQL})
+ORDER BY col_name
+"""
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    anomaly screen for fabricated numeric data: observed first-digit
+    shares vs log10(1 + 1/d) expectations plus each digit's chi-squared
+    contribution. One scan, 9-row output. (TPC-H-style uniform prices do
+    NOT follow Benford — the non-conformance itself is the demo: the
+    audit flags synthetic data as synthetic.)"""
+    orders = load_table(spark, "orders", sf_dir)
+    d = F.substring(F.col("o_totalprice").cast("string"), 1, 1).cast("int")
+    total = orders.count()
+    byd = (
+        orders.select(d.alias("digit"))
+        .filter(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expected = F.log10(1 + 1 / F.col("digit"))
+    return (
+        byd.withColumn("share", F.round(F.col("n") / F.lit(total), 6))
+        .withColumn("benford_share", F.round(expected, 6))
+        .withColumn(
+            "chi2_term",
+            F.round(
+                F.pow(F.col("n") - F.lit(total) * expected, 2) / (F.lit(total) * expected), 4
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+BENFORD_SQL = """
+WITH t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM orders),
+byd AS (
+  SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS digit,
+         COUNT(*) AS n
+  FROM orders
+  WHERE CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) BETWEEN 1 AND 9
+  GROUP BY 1
+)
+SELECT digit, n,
+       ROUND(n / total, 6) AS share,
+       ROUND(log10(1 + 1.0 / digit), 6) AS benford_share,
+       ROUND(POW(n - total * log10(1 + 1.0 / digit), 2)
+             / (total * log10(1 + 1.0 / digit)), 4) AS chi2_term
+FROM byd, t
+ORDER BY digit
+"""
+
+
 def observed_write(df, path: str, metric_cols: list[str]) -> dict:
     """Write ``df`` to Parquet while collecting in-flight quality metrics
     with ``DataFrame.observe`` — row count plus per-column null counts and
@@ -282,10 +390,14 @@ QUERIES = {
     "data_quality_report": data_quality_report,
     "snapshot_diff": snapshot_diff,
     "k_anonymity_report": k_anonymity_report,
+    "table_profile_lineitem": table_profile_lineitem,
+    "benford_first_digit": benford_first_digit,
 }
 
 ORACLES = {
     "data_quality_report": DATA_QUALITY_SQL,
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
     "k_anonymity_report": K_ANONYMITY_SQL,
+    "table_profile_lineitem": TABLE_PROFILE_SQL,
+    "benford_first_digit": BENFORD_SQL,
 }

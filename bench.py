@@ -127,6 +127,7 @@ EXTRA_QUERIES = [
     "grouped_arrow_profile",
     "table_profile_lineitem",
     "benford_first_digit",
+    "embedding_jl_projection",
 ]
 
 

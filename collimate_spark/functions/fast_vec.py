@@ -240,3 +240,23 @@ def pq_adc_lut(q: np.ndarray, books: np.ndarray) -> np.ndarray:
     return np.stack(
         [((books[j] - qn[j * sub : (j + 1) * sub]) ** 2).sum(axis=1) for j in range(m)]
     )
+
+
+# --- Johnson-Lindenstrauss random projection -------------------------------
+
+JL_SEED = 4251
+JL_OUT_DIM = 16
+
+
+def jl_planes(in_dim: int, out_dim: int = JL_OUT_DIM) -> np.ndarray:
+    """Fixed-seed Gaussian projection matrix scaled by 1/sqrt(out_dim) —
+    the JL guarantee: pairwise distances distort by at most (1±ε) w.h.p.
+    for out_dim = O(log n / ε²). Data-independent, so the same matrix
+    projects every batch on every executor with no training step."""
+    rng = np.random.Generator(np.random.PCG64(JL_SEED))
+    return rng.standard_normal((out_dim, in_dim)) / np.sqrt(out_dim)
+
+
+def jl_project(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, in_dim) → (n, out_dim) float64 batch projection."""
+    return mat.astype(np.float64, copy=False) @ planes.T

@@ -163,6 +163,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "grouped_arrow_profile",
     "table_profile_lineitem",
     "benford_first_digit",
+    "embedding_jl_projection",  # rows-only
 )
 
 

@@ -424,6 +424,39 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_ranked(scored)
 
 
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 → 16 dims: the
+    dimensionality-reduction preprocessing for ANN/clustering when the
+    raw embedding is wider than the index wants. Data-independent
+    fixed-seed Gaussian planes (no training, no shuffle) applied per
+    Arrow batch; 4× less vector bandwidth downstream at a bounded
+    pairwise-distance distortion (JL lemma — measured empirically in
+    tests/test_similarity.py: max relative distortion ≤ 0.5 at 16 dims,
+    mean ≪). Output: per-vector norms before/after + the leading
+    projected coordinates. Rows-only (numpy matmul association is
+    engine-specific)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    planes = fast_vec.jl_planes(_EMB_DIM)
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def project_udf(s: pd.Series) -> pd.Series:
+        mat = np.vstack(s.to_numpy())
+        return pd.Series(fast_vec.jl_project(mat, planes).tolist())
+
+    return (
+        emb.select("vec_id", "embedding")
+        .withColumn("proj", project_udf(F.col("embedding")))
+        .select(
+            "vec_id",
+            F.round(V.norm(F.col("embedding")), 4).alias("norm_in"),
+            F.round(V.norm(F.col("proj")), 4).alias("norm_out"),
+            F.round(F.element_at("proj", 1), 4).alias("p0"),
+            F.round(F.element_at("proj", 2), 4).alias("p1"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization of the embedding column — the
     4× storage/bandwidth compressor every large ANN corpus applies before
@@ -690,6 +723,7 @@ ORDER BY pos
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_range_search": ann_range_search,
+    "embedding_jl_projection": embedding_jl_projection,
     "embedding_cluster_cohesion": embedding_cluster_cohesion,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,

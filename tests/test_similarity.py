@@ -345,3 +345,26 @@ def test_ivfpq_subset_of_ivf_candidates(spark, sf_dir):
     a = [tuple(r) for r in ann_ivfpq_topk(spark, sf_dir).collect()]
     b = [tuple(r) for r in ann_ivfpq_topk(spark, sf_dir).collect()]
     assert a == b and len(a) == 50
+
+
+def test_jl_projection_distance_preservation(spark, sf_dir):
+    """JL property, measured: pairwise euclidean distances among 100
+    driver vectors distort by a bounded relative factor after the 64→16
+    projection, and the operator is deterministic."""
+    from collimate_spark.functions.fast_vec import jl_planes, jl_project
+    from collimate_spark.operators.similarity import embedding_jl_projection
+
+    _, X = _driver_corpus(spark, sf_dir)
+    X = X[:100]
+    P = jl_planes(X.shape[1])
+    Y = jl_project(X, P)
+    dists_in, dists_out = [], []
+    for i in range(0, 100, 7):
+        for j in range(i + 1, 100, 13):
+            dists_in.append(np.linalg.norm(X[i] - X[j]))
+            dists_out.append(np.linalg.norm(Y[i] - Y[j]))
+    ratio = np.array(dists_out) / np.array(dists_in)
+    assert 0.5 <= ratio.min() and ratio.max() <= 1.6, (ratio.min(), ratio.max())
+    a = [tuple(r) for r in embedding_jl_projection(spark, sf_dir).limit(50).collect()]
+    b = [tuple(r) for r in embedding_jl_projection(spark, sf_dir).limit(50).collect()]
+    assert a == b and len(a) == 50

@@ -128,6 +128,7 @@ EXTRA_QUERIES = [
     "table_profile_lineitem",
     "benford_first_digit",
     "embedding_jl_projection",
+    "set_ops_all",
 ]
 
 

@@ -164,6 +164,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "table_profile_lineitem",
     "benford_first_digit",
     "embedding_jl_projection",  # rows-only
+    "set_ops_all",
 )
 
 

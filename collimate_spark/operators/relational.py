@@ -467,6 +467,45 @@ ORDER BY op, o_custkey
 """
 
 
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations (``intersectAll`` / ``exceptAll``):
+    duplicates carry multiplicity — intersect keeps min(m_left, m_right)
+    copies per value, except keeps max(0, m_left − m_right). Run over
+    per-customer order-priority rows (which repeat), then counted per op
+    so the multiplicity arithmetic is what the oracle checks. These are
+    different OPERATORS from the distinct forms in set_ops (Spark plans
+    them as aggregate-count joins, not dedup joins); the distinction
+    matters whenever rows are events, not members."""
+    orders = load_table(spark, "orders", sf_dir)
+    left = orders.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    right = orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        "o_custkey"
+    )
+    ia = left.intersectAll(right).select(F.lit("intersect_all").alias("op"), "o_custkey")
+    ea = left.exceptAll(right).select(F.lit("except_all").alias("op"), "o_custkey")
+    return (
+        ia.union(ea)
+        .groupBy("op", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .orderBy("op", "o_custkey")
+    )
+
+
+SET_OPS_ALL_SQL = """
+WITH l AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+     r AS (SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+both_ops AS (
+  SELECT 'intersect_all' AS op, o_custkey FROM (SELECT o_custkey FROM l INTERSECT ALL SELECT o_custkey FROM r)
+  UNION ALL
+  SELECT 'except_all' AS op, o_custkey FROM (SELECT o_custkey FROM l EXCEPT ALL SELECT o_custkey FROM r)
+)
+SELECT op, o_custkey, COUNT(*) AS multiplicity
+FROM both_ops
+GROUP BY op, o_custkey
+ORDER BY op, o_custkey
+"""
+
+
 # --- sorts / limits -------------------------------------------------------
 def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: Spark plans TakeOrderedAndProject — per-partition heap,
@@ -630,6 +669,7 @@ QUERIES = {
     "agg_stats": agg_stats,
     "agg_boolean_counting": agg_boolean_counting,
     "set_ops": set_ops,
+    "set_ops_all": set_ops_all,
     "sort_topk": sort_topk,
     "scalar_string_funcs": scalar_string_funcs,
     "scalar_date_funcs": scalar_date_funcs,
@@ -654,6 +694,7 @@ ORACLES = {
     "agg_stats": AGG_STATS_SQL,
     "agg_boolean_counting": AGG_BOOL_SQL,
     "set_ops": SET_OPS_SQL,
+    "set_ops_all": SET_OPS_ALL_SQL,
     "sort_topk": SORT_TOPK_SQL,
     "scalar_string_funcs": SCALAR_STRING_SQL,
     "scalar_date_funcs": SCALAR_DATE_SQL,

@@ -129,6 +129,7 @@ EXTRA_QUERIES = [
     "benford_first_digit",
     "embedding_jl_projection",
     "set_ops_all",
+    "psi_price_drift",
 ]
 
 

@@ -165,6 +165,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "benford_first_digit",
     "embedding_jl_projection",  # rows-only
     "set_ops_all",
+    "psi_price_drift",
 )
 
 

@@ -366,6 +366,90 @@ ORDER BY digit
 """
 
 
+PSI_BUCKETS = 10
+
+
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the early and late halves of the
+    order history — the standard production drift alarm for a numeric
+    feature (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 shifted): bucket
+    both periods on the REFERENCE period's equi-width grid, compare share
+    vectors with Σ (p_b − p_a)·ln(p_b / p_a). One scan builds both
+    period×bucket counts (conditional aggregation); the grid bounds are
+    a broadcast 1-row agg over the reference period. Output keeps the
+    per-bucket contributions (the actionable part: WHICH range moved)
+    plus the total. Laplace-smoothed shares keep ln() finite when a
+    bucket empties — smoothing is part of the contract and mirrored in
+    the oracle."""
+    orders = load_table(spark, "orders", sf_dir)
+    # epoch-day ints, not CAST(ts AS DOUBLE): that cast is illegal on
+    # TIMESTAMP_NTZ and tz-dependent on TIMESTAMP (the round-2 lesson)
+    days = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    split = orders.agg(F.expr(
+        "percentile(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01'), 0.5)"
+    ).alias("mid"))
+    tagged = orders.crossJoin(F.broadcast(split)).withColumn(
+        "period", F.when(days <= F.col("mid"), "ref").otherwise("cur")
+    )
+    ref_bounds = tagged.filter(F.col("period") == "ref").agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / PSI_BUCKETS
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("int"), F.lit(0)
+        ),
+        F.lit(PSI_BUCKETS - 1),
+    )
+    counts = (
+        tagged.crossJoin(F.broadcast(ref_bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.sum((F.col("period") == "ref").cast("long")).alias("n_ref"),
+            F.sum((F.col("period") == "cur").cast("long")).alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * PSI_BUCKETS)
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * PSI_BUCKETS)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("psi_term", F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6))
+        .select("bucket", "n_ref", "n_cur", "psi_term")
+        .orderBy("bucket")
+    )
+
+
+PSI_SQL = f"""
+WITH s AS (SELECT quantile_cont(CAST(o_orderdate AS DATE) - DATE '1970-01-01', 0.5) AS mid FROM orders),
+tagged AS (
+  SELECT o_totalprice,
+         CASE WHEN CAST(o_orderdate AS DATE) - DATE '1970-01-01' <= mid THEN 'ref' ELSE 'cur' END AS period
+  FROM orders, s
+),
+rb AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+       FROM tagged WHERE period = 'ref'),
+counts AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / {PSI_BUCKETS})) AS INT), 0),
+               {PSI_BUCKETS - 1}) AS bucket,
+         CAST(SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM tagged, rb
+  GROUP BY 1
+),
+tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts)
+SELECT bucket, n_ref, n_cur,
+       ROUND(((n_cur + 0.5) / (t_cur + 0.5 * {PSI_BUCKETS})
+              - (n_ref + 0.5) / (t_ref + 0.5 * {PSI_BUCKETS}))
+             * ln(((n_cur + 0.5) / (t_cur + 0.5 * {PSI_BUCKETS}))
+                  / ((n_ref + 0.5) / (t_ref + 0.5 * {PSI_BUCKETS}))), 6) AS psi_term
+FROM counts, tot
+ORDER BY bucket
+"""
+
+
 def observed_write(df, path: str, metric_cols: list[str]) -> dict:
     """Write ``df`` to Parquet while collecting in-flight quality metrics
     with ``DataFrame.observe`` — row count plus per-column null counts and
@@ -392,6 +476,7 @@ QUERIES = {
     "k_anonymity_report": k_anonymity_report,
     "table_profile_lineitem": table_profile_lineitem,
     "benford_first_digit": benford_first_digit,
+    "psi_price_drift": psi_price_drift,
 }
 
 ORACLES = {
@@ -400,4 +485,5 @@ ORACLES = {
     "k_anonymity_report": K_ANONYMITY_SQL,
     "table_profile_lineitem": TABLE_PROFILE_SQL,
     "benford_first_digit": BENFORD_SQL,
+    "psi_price_drift": PSI_SQL,
 }

@@ -351,3 +351,21 @@ def test_assert_scalable_catches_cartesian(spark, sf_dir):
     with pytest.raises(AssertionError, match="Cartesian|BroadcastNestedLoop"):
         # crossJoin plans as BNL when one side broadcasts; forbid both
         assert_scalable(bad, allow_bnl=False)
+
+
+def test_cached_frame_reuses_inmemory_scan(spark, sf_dir):
+    """df.persist(): downstream consumers must read InMemoryTableScan,
+    not re-scan parquet — the iterative-workload lever the CC / PageRank
+    loops rely on (they use localCheckpoint, the stronger cousin)."""
+    from collimate_spark.catalog import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_quantity") > 10).cache()
+    try:
+        li.count()  # materialize
+        agg = li.groupBy("l_returnflag").count()
+        plan = _plan(agg)
+        assert "InMemoryTableScan" in plan
+        # parquet scan happens once (inside the cached relation), not per query
+        assert _plan(li.select("l_partkey")).count("FileScan") <= 1
+    finally:
+        li.unpersist()

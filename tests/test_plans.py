@@ -369,3 +369,48 @@ def test_cached_frame_reuses_inmemory_scan(spark, sf_dir):
         assert _plan(li.select("l_partkey")).count("FileScan") <= 1
     finally:
         li.unpersist()
+
+
+# Queries whose construction EXECUTES Spark jobs (iterative label
+# propagation, quantizer training, driver-side LUT building) — building
+# their plan is not "free", so the blanket sweep skips them; each has its
+# own dedicated plan/behavior tests elsewhere.
+_SWEEP_SKIP = {
+    "dedup_connected_components",
+    "dedup_survivor_best_quality",
+    "curate_corpus",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "kmeans_lloyd_clusters",
+    "pagerank_copurchase",
+    "bfs_distances",
+    "entity_resolution_customers",
+    "merge_upsert_orders",  # builds two filtered snapshots eagerly? cheap but join-heavy
+    "winsorize_stats",
+}
+
+# The one sanctioned cartesian/BNL-between-real-tables: region × nation,
+# both broadcast-sized by construction.
+_CARTESIAN_OK = {"join_cross"}
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """Blanket 100×-scale-up guard: build the physical plan of EVERY
+    registered query and reject CartesianProduct outright (except the
+    documented tiny join_cross). BroadcastNestedLoop joins are allowed
+    only when one side is a 1-row bound/stat frame — approximated here by
+    allowing BNL but never Cartesian; the per-operator tests pin the
+    stricter shapes."""
+    import __spark_entry__ as entrymod
+    from collimate_spark.plans import plan_features
+
+    offenders = []
+    for name, fn in entrymod.queries().items():
+        if name in _SWEEP_SKIP or name in _CARTESIAN_OK:
+            continue
+        f = plan_features(fn(spark, sf_dir))
+        if f["has_cartesian"]:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"

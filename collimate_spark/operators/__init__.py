@@ -103,6 +103,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # green in 2+ driver rounds. tests/test_registration.py accepts a
 # north-star query being here instead of in the window — but ONLY here,
 # so the exemption is explicit and reviewed.
+#
+# There are now MORE candidates than one 50-slot window absorbs; round-4
+# priority order: (1) capstones + novel algorithm families first
+# (entity_resolution_customers, pit_join_scd2, set_overlap_join_prefix,
+# ann_ivfpq_topk, heavy_hitters_words, cusum_changepoints, bfs_distances,
+# inverted_index_postings, chunk_documents, domain_mix_temperature,
+# psi_price_drift, rfm_segmentation, regr_price_trend, grouped_agg_gini,
+# udtf_parse_props, grouped_arrow_profile, sliding_distinct_users,
+# join_null_safe, set_ops_all, quantile_sketch_value, price_histogram,
+# k_anonymity_report, table_profile_lineitem, benford_first_digit,
+# pareto_revenue_share, multimodal_video_features), then (2) the older
+# r3 second-wave block; anything still unrotated after round 4 queues for
+# round 5 — every entry stays covered by the sf0.001+sf0.01 parity suite
+# meanwhile.
 ROTATION_CANDIDATES: tuple[str, ...] = (
     "salted_join_hot_key",
     "asof_join_forward",

@@ -130,6 +130,7 @@ EXTRA_QUERIES = [
     "embedding_jl_projection",
     "set_ops_all",
     "psi_price_drift",
+    "countmin_word_frequencies",
 ]
 
 

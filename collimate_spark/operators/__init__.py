@@ -180,6 +180,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "embedding_jl_projection",  # rows-only
     "set_ops_all",
     "psi_price_drift",
+    "countmin_word_frequencies",  # rows-only
 )
 
 

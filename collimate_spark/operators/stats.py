@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import pandas_udf
 
 from collimate_spark.catalog import load_table
 
@@ -472,6 +473,80 @@ def quantile_sketch_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(F.count(F.lit(1)).alias("n_summary_rows"), *picks)
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch
+
+CM_D = 4  # hash rows
+CM_W = 128  # counters per row
+
+
+def _cm_hash(r: int, word: str) -> int:
+    import zlib
+
+    return zlib.crc32(f"{r}:{word}".encode()) % CM_W
+
+
+def _cm_partition(pdfs) -> "pd.DataFrame":
+    """Per-partition count-min matrix as (row, col, cnt) triples — at
+    most CM_D·CM_W rows per task regardless of input size. CM is LINEAR:
+    the global sketch is the element-wise sum of partition sketches, so
+    the merge is one tiny groupBy — the same mergeability story as the
+    MG and quantile summaries, with a different guarantee (point-query
+    frequency estimates: est ≥ true always, est ≤ true + εN w.h.p. for
+    ε = e/W)."""
+    M = np.zeros((CM_D, CM_W), dtype=np.int64)
+    for pdf in pdfs:
+        for text in pdf["text"]:
+            for w in text.lower().split():
+                if w:
+                    for r in range(CM_D):
+                        M[r, _cm_hash(r, w)] += 1
+    rows, cols = np.nonzero(M)
+    if len(rows):
+        yield pd.DataFrame({"r": rows, "c": cols, "cnt": M[rows, cols]})
+
+
+def countmin_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point-query estimates vs exact word frequencies: one
+    sketch pass (mapInPandas, O(D·W) state per task) + one tiny merge
+    groupBy, then every vocabulary word's estimate (min over D hashed
+    counters, read from the broadcast 512-cell merged matrix) joins the
+    exact counts for an auditable error column. The exact pass exists
+    here to EXPOSE the guarantee; at 100 TB you keep only the sketch and
+    answer point queries from half a kilobyte of state. Rows-only driver
+    check (hash-layout-specific); the CM guarantees (no underestimate,
+    bounded overestimate) are asserted in tests/test_quantile_sketch.py."""
+    docs = load_table(spark, "documents", sf_dir)
+    merged = (
+        docs.select("text")
+        .mapInPandas(_cm_partition, "r int, c int, cnt long")
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    M = np.zeros((CM_D, CM_W), dtype=np.int64)
+    for row in merged.collect():  # ≤ CM_D·CM_W cells: metadata, not data
+        M[row["r"], row["c"]] = row["cnt"]
+
+    truth = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+    @pandas_udf("long")
+    def cm_estimate(words: pd.Series) -> pd.Series:
+        return words.map(
+            lambda w: int(min(M[r, _cm_hash(r, w)] for r in range(CM_D)))
+        )
+
+    return (
+        truth.withColumn("cm_est", cm_estimate(F.col("word")))
+        .withColumn("overcount", F.col("cm_est") - F.col("freq"))
+        .orderBy("word")
+    )
+
+
 QUERIES = {
     "regr_price_trend": regr_price_trend,
     "rfm_segmentation": rfm_segmentation,
@@ -480,6 +555,7 @@ QUERIES = {
     "cusum_changepoints": cusum_changepoints,
     "quantile_sketch_value": quantile_sketch_value,
     "price_histogram": price_histogram,
+    "countmin_word_frequencies": countmin_word_frequencies,
 }
 
 ORACLES = {

@@ -33,3 +33,20 @@ def test_quantile_sketch_deterministic(spark, sf_dir):
     a = quantile_sketch_value(spark, sf_dir).collect()
     b = quantile_sketch_value(spark, sf_dir).collect()
     assert a == b
+
+
+def test_countmin_guarantees(spark, sf_dir):
+    """CM invariants on real data: estimates NEVER undercount (structural
+    guarantee) and overcount stays within the 4·N/W slack (loose form of
+    the εN bound; the min over 4 rows makes larger excursions vanishingly
+    unlikely and this data is fixed)."""
+    from collimate_spark.operators.stats import CM_W, countmin_word_frequencies
+
+    rows = countmin_word_frequencies(spark, sf_dir).collect()
+    assert rows
+    n_total = sum(r.freq for r in rows)
+    for r in rows:
+        assert r.overcount >= 0, (r.word, r.freq, r.cm_est)
+        assert r.overcount <= 4 * n_total / CM_W, (r.word, r.overcount)
+    a = [tuple(x) for x in countmin_word_frequencies(spark, sf_dir).collect()]
+    assert a == [tuple(x) for x in rows]  # deterministic

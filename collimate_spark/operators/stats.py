@@ -6,7 +6,11 @@ has none — its README delegates querying to the un-vendored ``frame``):
 - RFM (recency / frequency / monetary) customer segmentation,
 - Pareto 80/20 cumulative-contribution analysis,
 - Misra-Gries heavy hitters: a real mergeable sketch pass + exact verify,
-- CUSUM changepoint detection via a prefix-sum/running-min identity.
+- CUSUM changepoint detection via a prefix-sum/running-min identity,
+- equi-width numeric histogram (data-derived broadcast bounds),
+- mergeable per-partition quantile summaries (GK/KLL-style, O(K) state),
+- count-min sketch point-frequency estimates (linear merge, audited
+  never-undercount / bounded-overcount guarantees).
 
 Scale posture notes are per-operator; the common theme is that every
 full-table pass is a single shuffle-free scan + one keyed aggregation, and

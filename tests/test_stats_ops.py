@@ -1,0 +1,91 @@
+"""Targeted invariants for the stats/dataeng additions that parity alone
+under-specifies: the PIT-join boundary rule on crafted data, and the
+Misra-Gries superset guarantee under adversarial skew."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from datetime import datetime
+
+import pyspark.sql.functions as F
+
+
+def _write_events(spark, rows):
+    d = tempfile.mkdtemp()
+    rows = [
+        (eid, datetime.fromisoformat(ts), uid, et, v, p)
+        for eid, ts, uid, et, v, p in rows
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp_ntz, user_id: long, "
+        "event_type: string, value: double, props: string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_pit_join_boundary_belongs_to_newer_segment(spark):
+    """A probe landing EXACTLY on a segment's valid_from must resolve to
+    that (newer) segment — the [valid_from, valid_to) rule. Events at
+    :00 and :20; with the +10-minute probe shift, event 1's probe lands
+    exactly on the second segment's start."""
+    from collimate_spark.operators.dataeng import pit_join_scd2
+
+    d = _write_events(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 7, "A", 1.0, "{}"),
+            (2, "2024-01-01 00:10:00", 7, "B", 1.0, "{}"),
+            (3, "2024-01-01 00:30:00", 7, "B", 1.0, "{}"),
+        ],
+    )
+    got = {r.event_id: r.segment for r in pit_join_scd2(spark, d).collect()}
+    # probe(1) = 00:10 == segment B's valid_from -> newer segment B
+    assert got[1] == "B"
+    # probe(2) = 00:20, inside B's interval
+    assert got[2] == "B"
+    # probe(3) = 00:40, B is current (open-ended)
+    assert got[3] == "B"
+
+
+def test_pit_join_probe_before_later_segment_keeps_older(spark):
+    """A probe strictly inside the FIRST segment stays with it even when
+    a later segment exists."""
+    from collimate_spark.operators.dataeng import pit_join_scd2
+
+    d = _write_events(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 3, "A", 1.0, "{}"),
+            (2, "2024-01-01 00:25:00", 3, "C", 1.0, "{}"),
+        ],
+    )
+    got = {r.event_id: r.segment for r in pit_join_scd2(spark, d).collect()}
+    assert got[1] == "A"  # probe 00:10 < 00:25 -> still A
+    assert got[2] == "C"
+
+
+def test_misra_gries_superset_under_skew(spark, tmp_path):
+    """Adversarial skew: one token occupies ~50% of a corpus with a long
+    uniform tail wider than MG_COUNTERS. The sketch+verify pipeline must
+    return EXACTLY the true phi-heavy-hitters (superset property of MG
+    candidates makes the verified output exact)."""
+    from collimate_spark.operators.stats import HH_PHI, heavy_hitters_words
+
+    docs = []
+    # 500 docs of pure 'hot' (each 10 tokens) -> 5000 hot tokens
+    for i in range(500):
+        docs.append((i, "hot " * 10, "xx", "s", 40))
+    # 5000 docs each with a unique tail token -> 5000 singleton tokens
+    for i in range(5000):
+        docs.append((500 + i, f"tail{i}", "xx", "s", 8))
+    d = str(tmp_path / "skewed")
+    spark.createDataFrame(
+        docs, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = heavy_hitters_words(spark, d).collect()
+    n_total = 5000 + 5000
+    assert [r.word for r in got] == ["hot"]
+    assert got[0].freq == 5000
+    assert got[0].freq > HH_PHI * n_total

@@ -131,6 +131,7 @@ EXTRA_QUERIES = [
     "set_ops_all",
     "psi_price_drift",
     "countmin_word_frequencies",
+    "union_by_name_evolution",
 ]
 
 

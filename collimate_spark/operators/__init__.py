@@ -181,6 +181,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "set_ops_all",
     "psi_price_drift",
     "countmin_word_frequencies",  # rows-only
+    "union_by_name_evolution",
 )
 
 

@@ -506,6 +506,52 @@ ORDER BY op, o_custkey
 """
 
 
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two order 'snapshots' whose column sets
+    drifted (the newer adds o_orderpriority, the older lacks it) combine
+    via ``unionByName(allowMissingColumns=True)`` — position-independent,
+    missing columns null-filled. The query-level twin of
+    sources.storage.read_evolving (which does the same at the Parquet
+    footer level); both are how append-only pipelines survive additive
+    schema change without rewriting history."""
+    orders = load_table(spark, "orders", sf_dir)
+    old_snap = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new_snap = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    merged = old_snap.unionByName(new_snap, allowMissingColumns=True)
+    return (
+        merged.groupBy(F.coalesce("o_orderpriority", F.lit("<pre-schema>")).alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("priority")
+    )
+
+
+UNION_BY_NAME_SQL = """
+WITH old_snap AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+),
+new_snap AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+),
+merged AS (
+  SELECT * FROM old_snap UNION ALL BY NAME SELECT * FROM new_snap
+)
+SELECT COALESCE(o_orderpriority, '<pre-schema>') AS priority,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM merged
+GROUP BY 1
+ORDER BY priority
+"""
+
+
 # --- sorts / limits -------------------------------------------------------
 def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: Spark plans TakeOrderedAndProject — per-partition heap,
@@ -670,6 +716,7 @@ QUERIES = {
     "agg_boolean_counting": agg_boolean_counting,
     "set_ops": set_ops,
     "set_ops_all": set_ops_all,
+    "union_by_name_evolution": union_by_name_evolution,
     "sort_topk": sort_topk,
     "scalar_string_funcs": scalar_string_funcs,
     "scalar_date_funcs": scalar_date_funcs,
@@ -695,6 +742,7 @@ ORACLES = {
     "agg_boolean_counting": AGG_BOOL_SQL,
     "set_ops": SET_OPS_SQL,
     "set_ops_all": SET_OPS_ALL_SQL,
+    "union_by_name_evolution": UNION_BY_NAME_SQL,
     "sort_topk": SORT_TOPK_SQL,
     "scalar_string_funcs": SCALAR_STRING_SQL,
     "scalar_date_funcs": SCALAR_DATE_SQL,

@@ -132,6 +132,7 @@ EXTRA_QUERIES = [
     "psi_price_drift",
     "countmin_word_frequencies",
     "union_by_name_evolution",
+    "variant_props_stats",
 ]
 
 

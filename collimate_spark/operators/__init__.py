@@ -182,6 +182,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "psi_price_drift",
     "countmin_word_frequencies",  # rows-only
     "union_by_name_evolution",
+    "variant_props_stats",
 )
 
 

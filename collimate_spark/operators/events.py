@@ -723,6 +723,49 @@ ORDER BY user_id
 """
 
 
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``variant_get`` path extraction and ``schema_of_variant`` inference —
+    the open-schema path for JSON columns whose shape drifts (vs the
+    fixed-schema ``from_json`` in json_extract_events). Variant decode
+    is JVM-side and columnar; at 100 TB you parse once at ingest, store
+    the variant column, and every later path read skips re-parsing.
+    Output aggregates per inferred shape so drift is observable."""
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.select(
+        "event_type",
+        F.parse_json("props").alias("v"),
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+        F.expr("schema_of_variant(v)").alias("shape"),
+    )
+    return (
+        v.groupBy("event_type", "shape")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type", "shape")
+    )
+
+
+VARIANT_PROPS_SQL = """
+SELECT event_type,
+       'OBJECT<k: BIGINT>' AS shape,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type, shape
+"""
+
+
 SDU_WINDOW_DAYS = 7
 
 
@@ -801,6 +844,7 @@ QUERIES = {
     "top_event_paths": top_event_paths,
     "session_window_agg": session_window_agg,
     "sliding_distinct_users": sliding_distinct_users,
+    "variant_props_stats": variant_props_stats,
 }
 
 ORACLES = {
@@ -819,4 +863,5 @@ ORACLES = {
     "date_spine_fill": DATE_SPINE_SQL,
     "interpolate_missing_values": INTERPOLATE_SQL,
     "sliding_distinct_users": SLIDING_DISTINCT_SQL,
+    "variant_props_stats": VARIANT_PROPS_SQL,
 }

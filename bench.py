@@ -133,6 +133,9 @@ EXTRA_QUERIES = [
     "countmin_word_frequencies",
     "union_by_name_evolution",
     "variant_props_stats",
+    "xml_roundtrip_stats",
+    "collated_group_count",
+    "listagg_supplier_names",
 ]
 
 

@@ -183,6 +183,9 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "countmin_word_frequencies",  # rows-only
     "union_by_name_evolution",
     "variant_props_stats",
+    "xml_roundtrip_stats",
+    "collated_group_count",
+    "listagg_supplier_names",
 )
 
 

@@ -315,11 +315,109 @@ def hll_sketch_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML as an interchange surface (native in Spark 4: to_xml /
+    from_xml, the spark-xml package absorbed): serialize each event's
+    (event_type, value) struct to an XML fragment, parse it back with an
+    explicit schema, and aggregate the ROUND-TRIPPED values — proving
+    lossless traversal (the oracle aggregates the original columns
+    directly, so any serialization loss hash-fails). The XML path is
+    JVM-side like from_json; same pushdown/codegen story."""
+    ev = load_table(spark, "events", sf_dir)
+    xml = F.to_xml(F.struct("event_type", "value"))
+    parsed = F.from_xml(xml, "event_type STRING, value DOUBLE")
+    return (
+        ev.select(parsed.alias("p"))
+        .groupBy(F.col("p.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("p.value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+XML_ROUNDTRIP_SQL = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def collated_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 string collations): half the
+    event types are re-cased via initcap, then grouped under
+    ``COLLATE UTF8_LCASE`` — the engine-level case-insensitive equality
+    that replaces sprinkled lower() calls (and, unlike lower(), keeps
+    a display form). Oracle groups on lower() — same partition of rows,
+    so counts hash-match; the displayed key is normalized to lower in
+    both for engine-independence."""
+    ev = load_table(spark, "events", sf_dir)
+    mixed = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.initcap("event_type"))
+        .otherwise(F.col("event_type"))
+        .alias("et"),
+    )
+    return (
+        mixed.groupBy(F.expr("et COLLATE UTF8_LCASE").alias("et_ci"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower("et_ci").alias("event_type"), "n")
+        .orderBy("event_type")
+    )
+
+
+COLLATED_GROUP_SQL = """
+WITH mixed AS (
+  SELECT CASE WHEN event_id % 2 = 0
+              THEN upper(substr(event_type, 1, 1)) || substr(event_type, 2)
+              ELSE event_type END AS et
+  FROM events
+)
+SELECT lower(et) AS event_type, COUNT(*) AS n
+FROM mixed
+GROUP BY lower(et)
+ORDER BY event_type
+"""
+
+
+def listagg_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard LISTAGG ... WITHIN GROUP (Spark 4): ordered string
+    aggregation per nation — the ANSI form of collect_list+array_join
+    with ORDER BY semantics guaranteed by the function itself (no
+    array_sort needed for determinism)."""
+    supp = load_table(spark, "supplier", sf_dir)
+    supp.createOrReplaceTempView("supplier_v")
+    return spark.sql(
+        """
+        SELECT s_nationkey,
+               COUNT(*) AS n_suppliers,
+               LISTAGG(s_name, ',') WITHIN GROUP (ORDER BY s_name) AS names
+        FROM supplier_v
+        GROUP BY s_nationkey
+        ORDER BY s_nationkey
+        """
+    )
+
+
+LISTAGG_SQL = """
+SELECT s_nationkey,
+       COUNT(*) AS n_suppliers,
+       string_agg(s_name, ',' ORDER BY s_name) AS names
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
 QUERIES = {
     "pandas_udf_scalar": pandas_udf_scalar,
     "udtf_tokenize": udtf_tokenize,
     "udtf_parse_props": udtf_parse_props,
     "grouped_agg_gini": grouped_agg_gini,
+    "xml_roundtrip_stats": xml_roundtrip_stats,
+    "collated_group_count": collated_group_count,
+    "listagg_supplier_names": listagg_supplier_names,
     "map_functions": map_functions,
     "array_functions": array_functions,
     "agg_approx_distinct": agg_approx_distinct,
@@ -331,6 +429,9 @@ ORACLES = {
     "udtf_tokenize": UDTF_SQL,
     "udtf_parse_props": UDTF_PROPS_SQL,
     "grouped_agg_gini": GROUPED_AGG_GINI_SQL,
+    "xml_roundtrip_stats": XML_ROUNDTRIP_SQL,
+    "collated_group_count": COLLATED_GROUP_SQL,
+    "listagg_supplier_names": LISTAGG_SQL,
     "map_functions": MAP_FUNCTIONS_SQL,
     "array_functions": ARRAY_FUNCTIONS_SQL,
     # agg_approx_distinct: rows-only (engine-specific HLL implementation)

@@ -136,6 +136,8 @@ EXTRA_QUERIES = [
     "xml_roundtrip_stats",
     "collated_group_count",
     "listagg_supplier_names",
+    "approx_top_k_words",
+    "try_functions_safety",
 ]
 
 

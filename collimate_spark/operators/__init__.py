@@ -186,6 +186,8 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "xml_roundtrip_stats",
     "collated_group_count",
     "listagg_supplier_names",
+    "approx_top_k_words",  # rows-only
+    "try_functions_safety",
 )
 
 

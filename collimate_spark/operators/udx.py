@@ -410,6 +410,72 @@ ORDER BY s_nationkey
 """
 
 
+def approx_top_k_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's native ``approx_top_k`` aggregate over the exploded word
+    stream, exploded back to (word, est) rows. On this 31-word vocabulary
+    the sketch is exact (its internal map never evicts below ~10k
+    distinct), so the output is deterministic here; at web-corpus
+    cardinality it degrades gracefully exactly like the hand-rolled
+    Misra-Gries twin (stats.heavy_hitters_words) — having BOTH shows the
+    built-in and the from-scratch form of the same sketch. Rows-only by
+    classification (approximate by contract even when exact on this
+    data)."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    topk = words.agg(F.expr("approx_top_k(word, 10)").alias("tk"))
+    return (
+        topk.select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("word"), F.col("e.count").alias("est"))
+        .orderBy(F.desc("est"), "word")
+    )
+
+
+def try_functions_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family (``try_divide`` / ``try_cast`` /
+    ``try_to_number``): malformed inputs yield NULL instead of killing
+    the job — the semantics a 100 TB pipeline needs when one bad row in
+    a trillion must not fail stage retries. Derived malformed inputs:
+    division by (value mod bucket == 0) zeros and non-numeric strings
+    mixed into a castable column. Counts of survived/nulled rows are the
+    auditable output."""
+    ev = load_table(spark, "events", sf_dir)
+    mixed = ev.select(
+        "event_id",
+        (F.col("event_id") % 5).alias("denom"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("oops"))
+        .otherwise(F.col("value").cast("string"))
+        .alias("numstr"),
+    )
+    out = mixed.select(
+        F.expr("try_divide(1.0, denom)").alias("q"),
+        F.expr("try_cast(numstr AS DOUBLE)").alias("casted"),
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("q").isNull().cast("long")).alias("div_nulls"),
+        F.sum(F.col("casted").isNull().cast("long")).alias("cast_nulls"),
+        F.round(F.sum("casted"), 2).alias("sum_casted"),
+    )
+
+
+TRY_FUNCTIONS_SQL = """
+WITH mixed AS (
+  SELECT event_id,
+         event_id % 5 AS denom,
+         CASE WHEN event_id % 7 = 0 THEN 'oops' ELSE CAST(value AS VARCHAR) END AS numstr
+  FROM events
+)
+SELECT COUNT(*) AS n,
+       CAST(SUM(CASE WHEN denom = 0 THEN 1 ELSE 0 END) AS BIGINT) AS div_nulls,
+       CAST(SUM(CASE WHEN TRY_CAST(numstr AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS cast_nulls,
+       ROUND(SUM(TRY_CAST(numstr AS DOUBLE)), 2) AS sum_casted
+FROM mixed
+"""
+
+
 QUERIES = {
     "pandas_udf_scalar": pandas_udf_scalar,
     "udtf_tokenize": udtf_tokenize,
@@ -418,6 +484,8 @@ QUERIES = {
     "xml_roundtrip_stats": xml_roundtrip_stats,
     "collated_group_count": collated_group_count,
     "listagg_supplier_names": listagg_supplier_names,
+    "approx_top_k_words": approx_top_k_words,
+    "try_functions_safety": try_functions_safety,
     "map_functions": map_functions,
     "array_functions": array_functions,
     "agg_approx_distinct": agg_approx_distinct,
@@ -432,6 +500,8 @@ ORACLES = {
     "xml_roundtrip_stats": XML_ROUNDTRIP_SQL,
     "collated_group_count": COLLATED_GROUP_SQL,
     "listagg_supplier_names": LISTAGG_SQL,
+    "try_functions_safety": TRY_FUNCTIONS_SQL,
+    # approx_top_k_words: rows-only (approximate by contract)
     "map_functions": MAP_FUNCTIONS_SQL,
     "array_functions": ARRAY_FUNCTIONS_SQL,
     # agg_approx_distinct: rows-only (engine-specific HLL implementation)

@@ -138,6 +138,8 @@ EXTRA_QUERIES = [
     "listagg_supplier_names",
     "approx_top_k_words",
     "try_functions_safety",
+    "map_hof_functions",
+    "conversion_time_quantiles",
 ]
 
 

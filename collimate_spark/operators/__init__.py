@@ -188,6 +188,8 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "listagg_supplier_names",
     "approx_top_k_words",  # rows-only
     "try_functions_safety",
+    "map_hof_functions",
+    "conversion_time_quantiles",
 )
 
 

@@ -766,6 +766,74 @@ ORDER BY event_type, shape
 """
 
 
+def conversion_time_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for each user's click → NEXT
+    purchase pair (the funnel edge), the delay in seconds, summarized as
+    exact quantiles + count per user-decile bucket. Delay computation is
+    the forward-as-of carry (one user-partitioned window over the merged
+    stream — no self-join); quantiles are exact ``percentile``.
+    Microsecond-exact and tz-independent (timestampdiff, NTZ-safe)."""
+    ev = load_table(spark, "events", sf_dir)
+    stream = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    nxt = stream.withColumn(
+        "next_purchase_ts",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("ts")), ignorenulls=True
+        ).over(w),
+    )
+    delays = (
+        nxt.filter((F.col("event_type") == "click") & F.col("next_purchase_ts").isNotNull())
+        .select(
+            (F.col("user_id") % 5).alias("user_bucket"),
+            (F.expr("timestampdiff(MICROSECOND, ts, next_purchase_ts)") / 1e6).alias("delay_s"),
+        )
+    )
+    return (
+        delays.groupBy("user_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.expr("percentile(delay_s, 0.5)"), 2).alias("p50_s"),
+            F.round(F.expr("percentile(delay_s, 0.9)"), 2).alias("p90_s"),
+            F.round(F.max("delay_s"), 2).alias("max_s"),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+CONVERSION_TIME_SQL = """
+WITH stream AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+nxt AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_ts
+  FROM stream
+),
+delays AS (
+  SELECT user_id % 5 AS user_bucket,
+         EPOCH(next_purchase_ts) - EPOCH(ts) AS delay_s
+  FROM nxt
+  WHERE event_type = 'click' AND next_purchase_ts IS NOT NULL
+)
+SELECT user_bucket,
+       COUNT(*) AS n_conversions,
+       ROUND(quantile_cont(delay_s, 0.5), 2) AS p50_s,
+       ROUND(quantile_cont(delay_s, 0.9), 2) AS p90_s,
+       ROUND(MAX(delay_s), 2) AS max_s
+FROM delays
+GROUP BY user_bucket
+ORDER BY user_bucket
+"""
+
+
 SDU_WINDOW_DAYS = 7
 
 
@@ -845,6 +913,7 @@ QUERIES = {
     "session_window_agg": session_window_agg,
     "sliding_distinct_users": sliding_distinct_users,
     "variant_props_stats": variant_props_stats,
+    "conversion_time_quantiles": conversion_time_quantiles,
 }
 
 ORACLES = {
@@ -864,4 +933,5 @@ ORACLES = {
     "interpolate_missing_values": INTERPOLATE_SQL,
     "sliding_distinct_users": SLIDING_DISTINCT_SQL,
     "variant_props_stats": VARIANT_PROPS_SQL,
+    "conversion_time_quantiles": CONVERSION_TIME_SQL,
 }

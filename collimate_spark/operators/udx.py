@@ -476,6 +476,56 @@ FROM mixed
 """
 
 
+def map_hof_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order MAP functions (transform_values / map_filter /
+    map_zip_with) — the map-typed complement to the array HOFs: build a
+    per-order map of charge components, transform values (tax-adjust),
+    filter entries by value, and zip two maps into one. Outputs reduce
+    to scalars so the oracle (which recomputes the same arithmetic from
+    the base columns — DuckDB's map HOF surface differs) hash-matches."""
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_linenumber") == 1)
+    # DECIMAL map values: double products land on half-cent ROUND
+    # boundaries that Spark and DuckDB round differently (same fix as
+    # stats.pareto_revenue_share) — decimal arithmetic is exact
+    price_d = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_d = F.col("l_discount").cast("decimal(18,2)")
+    tax_d = F.col("l_tax").cast("decimal(18,2)")
+    m = F.create_map(
+        F.lit("price"), price_d.cast("decimal(28,8)"),
+        F.lit("discounted"), (price_d * (1 - disc_d)).cast("decimal(28,8)"),
+    )
+    taxed = F.transform_values(m, lambda k, v: (v * (1 + tax_d)).cast("decimal(28,8)"))
+    big_only = F.map_filter(m, lambda k, v: v > 30000)
+    zipped = F.map_zip_with(m, taxed, lambda k, v1, v2: v2 - v1)
+    return (
+        li.select(
+            "l_orderkey",
+            F.round(F.element_at(taxed, "price"), 2).cast("double").alias("price_taxed"),
+            F.size(big_only).alias("n_big_entries"),
+            F.round(F.element_at(zipped, "discounted"), 2).cast("double").alias("tax_delta_discounted"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+MAP_HOF_SQL = """
+SELECT l_orderkey,
+       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 + CAST(l_tax AS DECIMAL(18,2))), 2)
+            AS DOUBLE) AS price_taxed,
+       CAST((CASE WHEN CAST(l_extendedprice AS DECIMAL(18,2)) > 30000 THEN 1 ELSE 0 END)
+          + (CASE WHEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2))) > 30000 THEN 1 ELSE 0 END) AS INT)
+         AS n_big_entries,
+       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                  * (1 + CAST(l_tax AS DECIMAL(18,2)))
+             - CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2)
+            AS DOUBLE) AS tax_delta_discounted
+FROM lineitem
+WHERE l_linenumber = 1
+ORDER BY l_orderkey
+"""
+
+
 QUERIES = {
     "pandas_udf_scalar": pandas_udf_scalar,
     "udtf_tokenize": udtf_tokenize,
@@ -486,6 +536,7 @@ QUERIES = {
     "listagg_supplier_names": listagg_supplier_names,
     "approx_top_k_words": approx_top_k_words,
     "try_functions_safety": try_functions_safety,
+    "map_hof_functions": map_hof_functions,
     "map_functions": map_functions,
     "array_functions": array_functions,
     "agg_approx_distinct": agg_approx_distinct,
@@ -501,6 +552,7 @@ ORACLES = {
     "collated_group_count": COLLATED_GROUP_SQL,
     "listagg_supplier_names": LISTAGG_SQL,
     "try_functions_safety": TRY_FUNCTIONS_SQL,
+    "map_hof_functions": MAP_HOF_SQL,
     # approx_top_k_words: rows-only (approximate by contract)
     "map_functions": MAP_FUNCTIONS_SQL,
     "array_functions": ARRAY_FUNCTIONS_SQL,

@@ -140,6 +140,8 @@ EXTRA_QUERIES = [
     "try_functions_safety",
     "map_hof_functions",
     "conversion_time_quantiles",
+    "bitmap_distinct_counts",
+    "hll_native_distinct",
 ]
 
 

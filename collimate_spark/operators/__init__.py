@@ -190,6 +190,8 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "try_functions_safety",
     "map_hof_functions",
     "conversion_time_quantiles",
+    "bitmap_distinct_counts",
+    "hll_native_distinct",  # rows-only
 )
 
 

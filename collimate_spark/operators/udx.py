@@ -526,6 +526,73 @@ ORDER BY l_orderkey
 """
 
 
+def bitmap_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates (Spark 3.5+'s
+    bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    bitmap_count — the Snowflake-style bitmap index as functions): per
+    order priority, distinct customers counted by OR-ing fixed 4KB bucket
+    bitmaps. Unlike approx_count_distinct this is EXACT, and unlike
+    COUNT(DISTINCT) the partial state is mergeable fixed-size bitmaps,
+    not a hash set of values — the middle point on the memory/accuracy
+    curve. Two-level agg: (priority, bucket) bitmap build, then per-
+    priority sum of per-bucket counts. Oracle: plain COUNT(DISTINCT)."""
+    orders = load_table(spark, "orders", sf_dir)
+    orders.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        WITH per_bucket AS (
+          SELECT o_orderpriority,
+                 bitmap_bucket_number(o_custkey) AS bucket,
+                 bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS bm
+          FROM orders_v
+          GROUP BY 1, 2
+        )
+        SELECT o_orderpriority,
+               CAST(SUM(bitmap_count(bm)) AS BIGINT) AS n_distinct_customers
+        FROM per_bucket
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+BITMAP_DISTINCT_SQL = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_distinct_customers
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def hll_native_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE Apache DataSketches HLL surface (hll_sketch_agg /
+    hll_union_agg / hll_sketch_estimate, Spark 3.5+): per-priority
+    sketches built in one agg, unioned to a global estimate in a second
+    — the library-grade twin of the hand-partitioned
+    hll_sketch_partitioned (which proves mergeability from first
+    principles). Rows-only (estimates are sketch-seed-specific);
+    relative-error vs exact asserted in tests."""
+    orders = load_table(spark, "orders", sf_dir)
+    orders.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        WITH per_prio AS (
+          SELECT o_orderpriority, hll_sketch_agg(o_custkey) AS sk
+          FROM orders_v GROUP BY 1
+        )
+        SELECT o_orderpriority,
+               CAST(hll_sketch_estimate(sk) AS BIGINT) AS est_distinct
+        FROM per_prio
+        UNION ALL
+        SELECT '<all>' AS o_orderpriority,
+               CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT) AS est_distinct
+        FROM per_prio
+        ORDER BY o_orderpriority
+        """
+    )
+
+
 QUERIES = {
     "pandas_udf_scalar": pandas_udf_scalar,
     "udtf_tokenize": udtf_tokenize,
@@ -537,6 +604,8 @@ QUERIES = {
     "approx_top_k_words": approx_top_k_words,
     "try_functions_safety": try_functions_safety,
     "map_hof_functions": map_hof_functions,
+    "bitmap_distinct_counts": bitmap_distinct_counts,
+    "hll_native_distinct": hll_native_distinct,
     "map_functions": map_functions,
     "array_functions": array_functions,
     "agg_approx_distinct": agg_approx_distinct,
@@ -553,6 +622,8 @@ ORACLES = {
     "listagg_supplier_names": LISTAGG_SQL,
     "try_functions_safety": TRY_FUNCTIONS_SQL,
     "map_hof_functions": MAP_HOF_SQL,
+    "bitmap_distinct_counts": BITMAP_DISTINCT_SQL,
+    # hll_native_distinct: rows-only (sketch estimates are library-specific)
     # approx_top_k_words: rows-only (approximate by contract)
     "map_functions": MAP_FUNCTIONS_SQL,
     "array_functions": ARRAY_FUNCTIONS_SQL,

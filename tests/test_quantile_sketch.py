@@ -50,3 +50,25 @@ def test_countmin_guarantees(spark, sf_dir):
         assert r.overcount <= 4 * n_total / CM_W, (r.word, r.overcount)
     a = [tuple(x) for x in countmin_word_frequencies(spark, sf_dir).collect()]
     assert a == [tuple(x) for x in rows]  # deterministic
+
+
+def test_hll_native_relative_error(spark, sf_dir):
+    """Native DataSketches HLL estimates within 5% of exact per group,
+    and the <all> union estimate within 5% of global exact."""
+    import pyspark.sql.functions as FF
+
+    from collimate_spark.catalog import load_table
+    from collimate_spark.operators.udx import hll_native_distinct
+
+    got = {r.o_orderpriority: r.est_distinct for r in hll_native_distinct(spark, sf_dir).collect()}
+    orders = load_table(spark, "orders", sf_dir)
+    exact = {
+        r.o_orderpriority: r.d
+        for r in orders.groupBy("o_orderpriority")
+        .agg(FF.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    exact["<all>"] = orders.select("o_custkey").distinct().count()
+    assert set(got) == set(exact)
+    for k, e in exact.items():
+        assert abs(got[k] - e) / max(e, 1) <= 0.05, (k, got[k], e)

@@ -142,6 +142,7 @@ EXTRA_QUERIES = [
     "conversion_time_quantiles",
     "bitmap_distinct_counts",
     "hll_native_distinct",
+    "session_window_dynamic_gap",
 ]
 
 

@@ -192,6 +192,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "conversion_time_quantiles",
     "bitmap_distinct_counts",
     "hll_native_distinct",  # rows-only
+    "session_window_dynamic_gap",
 )
 
 

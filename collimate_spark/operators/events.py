@@ -723,6 +723,78 @@ ORDER BY user_id
 """
 
 
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap sessions: Spark's ``session_window(ts, gap_expr)``
+    where the inactivity allowance depends on the event itself
+    (purchases hold a session open 60 minutes, everything else 30) —
+    the per-event-TTL semantics fixed-gap sessionization can't express.
+    Spark's contract: each event extends its session to ``ts + its own
+    gap``; sessions merge while the next event starts before the running
+    maximum end. The oracle reproduces exactly that with a running-max
+    prefix window — cross-checking the native operator against the
+    declarative definition. Output: per user, sessions / events / mean
+    session seconds."""
+    ev = load_table(spark, "events", sf_dir)
+    gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    sess = ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.round(
+                F.avg(F.expr("timestampdiff(MICROSECOND, w.start, w.end)") / 1e6), 4
+            ).alias("avg_session_secs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSION_DYNAMIC_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 3600 ELSE 1800 END AS gap_s
+  FROM events
+),
+ends AS (
+  SELECT user_id, ts, gap_s,
+         MAX(ts + to_seconds(gap_s)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS running_end
+  FROM g
+),
+flagged AS (
+  SELECT user_id, ts, gap_s,
+         CASE WHEN running_end IS NULL OR ts >= running_end THEN 1 ELSE 0 END AS new_session
+  FROM ends
+),
+sess AS (
+  SELECT user_id, ts, gap_s,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id,
+         COUNT(*) AS n_events,
+         EPOCH(MAX(ts + to_seconds(gap_s))) - EPOCH(MIN(ts)) AS span_s
+  FROM sess
+  GROUP BY user_id, session_id
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       ROUND(AVG(span_s), 4) AS avg_session_secs
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access through Spark 4's VARIANT type:
     ``parse_json`` once into the binary variant encoding, then typed
@@ -914,6 +986,7 @@ QUERIES = {
     "sliding_distinct_users": sliding_distinct_users,
     "variant_props_stats": variant_props_stats,
     "conversion_time_quantiles": conversion_time_quantiles,
+    "session_window_dynamic_gap": session_window_dynamic_gap,
 }
 
 ORACLES = {
@@ -934,4 +1007,5 @@ ORACLES = {
     "sliding_distinct_users": SLIDING_DISTINCT_SQL,
     "variant_props_stats": VARIANT_PROPS_SQL,
     "conversion_time_quantiles": CONVERSION_TIME_SQL,
+    "session_window_dynamic_gap": SESSION_DYNAMIC_SQL,
 }

@@ -143,6 +143,7 @@ EXTRA_QUERIES = [
     "bitmap_distinct_counts",
     "hll_native_distinct",
     "session_window_dynamic_gap",
+    "rollup_grouping_id",
 ]
 
 

@@ -193,6 +193,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "bitmap_distinct_counts",
     "hll_native_distinct",  # rows-only
     "session_window_dynamic_gap",
+    "rollup_grouping_id",
 )
 
 

@@ -506,6 +506,37 @@ ORDER BY op, o_custkey
 """
 
 
+def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP disambiguated with grouping()/grouping_id(): a NULL group
+    key in rollup output is ambiguous (real NULL data vs subtotal row);
+    ``grouping(col)`` says which, ``grouping_id()`` encodes the full
+    subtotal level. Every BI tool consuming rollups needs this — without
+    it the subtotal rows silently merge with NULL-keyed data groups."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("l_returnflag").alias("is_flag_subtotal"),
+            F.grouping("l_linestatus").alias("is_status_subtotal"),
+            F.grouping_id().alias("level"),
+        )
+        .orderBy("level", "l_returnflag", "l_linestatus")
+    )
+
+
+ROLLUP_GROUPING_ID_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       CAST(GROUPING(l_returnflag) AS TINYINT) AS is_flag_subtotal,
+       CAST(GROUPING(l_linestatus) AS TINYINT) AS is_status_subtotal,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS level
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY level, l_returnflag, l_linestatus
+"""
+
+
 def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution union: two order 'snapshots' whose column sets
     drifted (the newer adds o_orderpriority, the older lacks it) combine
@@ -717,6 +748,7 @@ QUERIES = {
     "set_ops": set_ops,
     "set_ops_all": set_ops_all,
     "union_by_name_evolution": union_by_name_evolution,
+    "rollup_grouping_id": rollup_grouping_id,
     "sort_topk": sort_topk,
     "scalar_string_funcs": scalar_string_funcs,
     "scalar_date_funcs": scalar_date_funcs,
@@ -743,6 +775,7 @@ ORACLES = {
     "set_ops": SET_OPS_SQL,
     "set_ops_all": SET_OPS_ALL_SQL,
     "union_by_name_evolution": UNION_BY_NAME_SQL,
+    "rollup_grouping_id": ROLLUP_GROUPING_ID_SQL,
     "sort_topk": SORT_TOPK_SQL,
     "scalar_string_funcs": SCALAR_STRING_SQL,
     "scalar_date_funcs": SCALAR_DATE_SQL,

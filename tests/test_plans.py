@@ -414,3 +414,34 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         if f["has_cartesian"]:
             offenders.append(name)
     assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_dynamic_session_single_user_exchange(spark, sf_dir):
+    """session_window(ts, gap_expr) + the per-user re-aggregation must
+    share one hashpartitioning(user_id) exchange chain — the native
+    session operator sorts within the same shuffle, no second scan."""
+    from collimate_spark.operators.events import session_window_dynamic_gap
+
+    plan = _plan(session_window_dynamic_gap(spark, sf_dir))
+    assert plan.count("FileScan") == 1
+
+
+def test_bitmap_distinct_two_level_agg(spark, sf_dir):
+    """Bitmap distinct: (priority, bucket) bitmap build then per-priority
+    reduce — exactly one fact scan and no expensive expand (unlike
+    COUNT(DISTINCT) rewrites, which add an Expand node per distinct)."""
+    from collimate_spark.operators.udx import bitmap_distinct_counts
+
+    plan = _plan(bitmap_distinct_counts(spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert "Expand" not in plan
+
+
+def test_conversion_quantiles_no_self_join(spark, sf_dir):
+    """Time-to-convert uses the forward-carry window, never an events
+    self-join: exactly one scan of the fact table."""
+    from collimate_spark.operators.events import conversion_time_quantiles
+
+    plan = _plan(conversion_time_quantiles(spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan

@@ -532,3 +532,62 @@ def cdc_apply_stream(changes: DataFrame, table_dir: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ivf_index_stream(
+    vectors: DataFrame, centroids, index_dir: str, checkpoint: str
+):
+    """Streaming ANN-index maintenance: arriving embeddings are assigned
+    to their IVF cell per micro-batch (the same Arrow argmax kernel the
+    batch operator uses, centroids broadcast via closure — in production
+    a persisted offline artifact) and appended to the cell-partitioned
+    index under ``index_dir/cell=K/epoch=N``. Epoch-partitioned
+    overwrite makes replays idempotent (same device as the near-dup band
+    index); queries then prune to their probed cells by PARTITION
+    directory — the streaming half of ann_ivf_topk's scan-pruning story.
+    State is zero (assignment is stateless); the index IS the output."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from collimate_spark.functions import fast_vec
+
+    def _assign(batch: DataFrame, epoch_id: int) -> None:
+        def kernel(pdfs):
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                mat = np.vstack(pdf["embedding"].to_numpy())
+                out = pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "embedding": pdf["embedding"],
+                        "cell": fast_vec.assign_clusters(mat, centroids).astype("int32"),
+                    }
+                )
+                yield out
+
+        assigned = batch.mapInPandas(
+            kernel,
+            T.StructType(
+                [
+                    T.StructField("vec_id", T.LongType()),
+                    T.StructField("embedding", T.ArrayType(T.FloatType())),
+                    T.StructField("cell", T.IntegerType()),
+                ]
+            ),
+        )
+        (
+            assigned.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .partitionBy("cell", "epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(index_dir)
+        )
+
+    return (
+        vectors.writeStream.foreachBatch(_assign)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

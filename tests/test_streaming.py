@@ -535,3 +535,58 @@ def test_cdc_apply_stream_merges_upserts_and_deletes(spark, tmp_path):
     q.awaitTermination(180)
     got = {r.key: r.value for r in spark.read.parquet(table).collect()}
     assert got == {1: 12.0, 3: 30.0}, got
+
+
+def test_ivf_index_stream_assigns_and_prunes(spark, tmp_path):
+    """Streaming IVF index: assignments must match the batch kernel
+    exactly, land cell-partitioned (directory pruning), and accumulate
+    across epochs without duplication."""
+    import json
+
+    import numpy as np
+
+    from collimate_spark.functions import fast_vec
+    from collimate_spark.streaming.pipeline import ivf_index_stream
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    C = rng.standard_normal((4, 8))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+
+    indir = str(tmp_path / "vec_in")
+    index_dir = str(tmp_path / "ivf_index")
+    ckpt = str(tmp_path / "ivf_ckpt")
+    os.makedirs(indir)
+    vecs = {}
+    for b in range(2):
+        with open(os.path.join(indir, f"b{b}.jsonl"), "w") as fh:
+            for i in range(10):
+                vid = b * 10 + i
+                v = [float(x) for x in rng.standard_normal(8)]
+                vecs[vid] = v
+                fh.write(json.dumps({"vec_id": vid, "embedding": v}) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(indir)
+    )
+    q = ivf_index_stream(stream, C, index_dir, ckpt)
+    q.awaitTermination(180)
+
+    idx = spark.read.option("basePath", index_dir).parquet(index_dir)
+    rows = idx.collect()
+    assert len(rows) == 20 and len({r.vec_id for r in rows}) == 20
+    X = np.array([vecs[r.vec_id] for r in rows], dtype=np.float64)
+    expected = fast_vec.assign_clusters(X, C)
+    assert [r.cell for r in rows] == [int(e) for e in expected]
+    # partition pruning: reading one cell directory touches only its rows
+    one_cell = int(rows[0].cell)
+    pruned = spark.read.option("basePath", index_dir).parquet(index_dir).filter(
+        F.col("cell") == one_cell
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cell" in plan or "cell#" in plan
+    assert pruned.count() == sum(1 for r in rows if r.cell == one_cell)

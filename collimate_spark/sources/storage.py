@@ -236,3 +236,52 @@ def write_zorder_clustered(
     Compare write_range_clustered, which clusters on ONE key ordering."""
     zdf = zorder_value(df, cols, bits)
     zdf.repartitionByRange(n_files, F.col("_z")).drop("_z").write.mode("overwrite").parquet(path)
+
+
+def write_versioned(df: DataFrame, table_dir: str, note: str = "") -> int:
+    """Versioned snapshot write — the minimal table-format core (what
+    Delta/Iceberg layer under MERGE/time travel): each write lands in an
+    immutable ``v=N`` directory, then a tiny ``_versions.json`` manifest
+    commit makes it visible. Readers resolve the manifest FIRST, so a
+    half-written snapshot is invisible (manifest commit = atomicity
+    point; on object stores use a conditional put). Returns the new
+    version number. Old versions stay readable -> time travel, audit,
+    and safe concurrent readers during rewrites."""
+    import json
+    import os
+
+    os.makedirs(table_dir, exist_ok=True)
+    manifest_path = os.path.join(table_dir, "_versions.json")
+    versions = []
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            versions = json.load(f)
+    v = (versions[-1]["version"] + 1) if versions else 0
+    path = os.path.join(table_dir, f"v={v}")
+    df.write.mode("overwrite").parquet(path)
+    n_rows = df.sparkSession.read.parquet(path).count()
+    versions.append({"version": v, "path": f"v={v}", "rows": n_rows, "note": note})
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(versions, f)
+    os.replace(tmp, manifest_path)  # atomic manifest commit
+    return v
+
+
+def read_versioned(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:
+    """Time-travel read: latest version by default, or any retained
+    ``version`` — resolved through the manifest, never by listing data
+    directories (half-written snapshots are invisible)."""
+    import json
+    import os
+
+    with open(os.path.join(table_dir, "_versions.json")) as f:
+        versions = json.load(f)
+    if version is None:
+        entry = versions[-1]
+    else:
+        matches = [e for e in versions if e["version"] == version]
+        if not matches:
+            raise ValueError(f"version {version} not found; have {[e['version'] for e in versions]}")
+        entry = matches[0]
+    return spark.read.parquet(os.path.join(table_dir, entry["path"]))

@@ -327,3 +327,40 @@ def test_cbo_statistics_enable_auto_broadcast(spark, sf_dir, tmp_path):
     stats = spark.sql("DESCRIBE EXTENDED t_nation_stats").collect()
     assert any("Statistics" in str(r) for r in stats)
     spark.sql("DROP TABLE t_nation_stats")
+
+
+def test_versioned_write_time_travel(spark, sf_dir, tmp_path):
+    """Three snapshot versions: latest read resolves the manifest, any
+    older version stays readable, and an unknown version errors."""
+    import pytest
+
+    from collimate_spark.sources.storage import read_versioned, write_versioned
+
+    t = str(tmp_path / "vt")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    v0 = write_versioned(orders.limit(100), t, note="initial")
+    v1 = write_versioned(orders.limit(250), t, note="append-ish")
+    v2 = write_versioned(orders.limit(50), t, note="compacted")
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert read_versioned(spark, t).count() == 50
+    assert read_versioned(spark, t, version=1).count() == 250
+    assert read_versioned(spark, t, version=0).count() == 100
+    with pytest.raises(ValueError, match="version 9 not found"):
+        read_versioned(spark, t, version=9)
+
+
+def test_versioned_manifest_is_atomicity_point(spark, sf_dir, tmp_path):
+    """A data directory without a manifest entry is invisible: simulate a
+    crashed write by creating v=1 data but not committing the manifest —
+    readers still see v=0."""
+    import os
+    import shutil
+
+    from collimate_spark.sources.storage import read_versioned, write_versioned
+
+    t = str(tmp_path / "vt2")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_versioned(orders.limit(10), t)
+    # fake half-finished writer: data present, manifest not updated
+    shutil.copytree(os.path.join(t, "v=0"), os.path.join(t, "v=1"))
+    assert read_versioned(spark, t).count() == 10  # still v=0

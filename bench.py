@@ -144,6 +144,8 @@ EXTRA_QUERIES = [
     "hll_native_distinct",
     "session_window_dynamic_gap",
     "rollup_grouping_id",
+    "agg_percentile_disc",
+    "agg_mode_deterministic",
 ]
 
 

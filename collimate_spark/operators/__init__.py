@@ -194,6 +194,8 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "hll_native_distinct",  # rows-only
     "session_window_dynamic_gap",
     "rollup_grouping_id",
+    "agg_percentile_disc",
+    "agg_mode_deterministic",
 )
 
 

@@ -138,6 +138,68 @@ ORDER BY l_returnflag
 """
 
 
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (percentile_disc == DuckDB quantile_disc):
+    returns an actual data value, never an interpolation — the right
+    semantics for quantiles of ids/codes/timestamps where interpolated
+    values are meaningless. Shown beside agg_percentile (continuous) so
+    the disc-vs-cont distinction is a tested contract, not folklore."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").alias("p50_qty_disc"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").alias(
+                "p90_price_disc"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_PERCENTILE_DISC_SQL = """
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.5) AS p50_qty_disc,
+       quantile_disc(l_extendedprice, 0.9) AS p90_price_disc
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: Spark's/DuckDB's native mode() both break
+    frequency ties arbitrarily, so neither is hash-stable; the portable
+    contract is argmax over (count, -value) — most frequent value, ties
+    to the SMALLEST value — built from one count agg + one struct-max
+    (the same device as agg_argmax). Two shuffles, both on group keys."""
+    li = load_table(spark, "lineitem", sf_dir)
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("c"))
+    best = F.max(F.struct(F.col("c"), (-F.col("l_quantity")).alias("neg_v")))
+    return (
+        counts.groupBy("l_returnflag")
+        .agg(
+            (-best.getField("neg_v")).alias("mode_qty"),
+            best.getField("c").alias("mode_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_MODE_SQL = """
+WITH counts AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS c
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag,
+       -(MAX({'c': c, 'neg_v': -l_quantity})).neg_v AS mode_qty,
+       (MAX({'c': c, 'neg_v': -l_quantity})).c AS mode_count
+FROM counts
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmax per group with a deterministic tiebreak: MAX over a
     (value, key) struct — price ties resolve to the larger orderkey in
@@ -323,6 +385,8 @@ QUERIES = {
     "grouped_zscore": grouped_zscore,
     "grouped_arrow_profile": grouped_arrow_profile,
     "agg_percentile": agg_percentile,
+    "agg_percentile_disc": agg_percentile_disc,
+    "agg_mode_deterministic": agg_mode_deterministic,
     "agg_argmax": agg_argmax,
     "subquery_exists": subquery_exists,
     "unpivot_lineitem": unpivot_lineitem,
@@ -335,6 +399,8 @@ ORACLES = {
     "grouped_zscore": GROUPED_ZSCORE_SQL,
     "grouped_arrow_profile": GROUPED_ARROW_SQL,
     "agg_percentile": AGG_PERCENTILE_SQL,
+    "agg_percentile_disc": AGG_PERCENTILE_DISC_SQL,
+    "agg_mode_deterministic": AGG_MODE_SQL,
     "agg_argmax": AGG_ARGMAX_SQL,
     "subquery_exists": SUBQUERY_EXISTS_SQL,
     "unpivot_lineitem": UNPIVOT_SQL,

@@ -146,6 +146,7 @@ EXTRA_QUERIES = [
     "rollup_grouping_id",
     "agg_percentile_disc",
     "agg_mode_deterministic",
+    "asof_join_nearest",
 ]
 
 

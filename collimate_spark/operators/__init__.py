@@ -196,6 +196,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "rollup_grouping_id",
     "agg_percentile_disc",
     "agg_mode_deterministic",
+    "asof_join_nearest",
 )
 
 

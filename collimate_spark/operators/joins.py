@@ -482,6 +482,96 @@ ORDER BY cust_a
 """
 
 
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-match as-of: for each click, the user's purchase with the
+    minimum absolute time distance — the third as-of direction after
+    backward (asof_join_events_orders) and forward (asof_join_forward),
+    built from BOTH carries on one user-partitioned pass: trailing
+    ``last(ignorenulls)`` gives the previous purchase, leading
+    ``first(ignorenulls)`` the next, and a comparison picks the closer
+    (ties to the earlier — deterministic). No join at all: two frames
+    over one merged stream. Partitioning by user is the natural key here
+    (per-user history is bounded); an unbounded-history deployment adds
+    the (user, day)+carry-over composite exactly as the backward
+    variant does."""
+    ev = load_table(spark, "events", sf_dir)
+    ts_type = dict(ev.dtypes)["ts"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(None).cast(ts_type).alias("purchase_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    unioned = clicks.unionByName(purchases)
+    order = [F.col("ts").asc(), F.col("event_id").asc_nulls_last()]
+    w_prev = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    marked = unioned.withColumn(
+        "prev_p", F.last("purchase_ts", ignorenulls=True).over(w_prev)
+    ).withColumn("next_p", F.first("purchase_ts", ignorenulls=True).over(w_next))
+    gap_prev = F.expr("timestampdiff(MICROSECOND, prev_p, ts)")
+    gap_next = F.expr("timestampdiff(MICROSECOND, ts, next_p)")
+    nearest = (
+        F.when(F.col("prev_p").isNull(), F.col("next_p"))
+        .when(F.col("next_p").isNull(), F.col("prev_p"))
+        .when(gap_prev <= gap_next, F.col("prev_p"))
+        .otherwise(F.col("next_p"))
+    )
+    return (
+        marked.filter(F.col("event_id").isNotNull())
+        .withColumn("nearest_purchase_ts", nearest)
+        .withColumn(
+            "gap_s",
+            F.round(
+                F.abs(F.expr("timestampdiff(MICROSECOND, ts, nearest_purchase_ts)")) / 1e6, 2
+            ),
+        )
+        .select("event_id", "user_id", "ts", "nearest_purchase_ts", "gap_s")
+        .orderBy("event_id")
+    )
+
+
+ASOF_NEAREST_SQL = """
+WITH unioned AS (
+  SELECT user_id, ts, event_id, CAST(NULL AS TIMESTAMP) AS purchase_ts
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+marked AS (
+  SELECT user_id, ts, event_id,
+         MAX(purchase_ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id NULLS LAST
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_p,
+         MIN(purchase_ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id NULLS LAST
+                                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p
+  FROM unioned
+),
+picked AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN prev_p IS NULL THEN next_p
+              WHEN next_p IS NULL THEN prev_p
+              WHEN EPOCH(ts) - EPOCH(prev_p) <= EPOCH(next_p) - EPOCH(ts) THEN prev_p
+              ELSE next_p END AS nearest_purchase_ts
+  FROM marked
+  WHERE event_id IS NOT NULL
+)
+SELECT event_id, user_id, ts, nearest_purchase_ts,
+       ROUND(ABS(EPOCH(nearest_purchase_ts) - EPOCH(ts)), 2) AS gap_s
+FROM picked
+ORDER BY event_id
+"""
+
+
 def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution capstone: blocking → verify → cluster → canonical
     id. Deletion-neighborhood blocking proposes candidate name pairs
@@ -664,6 +754,7 @@ QUERIES = {
     "asof_join_forward": asof_join_forward,
     "join_null_safe": join_null_safe,
     "entity_resolution_customers": entity_resolution_customers,
+    "asof_join_nearest": asof_join_nearest,
 }
 
 ORACLES = {
@@ -680,4 +771,5 @@ ORACLES = {
     "range_join_events_orders": RANGE_JOIN_SQL,
     "join_null_safe": JOIN_NULL_SAFE_SQL,
     "entity_resolution_customers": ENTITY_RESOLUTION_SQL,
+    "asof_join_nearest": ASOF_NEAREST_SQL,
 }

@@ -89,3 +89,39 @@ def test_misra_gries_superset_under_skew(spark, tmp_path):
     assert [r.word for r in got] == ["hot"]
     assert got[0].freq == 5000
     assert got[0].freq > HH_PHI * n_total
+
+
+def test_asof_nearest_dominates_both_directions(spark):
+    """Cross-variant invariant: for every click, the nearest-match gap is
+    ≤ the backward gap and ≤ the forward gap (when those exist) — the
+    defining property tying the three as-of directions together, checked
+    on the driver events table."""
+    from collimate_spark.operators.joins import asof_join_nearest
+
+    d = "/root/testdata/sf0.001"
+    nearest = {r.event_id: r for r in asof_join_nearest(spark, d).collect()}
+    ev = spark.read.parquet(f"{d}/events.parquet")
+    rows = ev.filter(F.col("event_type").isin("click", "purchase")).collect()
+    import bisect
+
+    purchases_by_user = {}
+    for r in sorted(rows, key=lambda r: r.ts):
+        if r.event_type == "purchase":
+            purchases_by_user.setdefault(r.user_id, []).append(r.ts)
+    checked = 0
+    for r in rows:
+        if r.event_type != "click" or r.event_id not in nearest:
+            continue
+        ps = purchases_by_user.get(r.user_id, [])
+        if not ps:
+            continue
+        i = bisect.bisect_left(ps, r.ts)
+        cands = []
+        if i > 0:
+            cands.append(abs((r.ts - ps[i - 1]).total_seconds()))
+        if i < len(ps):
+            cands.append(abs((ps[i] - r.ts).total_seconds()))
+        got = nearest[r.event_id].gap_s
+        assert abs(got - round(min(cands), 2)) < 0.02, (r.event_id, got, min(cands))
+        checked += 1
+    assert checked > 50

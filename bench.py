@@ -147,6 +147,10 @@ EXTRA_QUERIES = [
     "agg_percentile_disc",
     "agg_mode_deterministic",
     "asof_join_nearest",
+    # round 3, ninth wave
+    "kaplan_meier_retention",
+    "ab_test_welch",
+    "mad_outliers",
 ]
 
 

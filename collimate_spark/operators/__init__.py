@@ -197,6 +197,10 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "agg_percentile_disc",
     "agg_mode_deterministic",
     "asof_join_nearest",
+    # ninth wave (post-closing continuation)
+    "kaplan_meier_retention",
+    "ab_test_welch",
+    "mad_outliers",
 )
 
 

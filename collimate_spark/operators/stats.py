@@ -551,6 +551,244 @@ def countmin_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (user retention with right-censoring)
+
+
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user activity lifetimes. Per user,
+    lifetime = days between first and last event; users whose last event
+    falls in the final 7 days of the corpus window are right-censored
+    (still active), everyone else is a churn event. At each distinct
+    lifetime t: at-risk n_t (users with lifetime ≥ t), churns d_t,
+    censored c_t, and S(t) = Π_{s≤t} (1 - d_s/n_s) — the cumulative
+    product computed as EXP(SUM(LN(factor))) over an ordered window, with
+    a running any-zero-factor flag so S drops to exactly 0 when d_t = n_t
+    instead of feeding LN(0).
+
+    Scale: one groupBy(user_id) over the fact stream (the only fact-sized
+    shuffle), then every window runs over the distinct-lifetime frame —
+    at most ~hundreds of rows regardless of corpus size. The global max
+    timestamp enters via a scalar subquery (broadcast, no fact re-shuffle).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    corpus_max = ev.agg(F.max("ts").alias("m"))
+    lifetimes = (
+        per_user.crossJoin(F.broadcast(corpus_max))
+        .select(
+            F.datediff(F.col("last_ts").cast("date"), F.col("first_ts").cast("date")).alias(
+                "duration_days"
+            ),
+            (
+                F.col("last_ts") < F.expr("timestampadd(DAY, -7, m)")
+            ).cast("int").alias("churned"),
+        )
+    )
+    per_t = lifetimes.groupBy("duration_days").agg(
+        F.sum("churned").alias("n_events"),
+        (F.count(F.lit(1)) - F.sum("churned")).alias("n_censored"),
+    )
+    w = Window.orderBy("duration_days")
+    cum_prior = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    total = per_t.agg(F.sum(F.col("n_events") + F.col("n_censored")).alias("n"))
+    stepped = (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn("n_risk", F.col("n") - cum_prior)
+        .withColumn("factor", 1 - F.col("n_events") / F.col("n_risk"))
+    )
+    dead = F.max((F.col("factor") <= 0).cast("int")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    surv = F.when(dead == 1, F.lit(0.0)).otherwise(
+        F.exp(
+            F.sum(F.log("factor")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        )
+    )
+    return (
+        stepped.select(
+            "duration_days",
+            "n_risk",
+            "n_events",
+            "n_censored",
+            F.round(surv, 4).alias("survival"),
+        )
+        .orderBy("duration_days")
+    )
+
+
+KAPLAN_MEIER_SQL = """
+WITH lifetimes AS (
+  SELECT datediff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS duration_days,
+         CASE WHEN MAX(ts) < (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
+              THEN 1 ELSE 0 END AS churned
+  FROM events GROUP BY user_id
+), per_t AS (
+  SELECT duration_days,
+         CAST(SUM(churned) AS BIGINT) AS n_events,
+         CAST(COUNT(*) - SUM(churned) AS BIGINT) AS n_censored
+  FROM lifetimes GROUP BY duration_days
+), stepped AS (
+  SELECT *,
+         CAST((SELECT COUNT(*) FROM lifetimes)
+           - COALESCE(SUM(n_events + n_censored) OVER
+               (ORDER BY duration_days ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk
+  FROM per_t
+), factored AS (
+  SELECT *, 1 - CAST(n_events AS DOUBLE) / n_risk AS factor FROM stepped
+)
+SELECT duration_days, n_risk, n_events, n_censored,
+       CASE WHEN MAX(CASE WHEN factor <= 0 THEN 1 ELSE 0 END) OVER
+                 (ORDER BY duration_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+            THEN 0.0
+            ELSE ROUND(EXP(SUM(LN(factor)) OVER
+                 (ORDER BY duration_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+       END AS survival
+FROM factored
+ORDER BY duration_days
+"""
+
+
+# ---------------------------------------------------------------------------
+# Welch two-sample test (A/B experiment readout)
+
+
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout per event_type: users split into arms by
+    ``user_id % 2`` (the deterministic stand-in for an assignment
+    column), then Welch's unequal-variance t-statistic and
+    Welch-Satterthwaite degrees of freedom over ``value``. One
+    conditional-aggregation pass — n/mean/var for each arm come from
+    FILTER-style aggregates in a single groupBy, so the fact table is
+    scanned once and shuffled once on a low-cardinality key (partial
+    aggs do the heavy lifting map-side). No Python, no second pass."""
+    ev = load_table(spark, "events", sf_dir)
+    a = F.col("user_id") % 2 == 0
+    g = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.when(a, 1)).alias("n_a"),
+            F.count(F.when(~a, 1)).alias("n_b"),
+            F.avg(F.when(a, F.col("value"))).alias("mean_a"),
+            F.avg(F.when(~a, F.col("value"))).alias("mean_b"),
+            F.var_samp(F.when(a, F.col("value"))).alias("var_a"),
+            F.var_samp(F.when(~a, F.col("value"))).alias("var_b"),
+        )
+    )
+    sa, sb = F.col("var_a") / F.col("n_a"), F.col("var_b") / F.col("n_b")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(sa + sb)
+    df_ws = (sa + sb) ** 2 / (
+        sa**2 / (F.col("n_a") - 1) + sb**2 / (F.col("n_b") - 1)
+    )
+    return (
+        g.select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.round(F.col("mean_a") - F.col("mean_b"), 4).alias("mean_diff"),
+            F.round(t, 4).alias("t_stat"),
+            F.round(df_ws, 2).alias("df"),
+        )
+        .orderBy("event_type")
+    )
+
+
+AB_TEST_WELCH_SQL = """
+WITH g AS (
+  SELECT event_type,
+         COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n_a,
+         COUNT(*) FILTER (WHERE user_id % 2 <> 0) AS n_b,
+         AVG(value) FILTER (WHERE user_id % 2 = 0) AS mean_a,
+         AVG(value) FILTER (WHERE user_id % 2 <> 0) AS mean_b,
+         VAR_SAMP(value) FILTER (WHERE user_id % 2 = 0) AS var_a,
+         VAR_SAMP(value) FILTER (WHERE user_id % 2 <> 0) AS var_b
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+       ROUND(mean_a - mean_b, 4) AS mean_diff,
+       ROUND((mean_a - mean_b) / SQRT(var_a / n_a + var_b / n_b), 4) AS t_stat,
+       ROUND(POW(var_a / n_a + var_b / n_b, 2)
+             / (POW(var_a / n_a, 2) / (n_a - 1) + POW(var_b / n_b, 2) / (n_b - 1)),
+             2) AS df
+FROM g
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Median-absolute-deviation outlier audit (robust alternative to z-score)
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit per event_type: exact median of ``value``,
+    MAD = median(|value - median|), and the count of points beyond the
+    conventional 3·1.4826·MAD fence. Unlike ``anomaly_zscore`` this is
+    breakdown-resistant (a few wild points can't move the fence).
+
+    Two grouped exact-percentile passes are inherent to MAD (the second
+    median is of residuals against the first). Both run as
+    ``percentile(…, 0.5)`` — Spark's exact interpolating percentile,
+    identical semantics to DuckDB ``median`` — with the per-group medians
+    broadcast back (group cardinality = #event_types, tiny). The fact
+    table shuffles twice on the same low-cardinality key; at 100 TB you'd
+    swap pass one for ``approx_percentile`` and keep the shape."""
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(absdev, 0.5D)").alias("mad")
+    )
+    fenced = dev.join(F.broadcast(mad), "event_type")
+    return (
+        fenced.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("med"), 4).alias("median_value"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(
+                (F.col("absdev") > 3 * 1.4826 * F.col("mad")).cast("int")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MAD_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type, median(CAST(value AS DOUBLE)) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS absdev, m.med
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, median(absdev) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n,
+       ROUND(ANY_VALUE(d.med), 4) AS median_value,
+       ROUND(ANY_VALUE(m.mad), 4) AS mad,
+       CAST(SUM(CASE WHEN d.absdev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
 QUERIES = {
     "regr_price_trend": regr_price_trend,
     "rfm_segmentation": rfm_segmentation,
@@ -560,6 +798,9 @@ QUERIES = {
     "quantile_sketch_value": quantile_sketch_value,
     "price_histogram": price_histogram,
     "countmin_word_frequencies": countmin_word_frequencies,
+    "kaplan_meier_retention": kaplan_meier_retention,
+    "ab_test_welch": ab_test_welch,
+    "mad_outliers": mad_outliers,
 }
 
 ORACLES = {
@@ -569,4 +810,7 @@ ORACLES = {
     "heavy_hitters_words": HEAVY_HITTERS_SQL,
     "cusum_changepoints": CUSUM_SQL,
     "price_histogram": PRICE_HISTOGRAM_SQL,
+    "kaplan_meier_retention": KAPLAN_MEIER_SQL,
+    "ab_test_welch": AB_TEST_WELCH_SQL,
+    "mad_outliers": MAD_OUTLIERS_SQL,
 }

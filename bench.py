@@ -151,6 +151,8 @@ EXTRA_QUERIES = [
     "kaplan_meier_retention",
     "ab_test_welch",
     "mad_outliers",
+    "bloom_prefilter_join",
+    "geo_radius_join_grid",
 ]
 
 

@@ -201,6 +201,8 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "kaplan_meier_retention",
     "ab_test_welch",
     "mad_outliers",
+    "bloom_prefilter_join",
+    "geo_radius_join_grid",
 )
 
 

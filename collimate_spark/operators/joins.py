@@ -740,6 +740,203 @@ ORDER BY pr_rank
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi join (explicit runtime-filter pushdown)
+
+_BLOOM_K = 5  # hash functions
+_BLOOM_M = 1 << 18  # bits (32 KiB packed) — FPP ~0.6% at 25k keys
+
+
+def _bloom_positions(key: F.Column) -> list[F.Column]:
+    """K bit positions per key: xxhash64(key, i) mod M, all JVM-side."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(_BLOOM_M)) for i in range(_BLOOM_K)
+    ]
+
+
+def bloom_pack(df: DataFrame, key: str) -> list[int]:
+    """Build the packed Bloom bitset for ``df[key]`` distributedly: explode
+    each key to K bit positions, bit_or them into M/64 longs (map-side
+    combined, dim-sized shuffle), collect the ≤32 KiB word table."""
+    words = (
+        df.select(F.explode(F.array(*_bloom_positions(F.col(key)))).alias("pos"))
+        .groupBy(F.expr("pos DIV 64").alias("w"))
+        .agg(F.bit_or(F.expr("shiftleft(1L, CAST(pos % 64 AS INT))")).alias("bits"))
+        .collect()
+    )  # ≤ M/64 = 4096 rows: bounded metadata, not data
+    packed = [0] * (_BLOOM_M // 64)
+    for row in words:
+        packed[row["w"]] = row["bits"]
+    return packed
+
+
+def bloom_probe(packed: list[int], key: F.Column) -> F.Column:
+    """Membership-test column against a packed bitset: K element_at +
+    bit_get tests on a literal array — pure whole-stage-codegen, no UDF.
+    May return true for ~0.6% non-members (tune _BLOOM_M/_BLOOM_K), never
+    false for a member."""
+    bf = F.lit(packed)  # array<long> literal, broadcast with the plan
+    probe = F.lit(True)
+    for pos in _bloom_positions(key):
+        word = F.element_at(bf, (pos / 64).cast("int") + 1)
+        probe = probe & (F.bit_get(word, F.pmod(pos, F.lit(64)).cast("int")) == 1)
+    return probe
+
+
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join with an explicit Bloom-filter runtime pushdown: monthly
+    order volume for BUILDING-segment customers. The qualifying customer
+    keys are hashed into a 2^18-bit Bloom filter BUILT DISTRIBUTEDLY —
+    each key explodes to K=5 bit positions, a groupBy(word) bit_or packs
+    them into 4096 longs — then the ≤32 KiB packed filter is collected
+    (bounded metadata, like a broadcast var) and probed in the orders
+    scan as a pure-codegen literal-array bit test. Survivors (true
+    matches + ~0.6% false positives) go through the exact left-semi join
+    that removes FPs, so the result is EXACTLY the plain semi join the
+    oracle runs.
+
+    Scale: this is Catalyst's InjectRuntimeFilter made explicit and
+    user-applicable. At 100 TB the win is that ~99% of fact rows are
+    dropped inside the scan stage — before the semi join's shuffle —
+    for 32 KiB of broadcast state; the exact join then touches only the
+    pre-filtered sliver. The filter build is one dim-sized shuffle of
+    ≤4096 words, map-side combined."""
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, "orders", sf_dir)
+
+    packed = bloom_pack(cust, "c_custkey")
+    prefiltered = orders.filter(bloom_probe(packed, F.col("o_custkey")))
+    exact = prefiltered.join(
+        F.broadcast(cust), prefiltered.o_custkey == cust.c_custkey, "left_semi"
+    )
+    return (
+        exact.groupBy(F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+BLOOM_PREFILTER_SQL = """
+SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY 1
+ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grid-blocked geo radius join (spatial blocking, haversine verify)
+
+_GEO_R_KM = 6371.0088  # IAU mean Earth radius
+_GEO_RADIUS_KM = 50.0
+
+
+def _geo_lat(key: F.Column, mult: int) -> F.Column:
+    # deterministic synthetic coordinates in [-60, 60): keeps 1° of
+    # longitude ≥ 55.66 km, so a 50 km radius never spans >1 lon cell
+    return (key * mult) % 1200 / F.lit(10.0) - 60.0
+
+
+def _geo_lon(key: F.Column, mult: int) -> F.Column:
+    # [-170, 170): ±1-cell neighbors never cross the antimeridian
+    return (key * mult) % 3400 / F.lit(10.0) - 170.0
+
+
+def _haversine_km(lat1, lon1, lat2, lon2) -> F.Column:
+    dphi = F.radians(lat2 - lat1) / 2
+    dlam = F.radians(lon2 - lon1) / 2
+    a = F.sin(dphi) ** 2 + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlam) ** 2
+    return 2 * _GEO_R_KM * F.asin(F.sqrt(a))
+
+
+def geo_radius_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join (customers within 50 km of a supplier) via
+    1°-grid-cell blocking: both sides get a (lat_cell, lon_cell) key,
+    the supplier side fans out to its 3×3 neighbor cells, the join runs
+    as a plain EQUI hash join on the cell key, and the exact haversine
+    distance filters candidates. Coordinates are derived
+    deterministically from the keys (modular lattice in lat ∈ [-60, 60),
+    lon ∈ [-170, 170)) — the band keeps one lon cell ≥ 55.66 km wide so
+    ±1 neighbors provably cover the 50 km radius, with no antimeridian
+    wrap.
+
+    Scale: the naive formulation is a BroadcastNestedLoopJoin (O(n·m)
+    haversines). Blocking makes candidate generation an equi shuffle
+    join on ~43k cells with a constant 9× fan-out of the SMALL side
+    only; per-cell load is data-density-bound, the same skew profile as
+    any geohash/S2 pipeline. The haversine itself is whole-stage-codegen
+    trigonometry — no UDF."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        _geo_lat(F.col("c_custkey"), 37).alias("c_lat"),
+        _geo_lon(F.col("c_custkey"), 91).alias("c_lon"),
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        _geo_lat(F.col("s_suppkey"), 53).alias("s_lat"),
+        _geo_lon(F.col("s_suppkey"), 17).alias("s_lon"),
+    )
+    cust = cust.withColumn("cell_lat", F.floor("c_lat")).withColumn(
+        "cell_lon", F.floor("c_lon")
+    )
+    supp9 = (
+        supp.withColumn("dlat", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dlon", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "s_suppkey",
+            "s_lat",
+            "s_lon",
+            (F.floor("s_lat") + F.col("dlat")).alias("cell_lat"),
+            (F.floor("s_lon") + F.col("dlon")).alias("cell_lon"),
+        )
+    )
+    d = _haversine_km(F.col("s_lat"), F.col("s_lon"), F.col("c_lat"), F.col("c_lon"))
+    return (
+        supp9.join(cust, ["cell_lat", "cell_lon"])
+        .filter(d < _GEO_RADIUS_KM)  # unrounded, same predicate as the oracle
+        .select("s_suppkey", "c_custkey", F.round(d, 3).alias("dist_km"))
+        .orderBy("s_suppkey", "c_custkey")
+    )
+
+
+GEO_RADIUS_SQL = """
+WITH c AS (
+  SELECT c_custkey,
+         (c_custkey * 37) % 1200 / 10.0 - 60.0 AS c_lat,
+         (c_custkey * 91) % 3400 / 10.0 - 170.0 AS c_lon
+  FROM customer
+), s AS (
+  SELECT s_suppkey,
+         (s_suppkey * 53) % 1200 / 10.0 - 60.0 AS s_lat,
+         (s_suppkey * 17) % 3400 / 10.0 - 170.0 AS s_lon
+  FROM supplier
+)
+SELECT s_suppkey, c_custkey,
+       ROUND(2 * 6371.0088 * ASIN(SQRT(
+         POW(SIN(RADIANS(c_lat - s_lat) / 2), 2)
+         + COS(RADIANS(s_lat)) * COS(RADIANS(c_lat))
+           * POW(SIN(RADIANS(c_lon - s_lon) / 2), 2)
+       )), 3) AS dist_km
+FROM s JOIN c
+  ON 2 * 6371.0088 * ASIN(SQRT(
+       POW(SIN(RADIANS(c_lat - s_lat) / 2), 2)
+       + COS(RADIANS(s_lat)) * COS(RADIANS(c_lat))
+         * POW(SIN(RADIANS(c_lon - s_lon) / 2), 2)
+     )) < 50.0
+ORDER BY s_suppkey, c_custkey
+"""
+
+
 QUERIES = {
     "join_left_outer": join_left_outer,
     "join_full_outer": join_full_outer,
@@ -755,9 +952,13 @@ QUERIES = {
     "join_null_safe": join_null_safe,
     "entity_resolution_customers": entity_resolution_customers,
     "asof_join_nearest": asof_join_nearest,
+    "bloom_prefilter_join": bloom_prefilter_join,
+    "geo_radius_join_grid": geo_radius_join_grid,
 }
 
 ORACLES = {
+    "bloom_prefilter_join": BLOOM_PREFILTER_SQL,
+    "geo_radius_join_grid": GEO_RADIUS_SQL,
     "fuzzy_name_match": FUZZY_MATCH_SQL,
     "salted_join_hot_key": SALTED_JOIN_SQL,
     "asof_join_forward": ASOF_FORWARD_SQL,

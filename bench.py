@@ -153,6 +153,9 @@ EXTRA_QUERIES = [
     "mad_outliers",
     "bloom_prefilter_join",
     "geo_radius_join_grid",
+    "referential_integrity_report",
+    "attribution_multitouch",
+    "bottomk_sample_per_group",
 ]
 
 

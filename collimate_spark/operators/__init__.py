@@ -203,6 +203,9 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "mad_outliers",
     "bloom_prefilter_join",
     "geo_radius_join_grid",
+    "referential_integrity_report",
+    "attribution_multitouch",
+    "bottomk_sample_per_group",
 )
 
 

@@ -478,6 +478,65 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Mergeable exact-k per-group uniform sample (bottom-k by hashed priority)
+
+_BOTTOMK = 5
+
+
+def bottomk_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k=5 documents per language, uniform and deterministic:
+    each doc gets priority md5(doc_id) and the k smallest priorities per
+    group win — the distributed form of reservoir sampling where the
+    reservoir is an order statistic instead of mutable state.
+
+    Scale: unlike a row_number() window (which shuffles EVERY row of a
+    group to one task before discarding all but k), the bottom-k runs as
+    ``slice(sort_array(collect_list(struct(pri, id))), 1, k)`` — an
+    AGGREGATE, so map-side partial aggregation truncates each partition
+    to its local k candidates before the shuffle; only ~k·n_partitions
+    structs ever move. Same one-shuffle shape at any corpus size, immune
+    to group skew. (A true bounded-state UDAF would cap the transient
+    list too; collect_list partials stay small because the final slice
+    keeps per-group state at k after every merge at these k.)"""
+    docs = load_table(spark, "documents", sf_dir)
+    pri = F.md5(F.col("doc_id").cast("string"))
+    picks = (
+        docs.select("lang", "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct(pri.alias("pri"), F.col("doc_id").alias("doc_id")))
+                ),
+                1,
+                _BOTTOMK,
+            ).alias("picks")
+        )
+    )
+    return (
+        picks.select("lang", F.posexplode("picks").alias("pos", "pick"))
+        .select(
+            "lang",
+            (F.col("pos") + 1).alias("sample_rank"),
+            F.col("pick.doc_id").alias("doc_id"),
+        )
+        .orderBy("lang", "sample_rank")
+    )
+
+
+BOTTOMK_SAMPLE_SQL = """
+SELECT lang, rn AS sample_rank, doc_id
+FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+  FROM documents
+)
+WHERE rn <= 5
+ORDER BY lang, sample_rank
+"""
+
+
 QUERIES = {
     "pack_sequences": pack_sequences,
     "decontaminate_ngram": decontaminate_ngram,
@@ -486,9 +545,11 @@ QUERIES = {
     "weighted_sample_documents": weighted_sample_documents,
     "chunk_documents": chunk_documents,
     "domain_mix_temperature": domain_mix_temperature,
+    "bottomk_sample_per_group": bottomk_sample_per_group,
 }
 
 ORACLES = {
+    "bottomk_sample_per_group": BOTTOMK_SAMPLE_SQL,
     "pack_sequences": PACK_SQL,
     "decontaminate_ngram": DECON_SQL,
     "shard_export_assignment": SHARD_EXPORT_SQL,

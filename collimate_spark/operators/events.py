@@ -968,6 +968,93 @@ ORDER BY report_day
 """
 
 
+# ---------------------------------------------------------------------------
+# Multi-touch marketing attribution
+
+
+def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue attribution across the three classic models at once: each
+    ``purchase`` event is a conversion worth its ``value``; the same
+    user's non-purchase events in the preceding 24 hours are its
+    touchpoints; each touch event_type then gets the conversion value
+    under first-touch, last-touch, and linear (1/n per touch) credit.
+    Conversions with no touches contribute nothing, and the three models
+    each distribute exactly the same total (conservation, pinned in
+    tests).
+
+    Scale: touch assembly is an EQUI hash join on the user key with the
+    24-hour window as a post-join filter — never a nested loop — and the
+    per-conversion first/last/n ranks run on a window partitioned by the
+    conversion id (high cardinality, bounded rows ≈ events/day/user).
+    At 100 TB you'd pre-bucket both sides on the user key so the join
+    and the window share one shuffle."""
+    ev = load_table(spark, "events", sf_dir)
+    touches_side = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    convs = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+        F.col("value").alias("revenue"),
+    )
+    touches = touches_side.join(
+        convs,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("ts") <= F.col("conv_ts"))
+        & (F.col("ts") > F.expr("timestampadd(HOUR, -24, conv_ts)")),
+    )
+    w = Window.partitionBy("conv_id")
+    asc = w.orderBy("ts", "event_id")
+    desc = w.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = (
+        touches.withColumn("n_touch", F.count(F.lit(1)).over(w))
+        .withColumn("rk_first", F.row_number().over(asc))
+        .withColumn("rk_last", F.row_number().over(desc))
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(
+                F.sum(F.when(F.col("rk_first") == 1, F.col("revenue")).otherwise(0.0)), 2
+            ).alias("rev_first_touch"),
+            F.round(
+                F.sum(F.when(F.col("rk_last") == 1, F.col("revenue")).otherwise(0.0)), 2
+            ).alias("rev_last_touch"),
+            F.round(F.sum(F.col("revenue") / F.col("n_touch")), 2).alias("rev_linear"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ATTRIBUTION_SQL = """
+WITH convs AS (
+  SELECT user_id AS c_user, event_id AS conv_id, ts AS conv_ts, value AS revenue
+  FROM events WHERE event_type = 'purchase'
+), touches AS (
+  SELECT e.event_type, c.conv_id, c.revenue,
+         COUNT(*) OVER (PARTITION BY c.conv_id) AS n_touch,
+         ROW_NUMBER() OVER (PARTITION BY c.conv_id ORDER BY e.ts, e.event_id) AS rk_first,
+         ROW_NUMBER() OVER (PARTITION BY c.conv_id ORDER BY e.ts DESC, e.event_id DESC) AS rk_last
+  FROM events e
+  JOIN convs c
+    ON e.user_id = c.c_user
+   AND e.ts <= c.conv_ts
+   AND e.ts > c.conv_ts - INTERVAL 24 HOUR
+  WHERE e.event_type <> 'purchase'
+)
+SELECT event_type,
+       COUNT(*) AS n_touches,
+       ROUND(SUM(CASE WHEN rk_first = 1 THEN revenue ELSE 0.0 END), 2) AS rev_first_touch,
+       ROUND(SUM(CASE WHEN rk_last = 1 THEN revenue ELSE 0.0 END), 2) AS rev_last_touch,
+       ROUND(SUM(revenue / n_touch), 2) AS rev_linear
+FROM touches
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "json_extract_events": json_extract_events,
     "tumbling_window_agg": tumbling_window_agg,
@@ -987,9 +1074,11 @@ QUERIES = {
     "variant_props_stats": variant_props_stats,
     "conversion_time_quantiles": conversion_time_quantiles,
     "session_window_dynamic_gap": session_window_dynamic_gap,
+    "attribution_multitouch": attribution_multitouch,
 }
 
 ORACLES = {
+    "attribution_multitouch": ATTRIBUTION_SQL,
     "ohlc_bars": OHLC_SQL,
     "top_event_paths": TOP_PATHS_SQL,
     "session_window_agg": SESSION_WINDOW_SQL,

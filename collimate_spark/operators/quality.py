@@ -470,6 +470,84 @@ def observed_write(df, path: str, metric_cols: list[str]) -> dict:
     return obs.get
 
 
+# ---------------------------------------------------------------------------
+# Schema-wide referential-integrity audit
+
+# every FK edge in the star schema: (edge label, child table, child key,
+# parent table, parent key)
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+)
+
+
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan audit over every FK edge in the schema: child rows whose key
+    has no parent (SQL-NULL child keys are skipped — a NULL FK is absent,
+    not broken). One row per edge: child_rows, orphans, orphan_pct.
+
+    Scale: each edge is one broadcast LEFT join of the child's key column
+    against the DISTINCT parent keys (dimension-sized — the largest
+    parent here is customer), folded to a single aggregate row, so every
+    child table is scanned once per edge with no fact-sized shuffle. The
+    eight per-edge aggregates union into an 8-row report. For a
+    fact→fact edge you'd swap the broadcast for a shuffle join; the
+    report shape is unchanged."""
+    report = None
+    for label, child_t, ckey, parent_t, pkey in _FK_EDGES:
+        child = (
+            load_table(spark, child_t, sf_dir)
+            .select(F.col(ckey).alias("k"))
+            .filter(F.col("k").isNotNull())
+        )
+        parent = (
+            load_table(spark, parent_t, sf_dir)
+            .select(F.col(pkey).alias("k"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        edge = (
+            child.join(F.broadcast(parent), "k", "left")
+            .agg(
+                F.count(F.lit(1)).alias("child_rows"),
+                F.sum(F.col("hit").isNull().cast("int")).alias("orphans"),
+            )
+            .select(
+                F.lit(label).alias("fk_edge"),
+                "child_rows",
+                "orphans",
+                F.round(F.col("orphans") / F.col("child_rows"), 4).alias("orphan_pct"),
+            )
+        )
+        report = edge if report is None else report.unionByName(edge)
+    return report.orderBy("fk_edge")
+
+
+_RI_EDGE_SQL = """
+SELECT '{label}' AS fk_edge,
+       COUNT(*) AS child_rows,
+       CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans,
+       ROUND(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+         AS orphan_pct
+FROM (SELECT {ckey} AS k FROM {child} WHERE {ckey} IS NOT NULL) c
+LEFT JOIN (SELECT DISTINCT {pkey} AS k FROM {parent}) p ON c.k = p.k
+"""
+
+REFERENTIAL_INTEGRITY_SQL = (
+    "\nUNION ALL\n".join(
+        _RI_EDGE_SQL.format(label=label, child=child, ckey=ckey, parent=parent, pkey=pkey)
+        for label, child, ckey, parent, pkey in _FK_EDGES
+    )
+    + "\nORDER BY fk_edge"
+)
+
+
 QUERIES = {
     "data_quality_report": data_quality_report,
     "snapshot_diff": snapshot_diff,
@@ -477,9 +555,11 @@ QUERIES = {
     "table_profile_lineitem": table_profile_lineitem,
     "benford_first_digit": benford_first_digit,
     "psi_price_drift": psi_price_drift,
+    "referential_integrity_report": referential_integrity_report,
 }
 
 ORACLES = {
+    "referential_integrity_report": REFERENTIAL_INTEGRITY_SQL,
     "data_quality_report": DATA_QUALITY_SQL,
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
     "k_anonymity_report": K_ANONYMITY_SQL,

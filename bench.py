@@ -156,6 +156,7 @@ EXTRA_QUERIES = [
     "referential_integrity_report",
     "attribution_multitouch",
     "bottomk_sample_per_group",
+    "zorder_cluster_stats",
 ]
 
 

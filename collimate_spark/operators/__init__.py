@@ -206,6 +206,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "referential_integrity_report",
     "attribution_multitouch",
     "bottomk_sample_per_group",
+    "zorder_cluster_stats",
 )
 
 

@@ -369,6 +369,82 @@ ORDER BY p.event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering for multi-dimensional data skipping
+
+_Z_BITS = 10  # 10 bits per dimension → 20-bit z-values
+
+
+def zorder_value(x: F.Column, y: F.Column) -> F.Column:
+    """Interleave the low 10 bits of two non-negative ints into a Morton
+    z-value — pure shift/mask codegen, no UDF: bit i of x lands at 2i,
+    bit i of y at 2i+1."""
+    z = F.lit(0)
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-curve locality audit: z-order lineitem on
+    (l_orderkey mod 1024, l_partkey mod 1024) and, per top-6-bit z range
+    (64 contiguous curve segments — the would-be file boundaries of a
+    z-clustered write), report row count and BOTH dimensions' min/max.
+    The point of the numbers: every segment bounds every dimension to
+    ~1/8 of its domain simultaneously — which is exactly why file-level
+    min/max zone maps prune selective predicates on EITHER column after
+    a z-ordered layout, where single-column sorting bounds only one.
+
+    Scale: the z-value is 40 shift/mask expressions inside whole-stage
+    codegen; the audit is one groupBy(64 keys). The companion write path
+    (``repartitionByRange(z) + sortWithinPartitions(z)``, exercised in
+    tests/test_zorder.py) is the standard two-shuffle layout job whose
+    cost amortizes over every subsequent pruned scan."""
+    li = load_table(spark, "lineitem", sf_dir)
+    x = (F.col("l_orderkey") % 1024).cast("int")
+    y = (F.col("l_partkey") % 1024).cast("int")
+    seg = F.shiftright(zorder_value(x, y), 2 * _Z_BITS - 6)
+    return (
+        li.select(x.alias("x"), y.alias("y"), seg.alias("z_segment"))
+        .groupBy("z_segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .orderBy("z_segment")
+    )
+
+
+def _z_sql_expr(x: str, y: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+ZORDER_STATS_SQL = f"""
+WITH pts AS (
+  SELECT CAST(l_orderkey % 1024 AS INT) AS x,
+         CAST(l_partkey % 1024 AS INT) AS y
+  FROM lineitem
+), zed AS (
+  SELECT x, y, ({_z_sql_expr("x", "y")}) >> {2 * _Z_BITS - 6} AS z_segment
+  FROM pts
+)
+SELECT z_segment, COUNT(*) AS n_rows,
+       MIN(x) AS min_x, MAX(x) AS max_x,
+       MIN(y) AS min_y, MAX(y) AS max_y
+FROM zed
+GROUP BY z_segment
+ORDER BY z_segment
+"""
+
+
 QUERIES = {
     "scd2_user_segments": scd2_user_segments,
     "merge_upsert_orders": merge_upsert_orders,
@@ -376,9 +452,11 @@ QUERIES = {
     "skyline_suppliers": skyline_suppliers,
     "ivm_incremental_agg": ivm_incremental_agg,
     "pit_join_scd2": pit_join_scd2,
+    "zorder_cluster_stats": zorder_cluster_stats,
 }
 
 ORACLES = {
+    "zorder_cluster_stats": ZORDER_STATS_SQL,
     "scd2_user_segments": SCD2_SQL,
     "merge_upsert_orders": MERGE_UPSERT_SQL,
     "winsorize_stats": WINSORIZE_SQL,

@@ -490,20 +490,22 @@ def bottomk_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     group win — the distributed form of reservoir sampling where the
     reservoir is an order statistic instead of mutable state.
 
-    Scale: unlike a row_number() window (which shuffles EVERY row of a
-    group to one task before discarding all but k), the bottom-k runs as
-    ``slice(sort_array(collect_list(struct(pri, id))), 1, k)`` — an
-    AGGREGATE, so map-side partial aggregation truncates each partition
-    to its local k candidates before the shuffle; only ~k·n_partitions
-    structs ever move. Same one-shuffle shape at any corpus size, immune
-    to group skew. (A true bounded-state UDAF would cap the transient
-    list too; collect_list partials stay small because the final slice
-    keeps per-group state at k after every merge at these k.)"""
+    Scale: a row_number() window would shuffle EVERY row of a group to
+    one task and sort it all there. Instead the bottom-k runs as a
+    TWO-STAGE aggregate: stage 1 groups by (lang, salt=hash(doc_id)%64)
+    and keeps each salt-group's local k smallest
+    (``slice(sort_array(collect_list(...)), 1, k)`` — the aggregation
+    buffer holds only that salt-slice of the group, 1/64th, and shrinks
+    with more salts); stage 2 merges the ≤ 64·k survivors per group to
+    the global k. Bottom-k by a fixed priority is decomposable, so the
+    two-stage result is exactly the one-stage result; at 100 TB you
+    scale the salt count with the data and no task ever buffers more
+    than group_size/salts rows."""
     docs = load_table(spark, "documents", sf_dir)
     pri = F.md5(F.col("doc_id").cast("string"))
-    picks = (
+    local = (
         docs.select("lang", "doc_id")
-        .groupBy("lang")
+        .groupBy("lang", F.pmod(F.xxhash64("doc_id"), F.lit(64)).alias("salt"))
         .agg(
             F.slice(
                 F.sort_array(
@@ -511,8 +513,13 @@ def bottomk_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 1,
                 _BOTTOMK,
-            ).alias("picks")
+            ).alias("cand")
         )
+    )
+    picks = (
+        local.select("lang", F.explode("cand").alias("c"))
+        .groupBy("lang")
+        .agg(F.slice(F.sort_array(F.collect_list("c")), 1, _BOTTOMK).alias("picks"))
     )
     return (
         picks.select("lang", F.posexplode("picks").alias("pos", "pick"))

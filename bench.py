@@ -157,6 +157,9 @@ EXTRA_QUERIES = [
     "attribution_multitouch",
     "bottomk_sample_per_group",
     "zorder_cluster_stats",
+    "fifo_allocation",
+    "gdpr_erasure_audit",
+    "dow_seasonality",
 ]
 
 

@@ -207,6 +207,9 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "attribution_multitouch",
     "bottomk_sample_per_group",
     "zorder_cluster_stats",
+    "fifo_allocation",
+    "gdpr_erasure_audit",
+    "dow_seasonality",
 )
 
 

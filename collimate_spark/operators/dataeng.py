@@ -445,6 +445,79 @@ ORDER BY z_segment
 """
 
 
+# ---------------------------------------------------------------------------
+# FIFO ledger allocation (inventory matching via the prefix-sum closed form)
+
+_FIFO_STOCK = 500.0  # opening stock per part
+
+
+def fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO inventory allocation: each part opens with 500 units; order
+    lines consume it in (shipdate, orderkey, linenumber) arrival order.
+    The naive formulation is a sequential scan of the ledger; the closed
+    form is a prefix sum — a line's fill is
+    ``clamp(stock - cum_demand_before, 0, qty)`` — so the whole
+    allocation is ONE window pass partitioned by part, no iteration and
+    no cross-row dependency beyond the cumulative sum. Per part:
+    line counts by outcome (filled / short / refused) and total units
+    allocated (exactly ≤ stock, pinned in tests).
+
+    Scale: one hash shuffle on l_partkey, per-part windows sorted by the
+    arrival key; partition width = lines-per-part, independent of table
+    size. The same closed form prices FIFO cost-basis lots, matches
+    payments to invoices, and drains any quota ledger."""
+    li = load_table(spark, "lineitem", sf_dir)
+    w = Window.partitionBy("l_partkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    cum_before = F.coalesce(
+        F.sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0.0)
+    )
+    filled = F.greatest(
+        F.lit(0.0), F.least(F.col("l_quantity"), F.lit(_FIFO_STOCK) - cum_before)
+    )
+    lines = li.select(
+        "l_partkey",
+        "l_quantity",
+        filled.alias("filled"),
+    )
+    return (
+        lines.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((F.col("filled") >= F.col("l_quantity")).cast("int")).alias("n_filled"),
+            F.sum(
+                ((F.col("filled") > 0) & (F.col("filled") < F.col("l_quantity"))).cast("int")
+            ).alias("n_short"),
+            F.sum((F.col("filled") <= 0).cast("int")).alias("n_refused"),
+            F.round(F.sum("filled"), 2).alias("units_allocated"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+FIFO_ALLOCATION_SQL = """
+WITH lines AS (
+  SELECT l_partkey, l_quantity,
+         GREATEST(0.0, LEAST(l_quantity,
+           500.0 - COALESCE(SUM(l_quantity) OVER (
+             PARTITION BY l_partkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+         )) AS filled
+  FROM lineitem
+)
+SELECT l_partkey,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN filled >= l_quantity THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(SUM(CASE WHEN filled > 0 AND filled < l_quantity THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_short,
+       CAST(SUM(CASE WHEN filled <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_refused,
+       ROUND(SUM(filled), 2) AS units_allocated
+FROM lines
+GROUP BY l_partkey
+ORDER BY l_partkey
+"""
+
+
 QUERIES = {
     "scd2_user_segments": scd2_user_segments,
     "merge_upsert_orders": merge_upsert_orders,
@@ -453,10 +526,12 @@ QUERIES = {
     "ivm_incremental_agg": ivm_incremental_agg,
     "pit_join_scd2": pit_join_scd2,
     "zorder_cluster_stats": zorder_cluster_stats,
+    "fifo_allocation": fifo_allocation,
 }
 
 ORACLES = {
     "zorder_cluster_stats": ZORDER_STATS_SQL,
+    "fifo_allocation": FIFO_ALLOCATION_SQL,
     "scd2_user_segments": SCD2_SQL,
     "merge_upsert_orders": MERGE_UPSERT_SQL,
     "winsorize_stats": WINSORIZE_SQL,

@@ -548,6 +548,107 @@ REFERENTIAL_INTEGRITY_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Right-to-erasure cascade audit (GDPR delete scoping)
+
+
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scope a right-to-erasure request BEFORE executing it: for a
+    deterministic erase cohort (every 97th customer key), count the rows
+    each table would lose, following the FK graph transitively —
+    customer directly, orders via o_custkey, lineitem via its orders
+    (two hops), events via user_id. One row per table with totals and
+    the erased fraction; the delete itself is then anti-join writes of
+    exactly these row sets.
+
+    Scale: the cohort is customer-keyed and dimension-sized, so every
+    single-hop count is a broadcast semi join folded into an aggregate.
+    The two-hop lineitem count chains a broadcast semi join
+    (orders→cohort) into a FACT-FACT semi join on l_orderkey — that one
+    is the real shuffle, and it's the irreducible one: erasure cascades
+    through fact-to-fact edges exactly once per hop."""
+    cohort = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select(F.col("c_custkey").alias("k"))
+    )
+
+    def _audit(df: DataFrame, key: str, table: str) -> DataFrame:
+        erased = df.join(F.broadcast(cohort), F.col(key) == F.col("k"), "left_semi")
+        return (
+            df.agg(F.count(F.lit(1)).alias("rows_total"))
+            .crossJoin(erased.agg(F.count(F.lit(1)).alias("rows_erased")))
+            .select(
+                F.lit(table).alias("table_name"),
+                "rows_total",
+                "rows_erased",
+                F.round(F.col("rows_erased") / F.col("rows_total"), 4).alias("erased_pct"),
+            )
+        )
+
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    events = load_table(spark, "events", sf_dir)
+
+    erased_orders = orders.join(
+        F.broadcast(cohort), orders.o_custkey == F.col("k"), "left_semi"
+    )
+    report = (
+        _audit(customer, "c_custkey", "customer")
+        .unionByName(_audit(orders, "o_custkey", "orders"))
+        .unionByName(
+            lineitem.agg(F.count(F.lit(1)).alias("rows_total"))
+            .crossJoin(
+                lineitem.join(
+                    erased_orders.select("o_orderkey"),
+                    lineitem.l_orderkey == F.col("o_orderkey"),
+                    "left_semi",
+                ).agg(F.count(F.lit(1)).alias("rows_erased"))
+            )
+            .select(
+                F.lit("lineitem").alias("table_name"),
+                "rows_total",
+                "rows_erased",
+                F.round(F.col("rows_erased") / F.col("rows_total"), 4).alias("erased_pct"),
+            )
+        )
+        .unionByName(_audit(events, "user_id", "events"))
+    )
+    return report.orderBy("table_name")
+
+
+GDPR_ERASURE_SQL = """
+WITH cohort AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0)
+SELECT 'customer' AS table_name,
+       (SELECT COUNT(*) FROM customer) AS rows_total,
+       (SELECT COUNT(*) FROM customer WHERE c_custkey IN (SELECT k FROM cohort)) AS rows_erased,
+       ROUND((SELECT COUNT(*) FROM customer WHERE c_custkey IN (SELECT k FROM cohort)) * 1.0
+             / (SELECT COUNT(*) FROM customer), 4) AS erased_pct
+UNION ALL
+SELECT 'orders',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IN (SELECT k FROM cohort)),
+       ROUND((SELECT COUNT(*) FROM orders WHERE o_custkey IN (SELECT k FROM cohort)) * 1.0
+             / (SELECT COUNT(*) FROM orders), 4)
+UNION ALL
+SELECT 'lineitem',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IN
+          (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM cohort))),
+       ROUND((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IN
+          (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM cohort))) * 1.0
+             / (SELECT COUNT(*) FROM lineitem), 4)
+UNION ALL
+SELECT 'events',
+       (SELECT COUNT(*) FROM events),
+       (SELECT COUNT(*) FROM events WHERE user_id IN (SELECT k FROM cohort)),
+       ROUND((SELECT COUNT(*) FROM events WHERE user_id IN (SELECT k FROM cohort)) * 1.0
+             / (SELECT COUNT(*) FROM events), 4)
+ORDER BY table_name
+"""
+
+
 QUERIES = {
     "data_quality_report": data_quality_report,
     "snapshot_diff": snapshot_diff,
@@ -556,10 +657,12 @@ QUERIES = {
     "benford_first_digit": benford_first_digit,
     "psi_price_drift": psi_price_drift,
     "referential_integrity_report": referential_integrity_report,
+    "gdpr_erasure_audit": gdpr_erasure_audit,
 }
 
 ORACLES = {
     "referential_integrity_report": REFERENTIAL_INTEGRITY_SQL,
+    "gdpr_erasure_audit": GDPR_ERASURE_SQL,
     "data_quality_report": DATA_QUALITY_SQL,
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
     "k_anonymity_report": K_ANONYMITY_SQL,

@@ -194,14 +194,69 @@ ORDER BY prev_type, event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Day-of-week seasonal decomposition
+
+
+def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative day-of-week seasonality per event_type: mean
+    ``value`` for each weekday divided by the type's overall mean — the
+    classic seasonal-index step of a decomposition (factor > 1 ⇒ that
+    weekday runs hot). Both engines index Sunday=0 (Spark dayofweek-1,
+    DuckDB dow).
+
+    Scale: the fact table folds once into the (event_type × 7) sum/count
+    grid — one low-cardinality groupBy with map-side partials — and the
+    overall mean is a window over that ≤ 35-row grid, not a second fact
+    pass. The factor is a ratio of sums, so it is exactly reproducible
+    regardless of row order."""
+    ev = load_table(spark, "events", sf_dir)
+    grid = (
+        ev.groupBy(
+            "event_type", (F.dayofweek("ts") - 1).alias("dow")
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"))
+    )
+    w = Window.partitionBy("event_type")
+    dow_avg = F.col("sum_v") / F.col("n")
+    overall_avg = F.sum("sum_v").over(w) / F.sum("n").over(w)
+    return (
+        grid.select(
+            "event_type",
+            "dow",
+            "n",
+            F.round(dow_avg, 4).alias("dow_avg"),
+            F.round(dow_avg / overall_avg, 4).alias("seasonal_factor"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+DOW_SEASONALITY_SQL = """
+WITH grid AS (
+  SELECT event_type, dayofweek(ts) AS dow,
+         COUNT(*) AS n, SUM(value) AS sum_v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, dow, n,
+       ROUND(sum_v / n, 4) AS dow_avg,
+       ROUND((sum_v / n) / (SUM(sum_v) OVER (PARTITION BY event_type)
+                            / SUM(n) OVER (PARTITION BY event_type)), 4)
+         AS seasonal_factor
+FROM grid
+ORDER BY event_type, dow
+"""
+
+
 QUERIES = {
     "rolling_median_value": rolling_median_value,
     "ewma_value": ewma_value,
     "anomaly_zscore": anomaly_zscore,
     "markov_transitions": markov_transitions,
+    "dow_seasonality": dow_seasonality,
 }
 
 ORACLES = {
+    "dow_seasonality": DOW_SEASONALITY_SQL,
     "rolling_median_value": ROLLING_MEDIAN_SQL,
     "ewma_value": EWMA_SQL,
     "anomaly_zscore": ANOMALY_ZSCORE_SQL,

@@ -125,3 +125,18 @@ def test_asof_nearest_dominates_both_directions(spark):
         assert abs(got - round(min(cands), 2)) < 0.02, (r.event_id, got, min(cands))
         checked += 1
     assert checked > 50
+
+
+def test_fifo_allocation_conserves_stock(spark, sf_dir):
+    """Structural FIFO invariants the oracle equality can't prove alone:
+    per part, units allocated never exceed opening stock; outcome counts
+    partition the lines; and once a part is exhausted every later line
+    is refused (n_short ≤ 1 per part under FIFO with a single lot)."""
+    from collimate_spark.operators.dataeng import _FIFO_STOCK, fifo_allocation
+
+    rows = fifo_allocation(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.units_allocated <= _FIFO_STOCK + 1e-6
+        assert r.n_filled + r.n_short + r.n_refused == r.n_lines
+        assert r.n_short <= 1, "FIFO with one lot can split at most one line"

@@ -160,6 +160,9 @@ EXTRA_QUERIES = [
     "fifo_allocation",
     "gdpr_erasure_audit",
     "dow_seasonality",
+    "acf_daily_events",
+    "train_val_test_split",
+    "join_skew_diagnostics",
 ]
 
 

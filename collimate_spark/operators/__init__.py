@@ -210,6 +210,9 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "fifo_allocation",
     "gdpr_erasure_audit",
     "dow_seasonality",
+    "acf_daily_events",
+    "train_val_test_split",
+    "join_skew_diagnostics",
 )
 
 

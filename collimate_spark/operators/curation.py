@@ -479,6 +479,67 @@ ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+
+_SPLIT_TRAIN_THR = "cccc"  # 0x0000-0xcccb / 0x10000 ≈ 0.8000
+_SPLIT_VAL_THR = "e666"  # up to ≈ 0.9000; rest = test
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical ML dataset split, done the reproducible way: each
+    document's 4-hex md5(doc_id) prefix is a content-independent uniform
+    in [0, 1), thresholded 80/10/10 into train/val/test. Hash-based
+    assignment is stable across runs, engines, partitionings, and
+    incremental appends (a new doc never moves an old one), unlike any
+    rand()-based split. Emits per-(lang, split) counts and the achieved
+    within-lang fraction — the drift check that the realized split
+    matches the design.
+
+    Scale: a narrow zero-shuffle map (md5 + two comparisons) followed by
+    one tiny groupBy on (lang, split); the split column itself is what a
+    training exporter would partition the write by."""
+    docs = load_table(spark, "documents", sf_dir)
+    h = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4)
+    split = (
+        F.when(h < _SPLIT_TRAIN_THR, "train")
+        .when(h < _SPLIT_VAL_THR, "val")
+        .otherwise("test")
+    )
+    grid = (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return (
+        grid.select(
+            "lang",
+            "split",
+            "n_docs",
+            F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4).alias("frac_of_lang"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+TRAIN_VAL_TEST_SQL = """
+WITH tagged AS (
+  SELECT lang,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), grid AS (
+  SELECT lang, split, COUNT(*) AS n_docs FROM tagged GROUP BY 1, 2
+)
+SELECT lang, split, n_docs,
+       ROUND(n_docs * 1.0 / SUM(n_docs) OVER (PARTITION BY lang), 4) AS frac_of_lang
+FROM grid
+ORDER BY lang, split
+"""
+
+
+# ---------------------------------------------------------------------------
 # Mergeable exact-k per-group uniform sample (bottom-k by hashed priority)
 
 _BOTTOMK = 5
@@ -553,10 +614,12 @@ QUERIES = {
     "chunk_documents": chunk_documents,
     "domain_mix_temperature": domain_mix_temperature,
     "bottomk_sample_per_group": bottomk_sample_per_group,
+    "train_val_test_split": train_val_test_split,
 }
 
 ORACLES = {
     "bottomk_sample_per_group": BOTTOMK_SAMPLE_SQL,
+    "train_val_test_split": TRAIN_VAL_TEST_SQL,
     "pack_sequences": PACK_SQL,
     "decontaminate_ngram": DECON_SQL,
     "shard_export_assignment": SHARD_EXPORT_SQL,

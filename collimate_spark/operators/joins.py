@@ -835,6 +835,60 @@ ORDER BY month
 
 
 # ---------------------------------------------------------------------------
+# Join-size / skew diagnostics (the pre-join statistics pass)
+
+
+def join_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistics pass you run BEFORE committing to a big join's
+    physical strategy: per-key row counts on both sides of
+    events.user_id ⋈ orders.o_custkey, the EXACT join output size each
+    key would contribute (n_left · n_right), and its share of the total
+    — without ever materializing the join. The top-10 report is what
+    decides broadcast vs shuffle vs salting (``salted_join_hot_key``)
+    and pre-sizes AQE's skew thresholds.
+
+    Scale: two single-shuffle groupBy counts fold each side to its key
+    cardinality; everything after (key-count join, total, top-k) runs on
+    dimension-sized frames. Σ n_l·n_r is exact — this is the classic
+    equi-join cardinality identity, not an estimate."""
+    ev = load_table(spark, "events", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    left = ev.groupBy(F.col("user_id").alias("k")).agg(F.count(F.lit(1)).alias("n_left"))
+    right = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_right")
+    )
+    keyed = left.join(right, "k").withColumn("pairs", F.col("n_left") * F.col("n_right"))
+    total = keyed.agg(F.sum("pairs").alias("total_pairs"))
+    return (
+        keyed.crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "n_left",
+            "n_right",
+            "pairs",
+            F.round(F.col("pairs") / F.col("total_pairs"), 4).alias("pct_of_join"),
+        )
+        .orderBy(F.col("pairs").desc(), "k")
+        .limit(10)
+    )
+
+
+JOIN_SKEW_SQL = """
+WITH l AS (SELECT user_id AS k, COUNT(*) AS n_left FROM events GROUP BY 1),
+     r AS (SELECT o_custkey AS k, COUNT(*) AS n_right FROM orders GROUP BY 1),
+     keyed AS (
+       SELECT l.k, n_left, n_right, CAST(n_left * n_right AS BIGINT) AS pairs
+       FROM l JOIN r ON l.k = r.k
+     )
+SELECT k, n_left, n_right, pairs,
+       ROUND(pairs * 1.0 / (SELECT SUM(pairs) FROM keyed), 4) AS pct_of_join
+FROM keyed
+ORDER BY pairs DESC, k
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Grid-blocked geo radius join (spatial blocking, haversine verify)
 
 _GEO_R_KM = 6371.0088  # IAU mean Earth radius
@@ -954,11 +1008,13 @@ QUERIES = {
     "asof_join_nearest": asof_join_nearest,
     "bloom_prefilter_join": bloom_prefilter_join,
     "geo_radius_join_grid": geo_radius_join_grid,
+    "join_skew_diagnostics": join_skew_diagnostics,
 }
 
 ORACLES = {
     "bloom_prefilter_join": BLOOM_PREFILTER_SQL,
     "geo_radius_join_grid": GEO_RADIUS_SQL,
+    "join_skew_diagnostics": JOIN_SKEW_SQL,
     "fuzzy_name_match": FUZZY_MATCH_SQL,
     "salted_join_hot_key": SALTED_JOIN_SQL,
     "asof_join_forward": ASOF_FORWARD_SQL,

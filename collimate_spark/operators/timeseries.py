@@ -247,16 +247,80 @@ ORDER BY event_type, dow
 """
 
 
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the daily event series
+
+
+def acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily event-count series — the
+    periodicity diagnostic behind seasonality/forecast choices (a lag-7
+    spike ⇒ weekly cycle). Pairs (x_t, x_{t-k}) come from one ordered
+    window with seven lag() columns, stacked long; each lag's Pearson r
+    is a plain corr aggregate over its pairs.
+
+    Scale: the fact table folds once into the calendar-sized daily
+    series (one groupBy); everything after — the lag window, the stack,
+    seven corr aggregates — runs on ~n_days rows, so the plan is a fact
+    scan plus metadata-sized work regardless of corpus size."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "cnt", *[F.lag("cnt", k).over(w).alias(f"l{k}") for k in range(1, 8)]
+    )
+    stack_expr = "stack(7, " + ", ".join(f"{k}, l{k}" for k in range(1, 8)) + ") AS (lag, prev)"
+    pairs = lagged.selectExpr("cnt", stack_expr).filter(F.col("prev").isNotNull())
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("cnt", "prev"), 4).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+ACF_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM events GROUP BY 1
+), lagged AS (
+  SELECT cnt,
+         LAG(cnt, 1) OVER w AS l1, LAG(cnt, 2) OVER w AS l2,
+         LAG(cnt, 3) OVER w AS l3, LAG(cnt, 4) OVER w AS l4,
+         LAG(cnt, 5) OVER w AS l5, LAG(cnt, 6) OVER w AS l6,
+         LAG(cnt, 7) OVER w AS l7
+  FROM daily WINDOW w AS (ORDER BY day)
+), pairs AS (
+  SELECT cnt, 1 AS lag, l1 AS prev FROM lagged
+  UNION ALL SELECT cnt, 2, l2 FROM lagged
+  UNION ALL SELECT cnt, 3, l3 FROM lagged
+  UNION ALL SELECT cnt, 4, l4 FROM lagged
+  UNION ALL SELECT cnt, 5, l5 FROM lagged
+  UNION ALL SELECT cnt, 6, l6 FROM lagged
+  UNION ALL SELECT cnt, 7, l7 FROM lagged
+)
+SELECT lag, COUNT(*) AS n_pairs, ROUND(CORR(cnt, prev), 4) AS acf
+FROM pairs WHERE prev IS NOT NULL
+GROUP BY lag
+ORDER BY lag
+"""
+
+
 QUERIES = {
     "rolling_median_value": rolling_median_value,
     "ewma_value": ewma_value,
     "anomaly_zscore": anomaly_zscore,
     "markov_transitions": markov_transitions,
     "dow_seasonality": dow_seasonality,
+    "acf_daily_events": acf_daily_events,
 }
 
 ORACLES = {
     "dow_seasonality": DOW_SEASONALITY_SQL,
+    "acf_daily_events": ACF_SQL,
     "rolling_median_value": ROLLING_MEDIAN_SQL,
     "ewma_value": EWMA_SQL,
     "anomaly_zscore": ANOMALY_ZSCORE_SQL,

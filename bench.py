@@ -163,6 +163,8 @@ EXTRA_QUERIES = [
     "acf_daily_events",
     "train_val_test_split",
     "join_skew_diagnostics",
+    "bpe_merge_candidates",
+    "longest_daily_streak",
 ]
 
 

@@ -213,6 +213,8 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "acf_daily_events",
     "train_val_test_split",
     "join_skew_diagnostics",
+    "bpe_merge_candidates",
+    "longest_daily_streak",
 )
 
 

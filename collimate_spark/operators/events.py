@@ -969,6 +969,59 @@ ORDER BY report_day
 
 
 # ---------------------------------------------------------------------------
+# Longest activity streak (gaps-and-islands on the day grid)
+
+
+def longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user longest run of consecutive active days — the classic
+    gaps-and-islands identity: among a user's distinct active days
+    ordered ascending, ``day - row_number()`` is constant exactly within
+    a consecutive run, so one window plus two groupBys yields every
+    streak with no self-join and no iteration. Emits active-day count,
+    streak count, and the longest streak per user.
+
+    Scale: the fact table collapses to (user, day) distinct first (the
+    only fact-sized shuffle); the window and both aggregations run on
+    the per-user day grid (≤ calendar length each), all partitioned by
+    the same user key — AQE coalesces the pipeline into back-to-back
+    stages with no re-shuffle."""
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn("grp", F.date_sub("day", F.row_number().over(w)))
+    streaks = islands.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+LONGEST_STREAK_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), islands AS (
+  SELECT user_id,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS grp
+  FROM days
+), streaks AS (
+  SELECT user_id, grp, COUNT(*) AS len FROM islands GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       COUNT(*) AS n_streaks,
+       MAX(len) AS longest_streak
+FROM streaks
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multi-touch marketing attribution
 
 
@@ -1075,10 +1128,12 @@ QUERIES = {
     "conversion_time_quantiles": conversion_time_quantiles,
     "session_window_dynamic_gap": session_window_dynamic_gap,
     "attribution_multitouch": attribution_multitouch,
+    "longest_daily_streak": longest_daily_streak,
 }
 
 ORACLES = {
     "attribution_multitouch": ATTRIBUTION_SQL,
+    "longest_daily_streak": LONGEST_STREAK_SQL,
     "ohlc_bars": OHLC_SQL,
     "top_event_paths": TOP_PATHS_SQL,
     "session_window_agg": SESSION_WINDOW_SQL,

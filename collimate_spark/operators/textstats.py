@@ -964,6 +964,58 @@ ORDER BY term
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE merge candidates (the first byte-pair-encoding iteration)
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training: count every
+    adjacent character pair inside every (lowercased, whitespace-split)
+    word across the corpus and rank the top-20 merge candidates — the
+    pair a real trainer would fuse into a new symbol. Pairs are
+    generated JVM-side with ``transform(sequence(...), i ->
+    substring(word, i, 2))`` — higher-order functions, no UDF, no
+    Python.
+
+    Scale: a zero-shuffle flatMap (words → pairs) followed by one
+    groupBy(pair) count — the vocabulary of 2-grams is alphabet², so the
+    shuffle is tiny no matter the corpus; map-side partials absorb the
+    volume. Subsequent BPE iterations re-run the same plan over the
+    re-symbolized corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "pair")
+        .limit(20)
+    )
+
+
+BPE_MERGE_SQL = """
+WITH words AS (
+  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+  FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                               i -> substring(w, i, 2))) AS pair
+  FROM words WHERE length(w) >= 2
+)
+SELECT pair, COUNT(*) AS freq
+FROM pairs
+GROUP BY pair
+ORDER BY freq DESC, pair
+LIMIT 20
+"""
+
+
 QUERIES = {
     "text_quality_metrics": text_quality_metrics,
     "lang_id_heuristic": lang_id_heuristic,
@@ -981,9 +1033,11 @@ QUERIES = {
     "zipf_slope": zipf_slope,
     "char_entropy": char_entropy,
     "inverted_index_postings": inverted_index_postings,
+    "bpe_merge_candidates": bpe_merge_candidates,
 }
 
 ORACLES = {
+    "bpe_merge_candidates": BPE_MERGE_SQL,
     "lm_perplexity_score": LM_PPL_SQL,
     "collocation_pmi": COLLOCATION_PMI_SQL,
     "zipf_slope": ZIPF_SQL,

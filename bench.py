@@ -165,6 +165,7 @@ EXTRA_QUERIES = [
     "join_skew_diagnostics",
     "bpe_merge_candidates",
     "longest_daily_streak",
+    "approx_percentile_error",
 ]
 
 

@@ -215,6 +215,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "join_skew_diagnostics",
     "bpe_merge_candidates",
     "longest_daily_streak",
+    "approx_percentile_error",  # rows-only
 )
 
 

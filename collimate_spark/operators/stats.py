@@ -789,6 +789,50 @@ ORDER BY d.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Approx-percentile error audit (validating the 100 TB substitution)
+
+_APPROX_ACC = 1000  # Greenwald-Khanna accuracy: rank error ≤ N / _APPROX_ACC
+
+
+def approx_percentile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit behind every "swap exact percentile for approx at
+    scale" note in this repo: per event_type, exact p50/p95 of ``value``
+    beside ``approx_percentile(…, accuracy=1000)`` and the absolute
+    errors. Greenwald-Khanna guarantees the approx result is a TRUE
+    element whose rank is within N/accuracy of the target — the bound
+    tests/test_quantile_sketch.py asserts via rank lookup, so the
+    substitution's cost is measured, not asserted.
+
+    Scale: the exact aggregate buffers each group's full value set (the
+    thing that dies at 100 TB); the approx aggregate keeps O(accuracy)
+    summaries and is mergeable — this query exists to show the two
+    diverge by less than the guarantee long before the exact one becomes
+    infeasible. Rows-only driver check (DuckDB has no GK twin)."""
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(value, 0.5D)").alias("exact_p50"),
+            F.expr(f"approx_percentile(value, 0.5D, {_APPROX_ACC})").alias("approx_p50"),
+            F.expr("percentile(value, 0.95D)").alias("exact_p95"),
+            F.expr(f"approx_percentile(value, 0.95D, {_APPROX_ACC})").alias("approx_p95"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("exact_p50", 4).alias("exact_p50"),
+            F.round("approx_p50", 4).alias("approx_p50"),
+            F.round(F.abs(F.col("exact_p50") - F.col("approx_p50")), 4).alias("err_p50"),
+            F.round("exact_p95", 4).alias("exact_p95"),
+            F.round("approx_p95", 4).alias("approx_p95"),
+            F.round(F.abs(F.col("exact_p95") - F.col("approx_p95")), 4).alias("err_p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "regr_price_trend": regr_price_trend,
     "rfm_segmentation": rfm_segmentation,
@@ -801,6 +845,7 @@ QUERIES = {
     "kaplan_meier_retention": kaplan_meier_retention,
     "ab_test_welch": ab_test_welch,
     "mad_outliers": mad_outliers,
+    "approx_percentile_error": approx_percentile_error,
 }
 
 ORACLES = {

@@ -72,3 +72,33 @@ def test_hll_native_relative_error(spark, sf_dir):
     assert set(got) == set(exact)
     for k, e in exact.items():
         assert abs(got[k] - e) / max(e, 1) <= 0.05, (k, got[k], e)
+
+
+def test_approx_percentile_rank_error_bound(spark, sf_dir):
+    """The GK guarantee behind approx_percentile_error: the approx
+    quantile is an actual data element whose RANK is within
+    max(1, n/accuracy) of the target rank."""
+    import bisect
+
+    from collimate_spark.catalog import load_table
+    from collimate_spark.operators.stats import _APPROX_ACC, approx_percentile_error
+
+    rep = {r["event_type"]: r for r in approx_percentile_error(spark, sf_dir).collect()}
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        tol_rank = max(1.0, n / _APPROX_ACC)
+        for q, col in ((0.5, "approx_p50"), (0.95, "approx_p95")):
+            approx = rep[et][col]
+            # rounded to 4 decimals in the report; find nearest element
+            i = bisect.bisect_left(vals, approx - 5e-4)
+            j = bisect.bisect_right(vals, approx + 5e-4)
+            assert j > i, f"{et} {col}={approx} is not a data element"
+            target = q * (n - 1)
+            assert i - tol_rank - 1 <= target <= j + tol_rank, (
+                f"{et} {col} rank window [{i},{j}] vs target {target}"
+            )

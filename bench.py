@@ -166,6 +166,8 @@ EXTRA_QUERIES = [
     "bpe_merge_candidates",
     "longest_daily_streak",
     "approx_percentile_error",
+    "lang_id_confusion",
+    "corpus_pipeline_funnel",
 ]
 
 

@@ -216,6 +216,8 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "bpe_merge_candidates",
     "longest_daily_streak",
     "approx_percentile_error",  # rows-only
+    "lang_id_confusion",
+    "corpus_pipeline_funnel",
 )
 
 

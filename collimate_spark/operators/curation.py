@@ -479,6 +479,90 @@ ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# End-to-end corpus pipeline funnel (quality → dedup → split, one plan)
+
+
+def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE composed plan with a stage
+    funnel as its output: raw docs → quality gate (same rules as
+    ``quality_filter_pipeline``) → exact dedup among survivors (same
+    min-doc_id rule as ``dedup_exact``) → deterministic train/val/test
+    split (same thresholds as ``train_val_test_split``). One row per
+    stage with its surviving count — the one-glance report of what each
+    pipeline step costs, and the proof these operators compose as
+    DataFrames instead of materializing between steps.
+
+    Scale: every flag is a narrow expression; the only shuffle is the
+    dedup window on text_hash, and the funnel itself is a single
+    conditional aggregate stacked long. The same plan with
+    ``.write.partitionBy('split')`` at the end IS the production export
+    job."""
+    from collimate_spark.operators.textstats import quality_reason
+
+    docs = load_table(spark, "documents", sf_dir)
+    ok = (quality_reason(F.col("text")) == "ok").cast("int")
+    base = docs.select(
+        "doc_id",
+        ok.alias("ok"),
+        F.md5(X.normalize_text(F.col("text")).cast("binary")).alias("text_hash"),
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4).alias("hx"),
+    )
+    min_ok = F.min(F.when(F.col("ok") == 1, F.col("doc_id"))).over(
+        Window.partitionBy("text_hash")
+    )
+    ann = base.withColumn(
+        "keep", ((F.col("ok") == 1) & (F.col("doc_id") == min_ok)).cast("int")
+    )
+    kept = F.col("keep") == 1
+    counts = ann.agg(
+        F.count(F.lit(1)).alias("raw"),
+        F.sum("ok").alias("quality"),
+        F.sum("keep").alias("uniq"),
+        F.sum((kept & (F.col("hx") < _SPLIT_TRAIN_THR)).cast("int")).alias("train"),
+        F.sum(
+            (kept & (F.col("hx") >= _SPLIT_TRAIN_THR) & (F.col("hx") < _SPLIT_VAL_THR)).cast(
+                "int"
+            )
+        ).alias("val"),
+        F.sum((kept & (F.col("hx") >= _SPLIT_VAL_THR)).cast("int")).alias("test"),
+    )
+    return counts.selectExpr(
+        "stack(6, '0_raw', raw, '1_quality', quality, '2_unique', uniq, "
+        "'3_train', train, '3_val', val, '3_test', test) AS (stage, n_docs)"
+    ).orderBy("stage")
+
+
+def _pipeline_funnel_sql() -> str:
+    from collimate_spark.operators.textstats import QF_CASE_SQL
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, text,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         CASE WHEN ({QF_CASE_SQL}) = 'ok' THEN 1 ELSE 0 END AS ok,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+  FROM d
+), ann AS (
+  SELECT *,
+         CASE WHEN ok = 1 AND doc_id = MIN(CASE WHEN ok = 1 THEN doc_id END)
+                   OVER (PARTITION BY text_hash) THEN 1 ELSE 0 END AS keep
+  FROM base
+)
+SELECT '0_raw' AS stage, COUNT(*) AS n_docs FROM ann
+UNION ALL SELECT '1_quality', CAST(SUM(ok) AS BIGINT) FROM ann
+UNION ALL SELECT '2_unique', CAST(SUM(keep) AS BIGINT) FROM ann
+UNION ALL SELECT '3_train', CAST(SUM(CASE WHEN keep = 1 AND hx < 'cccc' THEN 1 ELSE 0 END) AS BIGINT) FROM ann
+UNION ALL SELECT '3_val', CAST(SUM(CASE WHEN keep = 1 AND hx >= 'cccc' AND hx < 'e666' THEN 1 ELSE 0 END) AS BIGINT) FROM ann
+UNION ALL SELECT '3_test', CAST(SUM(CASE WHEN keep = 1 AND hx >= 'e666' THEN 1 ELSE 0 END) AS BIGINT) FROM ann
+ORDER BY stage
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic train/val/test split
 
 _SPLIT_TRAIN_THR = "cccc"  # 0x0000-0xcccb / 0x10000 ≈ 0.8000
@@ -615,9 +699,11 @@ QUERIES = {
     "domain_mix_temperature": domain_mix_temperature,
     "bottomk_sample_per_group": bottomk_sample_per_group,
     "train_val_test_split": train_val_test_split,
+    "corpus_pipeline_funnel": corpus_pipeline_funnel,
 }
 
 ORACLES = {
+    "corpus_pipeline_funnel": _pipeline_funnel_sql(),
     "bottomk_sample_per_group": BOTTOMK_SAMPLE_SQL,
     "train_val_test_split": TRAIN_VAL_TEST_SQL,
     "pack_sequences": PACK_SQL,

@@ -212,6 +212,41 @@ ORDER BY doc_id
 """
 
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation harness over ``lang_id_heuristic``: the full
+    confusion matrix of predicted vs labeled language, long-form — one
+    row per (true, predicted) cell with its count and share of the true
+    class (the diagonal's share IS per-class recall). This is the
+    eval-loop shape every classifier that runs on the cluster needs:
+    predictions stay distributed, the matrix is classes², tiny at any
+    corpus size.
+
+    Scale: composes the prediction query (zero-shuffle scoring map) with
+    one groupBy on a 5×5 key space; the per-class share is a window over
+    the matrix itself, never over documents."""
+    pred = lang_id_heuristic(spark, sf_dir)
+    cells = pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang")
+    return (
+        cells.select(
+            "lang",
+            "lang_pred",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(w), 4).alias("frac_of_true"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+LANG_CONFUSION_SQL = f"""
+SELECT lang, lang_pred, COUNT(*) AS n,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY lang), 4) AS frac_of_true
+FROM ({LANG_ID_SQL}) base
+GROUP BY lang, lang_pred
+ORDER BY lang, lang_pred
+"""
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive content fingerprint (md5 of sorted distinct
     tokens) + the count of docs sharing each fingerprint — catches
@@ -1034,10 +1069,12 @@ QUERIES = {
     "char_entropy": char_entropy,
     "inverted_index_postings": inverted_index_postings,
     "bpe_merge_candidates": bpe_merge_candidates,
+    "lang_id_confusion": lang_id_confusion,
 }
 
 ORACLES = {
     "bpe_merge_candidates": BPE_MERGE_SQL,
+    "lang_id_confusion": LANG_CONFUSION_SQL,
     "lm_perplexity_score": LM_PPL_SQL,
     "collocation_pmi": COLLOCATION_PMI_SQL,
     "zipf_slope": ZIPF_SQL,

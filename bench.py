@@ -168,6 +168,7 @@ EXTRA_QUERIES = [
     "approx_percentile_error",
     "lang_id_confusion",
     "corpus_pipeline_funnel",
+    "bootstrap_mean_ci",
 ]
 
 

@@ -218,6 +218,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "approx_percentile_error",  # rows-only
     "lang_id_confusion",
     "corpus_pipeline_funnel",
+    "bootstrap_mean_ci",
 )
 
 

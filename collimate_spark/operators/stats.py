@@ -790,6 +790,103 @@ ORDER BY d.event_type
 
 
 # ---------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals (the map-reduce bootstrap)
+
+_BOOT_B = 50  # bootstrap replicates
+# Poisson(1) CDF breakpoints as 8-hex md5-prefix thresholds: a row's
+# replicate weight is the inverse-CDF bucket of its hash-uniform — the
+# "Poisson bootstrap" trick that makes resampling embarrassingly parallel
+# (each row draws its own multiplicity; no resample materialization).
+_POIS_CDF = (0.36787944, 0.73575888, 0.91969860, 0.98101184, 0.99634015, 0.99940582)
+_POIS_THR = tuple(format(int(p * 16**8), "08x") for p in _POIS_CDF)
+
+
+def _boot_weight(h):
+    """Poisson(1) multiplicity from an 8-hex uniform, as a CASE chain of
+    string comparisons (identical in Spark and DuckDB — no hex→int)."""
+    w = F.lit(len(_POIS_THR))
+    for k in range(len(_POIS_THR) - 1, -1, -1):
+        w = F.when(h < _POIS_THR[k], k).otherwise(w)
+    return w
+
+
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean of ``value`` per
+    event_type via the POISSON bootstrap — the resampling scheme built
+    for map-reduce: instead of materializing B resamples, every row
+    draws an independent Poisson(1) multiplicity per replicate from a
+    deterministic hash-uniform, so replicate b's mean is
+    Σ w_b·x / Σ w_b. All 50 replicates ride ONE scan as 100 conditional
+    aggregate columns (no explode, no 50× row blow-up), stack long, and
+    the CI is the [2.5%, 97.5%] exact percentile of the 50 replicate
+    means — a per-group frame of exactly B rows.
+
+    Scale: one groupBy(event_type) with 2B partial-aggregated sums —
+    map-side combine absorbs the width; the percentile runs over B
+    values per group. This is how you put error bars on any metric at
+    100 TB without a second pass."""
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+    ]
+    for b in range(_BOOT_B):
+        h = F.substring(
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(f"_{b}")).cast("binary")),
+            1,
+            8,
+        )
+        w = _boot_weight(h).cast("double")
+        aggs.append(F.sum(w * F.col("value")).alias(f"s{b}"))
+        aggs.append(F.sum(w).alias(f"w{b}"))
+    wide = ev.groupBy("event_type").agg(*aggs)
+    stack = "stack(" + str(_BOOT_B) + ", " + ", ".join(
+        f"s{b} / w{b}" for b in range(_BOOT_B)
+    ) + ") AS m"
+    reps = wide.selectExpr("event_type", "n", "mean_value", stack)
+    return (
+        reps.groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("mean_value").alias("mean_value"),
+            F.round(F.expr("percentile(m, 0.025D)"), 4).alias("ci_lo"),
+            F.round(F.expr("percentile(m, 0.975D)"), 4).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _bootstrap_sql() -> str:
+    def w_case(b: int) -> str:
+        h = f"substring(md5(CAST(event_id AS VARCHAR) || '_{b}'), 1, 8)"
+        branches = " ".join(
+            f"WHEN {h} < '{_POIS_THR[k]}' THEN {k}" for k in range(len(_POIS_THR))
+        )
+        return f"CAST(CASE {branches} ELSE {len(_POIS_THR)} END AS DOUBLE)"
+
+    cols = ",\n         ".join(
+        f"SUM({w_case(b)} * value) AS s{b}, SUM({w_case(b)}) AS w{b}"
+        for b in range(_BOOT_B)
+    )
+    means = ", ".join(f"(s{b} / w{b})" for b in range(_BOOT_B))
+    return f"""
+WITH wide AS (
+  SELECT event_type, COUNT(*) AS n, ROUND(AVG(value), 4) AS mean_value,
+         {cols}
+  FROM events GROUP BY event_type
+), reps AS (
+  SELECT event_type, n, mean_value, unnest([{means}]) AS m FROM wide
+)
+SELECT event_type, ANY_VALUE(n) AS n, ANY_VALUE(mean_value) AS mean_value,
+       ROUND(quantile_cont(m, 0.025), 4) AS ci_lo,
+       ROUND(quantile_cont(m, 0.975), 4) AS ci_hi
+FROM reps
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Approx-percentile error audit (validating the 100 TB substitution)
 
 _APPROX_ACC = 1000  # Greenwald-Khanna accuracy: rank error ≤ N / _APPROX_ACC
@@ -846,6 +943,7 @@ QUERIES = {
     "ab_test_welch": ab_test_welch,
     "mad_outliers": mad_outliers,
     "approx_percentile_error": approx_percentile_error,
+    "bootstrap_mean_ci": bootstrap_mean_ci,
 }
 
 ORACLES = {
@@ -858,4 +956,5 @@ ORACLES = {
     "kaplan_meier_retention": KAPLAN_MEIER_SQL,
     "ab_test_welch": AB_TEST_WELCH_SQL,
     "mad_outliers": MAD_OUTLIERS_SQL,
+    "bootstrap_mean_ci": _bootstrap_sql(),
 }

@@ -858,9 +858,11 @@ def join_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_right")
     )
     keyed = left.join(right, "k").withColumn("pairs", F.col("n_left") * F.col("n_right"))
-    total = keyed.agg(F.sum("pairs").alias("total_pairs"))
+    # global window over the KEY-CARDINALITY frame (not the facts) — a
+    # separate agg branch would re-scan both tables for the total
+    total = F.sum("pairs").over(Window.partitionBy())
     return (
-        keyed.crossJoin(F.broadcast(total))
+        keyed.withColumn("total_pairs", total)
         .select(
             "k",
             "n_left",

@@ -445,3 +445,47 @@ def test_conversion_quantiles_no_self_join(spark, sf_dir):
     plan = _plan(conversion_time_quantiles(spark, sf_dir))
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
+
+
+def test_bootstrap_single_scan_no_explode(spark, sf_dir):
+    """The Poisson bootstrap's whole point: all 50 replicates ride ONE
+    fact scan as conditional aggregates — no Generate (explode) of the
+    fact rows, no join. The only row multiplication is the B-row stack
+    over the already-aggregated grid."""
+    from collimate_spark.operators.stats import bootstrap_mean_ci
+
+    plan = _plan(bootstrap_mean_ci(spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+
+
+def test_pipeline_funnel_single_scan(spark, sf_dir):
+    """quality → dedup → split composed as one plan must still read the
+    corpus once: flags are narrow expressions, the dedup window is the
+    only shuffle, the funnel is one aggregate."""
+    from collimate_spark.operators.curation import corpus_pipeline_funnel
+
+    plan = _plan(corpus_pipeline_funnel(spark, sf_dir))
+    assert plan.count("FileScan") == 1
+
+
+def test_join_skew_diagnostics_never_materializes_join(spark, sf_dir):
+    """The diagnostics join runs on per-key COUNT frames (key-cardinality
+    sized), never on the fact rows: two scans (one per side), and the
+    only joins sit above aggregates."""
+    from collimate_spark.operators.joins import join_skew_diagnostics
+    from collimate_spark.plans import plan_features
+
+    f = plan_features(join_skew_diagnostics(spark, sf_dir))
+    assert f["n_scans"] == 2
+    assert not f["has_cartesian"]
+
+
+def test_bpe_pairs_single_scan_tiny_shuffle(spark, sf_dir):
+    """BPE pair counting: one documents scan, one alphabet²-bounded
+    groupBy — the two Generates (words, pairs) are row-local."""
+    from collimate_spark.operators.textstats import bpe_merge_candidates
+
+    plan = _plan(bpe_merge_candidates(spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan

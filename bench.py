@@ -169,6 +169,8 @@ EXTRA_QUERIES = [
     "lang_id_confusion",
     "corpus_pipeline_funnel",
     "bootstrap_mean_ci",
+    "concurrent_sessions_timeline",
+    "new_vs_returning_daily",
 ]
 
 

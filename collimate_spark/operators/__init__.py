@@ -219,6 +219,8 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "lang_id_confusion",
     "corpus_pipeline_funnel",
     "bootstrap_mean_ci",
+    "concurrent_sessions_timeline",
+    "new_vs_returning_daily",
 )
 
 

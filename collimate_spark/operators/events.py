@@ -969,6 +969,122 @@ ORDER BY report_day
 
 
 # ---------------------------------------------------------------------------
+# Sweep-line interval concurrency (max concurrent sessions per day)
+
+
+def concurrent_sessions_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day, where each event opens a 30-minute
+    session interval [ts, ts+30m): the sweep-line rewrite — every
+    interval becomes a +1 boundary at its start and a −1 at its end, and
+    concurrency at any boundary is the running sum of deltas in time
+    order (ends sort before starts at the same instant: half-open
+    intervals hand off, not overlap).
+
+    Scale: a GLOBAL running sum is the classic single-partition trap;
+    this plan is two-level — within-day prefix sums partitioned by day
+    (bounded by a day's volume), plus a carry-in per day from the
+    calendar-sized per-day delta totals (one tiny window). carry + local
+    prefix ≡ the global prefix, same identity as distributed scan-sum.
+    The oracle mirrors the identical two-level construction."""
+    ev = load_table(spark, "events", sf_dir)
+    starts = ev.select(F.col("ts"), F.lit(1).alias("d"))
+    ends = ev.select(F.expr("timestampadd(MINUTE, 30, ts)").alias("ts"), F.lit(-1).alias("d"))
+    b = starts.unionByName(ends).withColumn("day", F.col("ts").cast("date"))
+    daily = b.groupBy("day").agg(F.sum("d").alias("day_delta"))
+    wd = Window.orderBy("day")
+    carry = daily.withColumn(
+        "carry_in",
+        F.coalesce(
+            F.sum("day_delta").over(wd.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ),
+    ).select("day", "carry_in")
+    wrun = Window.partitionBy("day").orderBy("ts", "d")  # default RANGE frame: ties share
+    run = b.withColumn("local_run", F.sum("d").over(wrun))
+    return (
+        run.join(F.broadcast(carry), "day")
+        .withColumn("conc", F.col("carry_in") + F.col("local_run"))
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("d") == 1).cast("int")).alias("n_sessions"),
+            F.max("conc").alias("max_concurrent"),
+        )
+        .orderBy("day")
+    )
+
+
+CONCURRENCY_SQL = """
+WITH b AS (
+  SELECT ts, 1 AS d, CAST(ts AS DATE) AS day FROM events
+  UNION ALL
+  SELECT ts + INTERVAL 30 MINUTE, -1, CAST(ts + INTERVAL 30 MINUTE AS DATE) FROM events
+), daily AS (
+  SELECT day, SUM(d) AS day_delta FROM b GROUP BY day
+), carry AS (
+  SELECT day,
+         COALESCE(SUM(day_delta) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry_in
+  FROM daily
+), run AS (
+  SELECT b.day, b.d,
+         c.carry_in + SUM(b.d) OVER (PARTITION BY b.day ORDER BY b.ts, b.d) AS conc
+  FROM b JOIN carry c USING (day)
+)
+SELECT day,
+       CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(MAX(conc) AS BIGINT) AS max_concurrent
+FROM run
+GROUP BY day
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# New-vs-returning daily decomposition
+
+
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users decomposed into first-ever-seen vs returning —
+    the growth-accounting report: per day, active users, how many were
+    new that day (their global first event), and the returning
+    remainder. A user's first day comes from one groupBy(user_id) min;
+    the decomposition is a broadcast join of that dimension back onto
+    the per-(day, user) activity grid.
+
+    Scale: two fact-sized aggregations (first-seen per user, distinct
+    user-days) sharing the user-key shuffle, then dimension-sized work;
+    no windows over facts."""
+    ev = load_table(spark, "events", sf_dir)
+    user_days = ev.select(F.col("user_id"), F.col("ts").cast("date").alias("day")).distinct()
+    first_day = user_days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        user_days.join(F.broadcast(first_day), "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum((F.col("day") == F.col("first_day")).cast("int")).alias("new_users"),
+            F.sum((F.col("day") != F.col("first_day")).cast("int")).alias("returning_users"),
+        )
+        .orderBy("day")
+    )
+
+
+NEW_RETURNING_SQL = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), first_day AS (
+  SELECT user_id, MIN(day) AS first_day FROM user_days GROUP BY user_id
+)
+SELECT day,
+       COUNT(*) AS active_users,
+       CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+FROM user_days JOIN first_day USING (user_id)
+GROUP BY day
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
 # Longest activity streak (gaps-and-islands on the day grid)
 
 
@@ -1129,9 +1245,13 @@ QUERIES = {
     "session_window_dynamic_gap": session_window_dynamic_gap,
     "attribution_multitouch": attribution_multitouch,
     "longest_daily_streak": longest_daily_streak,
+    "concurrent_sessions_timeline": concurrent_sessions_timeline,
+    "new_vs_returning_daily": new_vs_returning_daily,
 }
 
 ORACLES = {
+    "concurrent_sessions_timeline": CONCURRENCY_SQL,
+    "new_vs_returning_daily": NEW_RETURNING_SQL,
     "attribution_multitouch": ATTRIBUTION_SQL,
     "longest_daily_streak": LONGEST_STREAK_SQL,
     "ohlc_bars": OHLC_SQL,

@@ -140,3 +140,79 @@ def test_fifo_allocation_conserves_stock(spark, sf_dir):
         assert r.units_allocated <= _FIFO_STOCK + 1e-6
         assert r.n_filled + r.n_short + r.n_refused == r.n_lines
         assert r.n_short <= 1, "FIFO with one lot can split at most one line"
+
+
+def test_kaplan_meier_crafted_curve(spark):
+    """Hand-computed KM curve on crafted lifetimes, covering the edge
+    the real data may miss: censored-only durations, where the risk set
+    shrinks but the survival curve must stay flat. Corpus max = day 40,
+    so churn cutoff is last-event < day 33: durations 10, 10, 20 are
+    churn events; 35 and 40 are right-censored."""
+    import datetime as dt
+    import math
+    import os
+    import tempfile
+
+    from collimate_spark.operators.stats import kaplan_meier_retention
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def user(uid, first_day, last_day):
+        nonlocal eid
+        for d in (first_day, last_day):
+            rows.append((eid, base + dt.timedelta(days=d), uid, "view", 1.0, "{}"))
+            eid += 1
+
+    # corpus max = day 40 (user 9); churn cutoff: last < day 33
+    user(1, 0, 10)   # churned, duration 10
+    user(2, 0, 10)   # churned, duration 10
+    user(3, 0, 20)   # churned, duration 20
+    user(4, 0, 35)   # censored, duration 35
+    user(5, 0, 40)   # censored, duration 40
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp_ntz, user_id: long, "
+        "event_type: string, value: double, props: string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+
+    got = {r.duration_days: r for r in kaplan_meier_retention(spark, d).collect()}
+    # t=10: n_risk=5, d=2 -> S=0.6; t=20: n_risk=3, d=1 -> S=0.4
+    # t=35: n_risk=2, c=1 -> S flat 0.4; t=40: n_risk=1, c=1 -> flat
+    assert got[10].n_risk == 5 and got[10].n_events == 2
+    assert math.isclose(got[10].survival, 0.6)
+    assert got[20].n_risk == 3 and got[20].n_events == 1
+    assert math.isclose(got[20].survival, 0.4)
+    assert got[35].n_events == 0 and got[35].n_censored == 1
+    assert math.isclose(got[35].survival, 0.4)  # censoring never drops S
+    assert math.isclose(got[40].survival, 0.4)
+
+
+def test_kaplan_meier_terminal_death_hits_zero(spark):
+    """When the largest duration's subjects all churn, 1 - d/n = 0 and
+    the survival curve must end at exactly 0.0 (the LN(0) guard)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from collimate_spark.operators.stats import kaplan_meier_retention
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid, dur in ((1, 5), (2, 10)):
+        rows.append((uid * 10, base, uid, "view", 1.0, "{}"))
+        rows.append((uid * 10 + 1, base + dt.timedelta(days=dur), uid, "view", 1.0, "{}"))
+    # corpus max must exceed both lasts by >7d so both are churn events
+    rows.append((99, base + dt.timedelta(days=30), 3, "view", 1.0, "{}"))
+    rows.append((100, base + dt.timedelta(days=30), 3, "view", 1.0, "{}"))
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp_ntz, user_id: long, "
+        "event_type: string, value: double, props: string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+
+    curve = {r.duration_days: r.survival for r in kaplan_meier_retention(spark, d).collect()}
+    # durations: 5 (churn), 10 (churn), 0 (user 3, censored at corpus max)
+    assert curve[10] == 0.0

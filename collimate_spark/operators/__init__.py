@@ -113,10 +113,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # udtf_parse_props, grouped_arrow_profile, sliding_distinct_users,
 # join_null_safe, set_ops_all, quantile_sketch_value, price_histogram,
 # k_anonymity_report, table_profile_lineitem, benford_first_digit,
-# pareto_revenue_share, multimodal_video_features), then (2) the older
-# r3 second-wave block; anything still unrotated after round 4 queues for
-# round 5 — every entry stays covered by the sf0.001+sf0.01 parity suite
-# meanwhile.
+# pareto_revenue_share, multimodal_video_features) plus the post-closing
+# continuation waves (bloom_prefilter_join, geo_radius_join_grid,
+# join_skew_diagnostics, kaplan_meier_retention, bootstrap_mean_ci,
+# corpus_pipeline_funnel, attribution_multitouch, zorder_cluster_stats,
+# fifo_allocation, train_val_test_split, bpe_merge_candidates,
+# lang_id_confusion, gdpr_erasure_audit, concurrent_sessions_timeline),
+# then (2) the older r3 second-wave block; anything still unrotated after
+# round 4 queues for round 5 — every entry stays covered by the
+# sf0.001+sf0.01 parity suite meanwhile.
 ROTATION_CANDIDATES: tuple[str, ...] = (
     "salted_join_hot_key",
     "asof_join_forward",

@@ -171,6 +171,7 @@ EXTRA_QUERIES = [
     "bootstrap_mean_ci",
     "concurrent_sessions_timeline",
     "new_vs_returning_daily",
+    "mutual_information_value",
 ]
 
 

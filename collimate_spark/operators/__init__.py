@@ -226,6 +226,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "bootstrap_mean_ci",
     "concurrent_sessions_timeline",
     "new_vs_returning_daily",
+    "mutual_information_value",
 )
 
 

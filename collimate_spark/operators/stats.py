@@ -790,6 +790,88 @@ ORDER BY d.event_type
 
 
 # ---------------------------------------------------------------------------
+# Mutual information (feature-relevance ranking)
+
+
+def mutual_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much does knowing the event_type tell you about the value?
+    Mutual information I(type; value-quartile) in nats, reported as
+    per-type contributions Σ_b p(t,b)·ln(p(t,b)/(p(t)p(b))) — the
+    feature-relevance score that catches nonlinear dependence
+    ``corr`` misses (and the chi-squared test only thresholds).
+
+    Scale: global quartile edges are ONE tiny aggregate broadcast back;
+    the contingency table is a (types × 4) groupBy; every probability is
+    a window over that ≤ 20-cell grid. Same single-fact-pass shape as
+    ``chi2_event_value``, different functional."""
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    edges = ev.agg(
+        F.expr("percentile(value, array(0.25D, 0.5D, 0.75D))").alias("e")
+    ).select(
+        F.element_at("e", 1).alias("q1"),
+        F.element_at("e", 2).alias("q2"),
+        F.element_at("e", 3).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("value") <= F.col("q1"), 0)
+        .when(F.col("value") <= F.col("q2"), 1)
+        .when(F.col("value") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(edges))
+        .groupBy("event_type", bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    wb = Window.partitionBy("b")
+    wall = Window.partitionBy()
+    n_all = F.sum("n").over(wall)
+    p_tb = F.col("n") / n_all
+    p_t = F.sum("n").over(wt) / n_all
+    p_b = F.sum("n").over(wb) / n_all
+    contrib = p_tb * F.log(p_tb / (p_t * p_b))
+    return (
+        cells.withColumn("contrib", contrib)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("contrib"), 6).alias("mi_contrib_nats"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MUTUAL_INFORMATION_SQL = """
+WITH edges AS (
+  SELECT quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.5) AS q2,
+         quantile_cont(value, 0.75) AS q3
+  FROM events
+), cells AS (
+  SELECT event_type,
+         CASE WHEN value <= q1 THEN 0 WHEN value <= q2 THEN 1
+              WHEN value <= q3 THEN 2 ELSE 3 END AS b,
+         COUNT(*) AS n
+  FROM events, edges
+  GROUP BY 1, 2
+), probs AS (
+  SELECT event_type, n,
+         n * 1.0 / SUM(n) OVER () AS p_tb,
+         SUM(n) OVER (PARTITION BY event_type) * 1.0 / SUM(n) OVER () AS p_t,
+         SUM(n) OVER (PARTITION BY b) * 1.0 / SUM(n) OVER () AS p_b
+  FROM cells
+)
+SELECT event_type,
+       CAST(SUM(n) AS BIGINT) AS n,
+       ROUND(SUM(p_tb * LN(p_tb / (p_t * p_b))), 6) AS mi_contrib_nats
+FROM probs
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Poisson bootstrap confidence intervals (the map-reduce bootstrap)
 
 _BOOT_B = 50  # bootstrap replicates
@@ -944,6 +1026,7 @@ QUERIES = {
     "mad_outliers": mad_outliers,
     "approx_percentile_error": approx_percentile_error,
     "bootstrap_mean_ci": bootstrap_mean_ci,
+    "mutual_information_value": mutual_information_value,
 }
 
 ORACLES = {
@@ -957,4 +1040,5 @@ ORACLES = {
     "ab_test_welch": AB_TEST_WELCH_SQL,
     "mad_outliers": MAD_OUTLIERS_SQL,
     "bootstrap_mean_ci": _bootstrap_sql(),
+    "mutual_information_value": MUTUAL_INFORMATION_SQL,
 }

@@ -875,16 +875,20 @@ ORDER BY event_type
 # Poisson bootstrap confidence intervals (the map-reduce bootstrap)
 
 _BOOT_B = 50  # bootstrap replicates
-# Poisson(1) CDF breakpoints as 8-hex md5-prefix thresholds: a row's
-# replicate weight is the inverse-CDF bucket of its hash-uniform — the
-# "Poisson bootstrap" trick that makes resampling embarrassingly parallel
-# (each row draws its own multiplicity; no resample materialization).
+# Poisson(1) CDF breakpoints as 4-hex thresholds: a row's replicate
+# weight is the inverse-CDF bucket of its hash-uniform — the "Poisson
+# bootstrap" trick that makes resampling embarrassingly parallel (each
+# row draws its own multiplicity; no resample materialization). One md5
+# per row yields EIGHT independent 16-bit uniforms (its 4-hex windows),
+# so 50 replicates cost ceil(50/8)=7 hashes per row, not 50 — the
+# ≤6e-5 CDF quantization from 16-bit uniforms is statistically inert.
 _POIS_CDF = (0.36787944, 0.73575888, 0.91969860, 0.98101184, 0.99634015, 0.99940582)
-_POIS_THR = tuple(format(int(p * 16**8), "08x") for p in _POIS_CDF)
+_POIS_THR = tuple(format(int(p * 16**4), "04x") for p in _POIS_CDF)
+_BOOT_HASHES = (_BOOT_B + 7) // 8
 
 
 def _boot_weight(h):
-    """Poisson(1) multiplicity from an 8-hex uniform, as a CASE chain of
+    """Poisson(1) multiplicity from a 4-hex uniform, as a CASE chain of
     string comparisons (identical in Spark and DuckDB — no hex→int)."""
     w = F.lit(len(_POIS_THR))
     for k in range(len(_POIS_THR) - 1, -1, -1):
@@ -907,18 +911,23 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine absorbs the width; the percentile runs over B
     values per group. This is how you put error bars on any metric at
     100 TB without a second pass."""
-    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        "value",
+        *[
+            F.md5(
+                F.concat(F.col("event_id").cast("string"), F.lit(f"_{j}")).cast("binary")
+            ).alias(f"h{j}")
+            for j in range(_BOOT_HASHES)
+        ],
+    )
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("value"), 4).alias("mean_value"),
     ]
     for b in range(_BOOT_B):
-        h = F.substring(
-            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(f"_{b}")).cast("binary")),
-            1,
-            8,
-        )
-        w = _boot_weight(h).cast("double")
+        u = F.substring(F.col(f"h{b // 8}"), 4 * (b % 8) + 1, 4)
+        w = _boot_weight(u).cast("double")
         aggs.append(F.sum(w * F.col("value")).alias(f"s{b}"))
         aggs.append(F.sum(w).alias(f"w{b}"))
     wide = ev.groupBy("event_type").agg(*aggs)
@@ -940,22 +949,27 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bootstrap_sql() -> str:
     def w_case(b: int) -> str:
-        h = f"substring(md5(CAST(event_id AS VARCHAR) || '_{b}'), 1, 8)"
+        h = f"substring(h{b // 8}, {4 * (b % 8) + 1}, 4)"
         branches = " ".join(
             f"WHEN {h} < '{_POIS_THR[k]}' THEN {k}" for k in range(len(_POIS_THR))
         )
         return f"CAST(CASE {branches} ELSE {len(_POIS_THR)} END AS DOUBLE)"
 
+    hashes = ", ".join(
+        f"md5(CAST(event_id AS VARCHAR) || '_{j}') AS h{j}" for j in range(_BOOT_HASHES)
+    )
     cols = ",\n         ".join(
         f"SUM({w_case(b)} * value) AS s{b}, SUM({w_case(b)}) AS w{b}"
         for b in range(_BOOT_B)
     )
     means = ", ".join(f"(s{b} / w{b})" for b in range(_BOOT_B))
     return f"""
-WITH wide AS (
+WITH base AS (
+  SELECT event_type, value, {hashes} FROM events
+), wide AS (
   SELECT event_type, COUNT(*) AS n, ROUND(AVG(value), 4) AS mean_value,
          {cols}
-  FROM events GROUP BY event_type
+  FROM base GROUP BY event_type
 ), reps AS (
   SELECT event_type, n, mean_value, unnest([{means}]) AS m FROM wide
 )

@@ -172,6 +172,8 @@ EXTRA_QUERIES = [
     "concurrent_sessions_timeline",
     "new_vs_returning_daily",
     "mutual_information_value",
+    "dedup_containment",
+    "block_dedup_stats",
 ]
 
 

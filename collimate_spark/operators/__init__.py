@@ -227,6 +227,8 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "concurrent_sessions_timeline",
     "new_vs_returning_daily",
     "mutual_information_value",
+    "dedup_containment",
+    "block_dedup_stats",
 )
 
 

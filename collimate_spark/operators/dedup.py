@@ -702,6 +702,140 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Asymmetric containment (quotation / boilerplate-inclusion detection)
+
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection Jaccard can't see: containment
+    C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| flags a SMALL
+    document quoted inside a large one (tiny Jaccard, high containment)
+    — the boilerplate/quotation case real corpus dedup must catch.
+    Emits ordered (src, dst) pairs with C ≥ 0.6, both directions
+    independently.
+
+    Scale: identical candidate generation to the exact-Jaccard path
+    (shared-shingle equi-join — pairs bounded by co-occurrence, not n²);
+    only the verification functional changes, normalizing by the SOURCE
+    set alone. At 100 TB swap candidates to the LSH banding path
+    unchanged."""
+    shingled = _shingle_sets(spark, sf_dir)
+    exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    pairs = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+    a = shingled.select(F.col("doc_id").alias("src"), F.col("shingles").alias("sh_a"))
+    b = shingled.select(F.col("doc_id").alias("dst"), F.col("shingles").alias("sh_b"))
+    contain = F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a")
+    return (
+        pairs.join(a, "src")
+        .join(b, "dst")
+        .withColumn("c_raw", contain)
+        .filter(F.col("c_raw") >= CONTAINMENT_THRESHOLD)
+        .select("src", "dst", F.round("c_raw", 4).alias("containment"))
+        .orderBy("src", "dst")
+    )
+
+
+CONTAINMENT_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+            range(1, greatest(len(toks) - 1, 1)),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM d WHERE len(toks) >= 3
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src, dst, ROUND(i * 1.0 / sa.n, 4) AS containment
+FROM inter
+JOIN sz sa ON src = sa.doc_id
+WHERE i * 1.0 / sa.n >= {CONTAINMENT_THRESHOLD}
+ORDER BY src, dst
+"""
+
+
+# ---------------------------------------------------------------------------
+# Block-level (pseudo-paragraph) duplication audit
+
+_BLOCK_WORDS = 16
+
+
+def block_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fine-grained dedup signal at the sub-document grain production
+    pipelines actually scrub: split every document into consecutive
+    16-word blocks (the pseudo-paragraph unit here — real corpora split
+    on newlines) and report, per document, how many of its blocks also
+    appear verbatim in at least one OTHER document. High dup_fraction
+    with low whole-doc similarity = templated/boilerplate content.
+
+    Scale: block generation is a row-local HOF flatMap; the only
+    shuffles are the block-frequency groupBy (vocabulary-of-blocks
+    sized) and the per-doc re-aggregation. Blocks could travel as
+    64-bit hashes exactly like shingles at 100 TB."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = "split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')"
+    blocks_expr = (
+        f"transform(sequence(0, CAST(ceil(size({toks}) / {_BLOCK_WORDS}.0) AS INT) - 1), "
+        f"i -> array_join(slice({toks}, i * {_BLOCK_WORDS} + 1, {_BLOCK_WORDS}), ' '))"
+    )
+    blocks = docs.selectExpr("doc_id", f"posexplode({blocks_expr}) AS (pos, block)")
+    freq = blocks.groupBy("block").agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        blocks.join(freq, "block")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum((F.col("n_docs") >= 2).cast("int")).alias("n_dup_blocks"),
+            F.round(
+                F.sum((F.col("n_docs") >= 2).cast("int")) / F.count(F.lit(1)), 4
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BLOCK_DEDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, CAST(ceil(len(toks) / {_BLOCK_WORDS}.0) AS INT)),
+           i -> array_to_string(toks[i * {_BLOCK_WORDS} + 1 : (i + 1) * {_BLOCK_WORDS}], ' ')))
+           AS block
+  FROM d
+),
+freq AS (
+  SELECT block, COUNT(DISTINCT doc_id) AS n_docs FROM blocks GROUP BY block
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_blocks,
+       CAST(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+       ROUND(SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+         AS dup_fraction
+FROM blocks b JOIN freq f USING (block)
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "set_overlap_join_prefix": set_overlap_join_prefix,
@@ -712,9 +846,13 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_connected_components": dedup_connected_components,
     "dedup_survivor_best_quality": dedup_survivor_best_quality,
+    "dedup_containment": dedup_containment,
+    "block_dedup_stats": block_dedup_stats,
 }
 
 ORACLES = {
+    "dedup_containment": CONTAINMENT_SQL,
+    "block_dedup_stats": BLOCK_DEDUP_SQL,
     "set_overlap_join_prefix": SET_OVERLAP_SQL,
     "dedup_connected_components": CC_SQL,
     "dedup_survivor_best_quality": SURVIVOR_QUALITY_SQL,

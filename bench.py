@@ -174,6 +174,7 @@ EXTRA_QUERIES = [
     "mutual_information_value",
     "dedup_containment",
     "block_dedup_stats",
+    "hll_intersection_users",
 ]
 
 

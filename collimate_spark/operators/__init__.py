@@ -229,6 +229,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "mutual_information_value",
     "dedup_containment",
     "block_dedup_stats",
+    "hll_intersection_users",  # rows-only
 )
 
 

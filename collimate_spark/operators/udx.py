@@ -593,9 +593,52 @@ def hll_native_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA: |clickers ∩ purchasers| estimated from HLL
+    sketches alone via inclusion-exclusion (est_a + est_b − est_union) —
+    the audience-overlap query you answer at 100 TB from two kilobytes
+    of pre-aggregated sketch state, no re-scan, no distinct join. The
+    exact intersection rides the same single pass as a COUNT DISTINCT
+    audit column so the estimate's error is visible in the result.
+
+    Caveat encoded here on purpose: HLL supports union natively;
+    intersection is DERIVED, and its error grows as the overlap shrinks
+    relative to the union (tests assert the bound for this overlap
+    regime). Rows-only (sketch estimates are seed-specific)."""
+    ev = load_table(spark, "events", sf_dir)
+    ev.createOrReplaceTempView("events_hll_v")
+    return spark.sql(
+        """
+        WITH sk AS (
+          SELECT hll_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END) AS sk_a,
+                 hll_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END) AS sk_b,
+                 hll_sketch_agg(CASE WHEN event_type IN ('click', 'purchase')
+                                     THEN user_id END) AS sk_u,
+                 COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS exact_a,
+                 COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS exact_b
+          FROM events_hll_v
+        ), est AS (
+          SELECT CAST(hll_sketch_estimate(sk_a) AS BIGINT) AS est_clickers,
+                 CAST(hll_sketch_estimate(sk_b) AS BIGINT) AS est_purchasers,
+                 CAST(hll_sketch_estimate(sk_u) AS BIGINT) AS est_union,
+                 exact_a, exact_b
+          FROM sk
+        )
+        SELECT est_clickers, est_purchasers, est_union,
+               est_clickers + est_purchasers - est_union AS est_intersection,
+               exact_a + exact_b - (
+                 SELECT COUNT(DISTINCT user_id) FROM events_hll_v
+                 WHERE event_type IN ('click', 'purchase')
+               ) AS exact_intersection
+        FROM est
+        """
+    )
+
+
 QUERIES = {
     "pandas_udf_scalar": pandas_udf_scalar,
     "udtf_tokenize": udtf_tokenize,
+    "hll_intersection_users": hll_intersection_users,
     "udtf_parse_props": udtf_parse_props,
     "grouped_agg_gini": grouped_agg_gini,
     "xml_roundtrip_stats": xml_roundtrip_stats,

@@ -102,3 +102,17 @@ def test_approx_percentile_rank_error_bound(spark, sf_dir):
             assert i - tol_rank - 1 <= target <= j + tol_rank, (
                 f"{et} {col} rank window [{i},{j}] vs target {target}"
             )
+
+
+def test_hll_intersection_error_bound(spark, sf_dir):
+    """Derived HLL intersection (inclusion-exclusion) must land within a
+    union-scaled error envelope of the exact overlap: each of the three
+    estimates carries ~1.6% HLL error at default lgK, so the derived
+    intersection's absolute error is bounded by ~3 × 2% of the UNION
+    size (generous envelope; the point is it scales with |A∪B|, not
+    |A∩B|)."""
+    from collimate_spark.operators.udx import hll_intersection_users
+
+    r = hll_intersection_users(spark, sf_dir).collect()[0]
+    envelope = 3 * 0.02 * max(r.est_union, 1) + 1
+    assert abs(r.est_intersection - r.exact_intersection) <= envelope, r

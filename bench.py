@@ -245,9 +245,12 @@ def main() -> None:
     results: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in bench_set:
+        # 3 runs for the r1-comparable headline set (host-noise robustness:
+        # min-of-3 discards a neighbor burst), 2 for the wide extras.
+        n_runs = 3 if name in BENCH_QUERIES else 2
         try:
             times = []
-            for _ in range(2):
+            for _ in range(n_runs):
                 df = queries[name](spark, SF_DIR)
                 t0 = time.time()
                 df.write.format("noop").mode("overwrite").save()

@@ -175,6 +175,7 @@ EXTRA_QUERIES = [
     "dedup_containment",
     "block_dedup_stats",
     "hll_intersection_users",
+    "order_total_reconciliation",
 ]
 
 

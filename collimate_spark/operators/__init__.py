@@ -230,6 +230,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "dedup_containment",
     "block_dedup_stats",
     "hll_intersection_users",  # rows-only
+    "order_total_reconciliation",
 )
 
 

@@ -549,6 +549,73 @@ REFERENTIAL_INTEGRITY_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# Cross-fact reconciliation (header totals vs detail sums)
+
+
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The financial-close audit: does each order header's
+    ``o_totalprice`` reconcile with the sum of its line items
+    (extendedprice·(1−discount)·(1+tax))? Emits a relative-difference
+    histogram — exact-match / <1% / <5% / ≥5% / detail-missing — plus
+    each bucket's order count and total header value at stake. On books
+    that close, everything lands in the first bucket; the synthetic
+    testdata deliberately doesn't, which is exactly what the report is
+    for.
+
+    Scale: ONE fact-fact shuffle join on the order key (both sides
+    pre-aggregated or keyed on it), then a 5-row conditional aggregate.
+    This is the reconciliation shape for any header/detail pair —
+    invoices/payments, shipments/manifests, ledger/subledger."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    li = load_table(spark, "lineitem", sf_dir)
+    detail = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("detail_total")
+    )
+    j = orders.join(detail, orders.o_orderkey == detail.l_orderkey, "left")
+    rel = F.abs(F.col("detail_total") - F.col("o_totalprice")) / F.col("o_totalprice")
+    bucket = (
+        F.when(F.col("detail_total").isNull(), "4_detail_missing")
+        .when(rel < 1e-9, "0_exact")
+        .when(rel < 0.01, "1_under_1pct")
+        .when(rel < 0.05, "2_under_5pct")
+        .otherwise("3_over_5pct")
+    )
+    return (
+        j.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("header_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORDER_RECONCILIATION_SQL = """
+WITH detail AS (
+  SELECT l_orderkey,
+         SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS detail_total
+  FROM lineitem GROUP BY l_orderkey
+), j AS (
+  SELECT o_totalprice, detail_total,
+         ABS(detail_total - o_totalprice) / o_totalprice AS rel
+  FROM orders LEFT JOIN detail ON o_orderkey = l_orderkey
+)
+SELECT CASE WHEN detail_total IS NULL THEN '4_detail_missing'
+            WHEN rel < 1e-9 THEN '0_exact'
+            WHEN rel < 0.01 THEN '1_under_1pct'
+            WHEN rel < 0.05 THEN '2_under_5pct'
+            ELSE '3_over_5pct' END AS bucket,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS header_value
+FROM j
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # Right-to-erasure cascade audit (GDPR delete scoping)
 
 
@@ -658,11 +725,13 @@ QUERIES = {
     "psi_price_drift": psi_price_drift,
     "referential_integrity_report": referential_integrity_report,
     "gdpr_erasure_audit": gdpr_erasure_audit,
+    "order_total_reconciliation": order_total_reconciliation,
 }
 
 ORACLES = {
     "referential_integrity_report": REFERENTIAL_INTEGRITY_SQL,
     "gdpr_erasure_audit": GDPR_ERASURE_SQL,
+    "order_total_reconciliation": ORDER_RECONCILIATION_SQL,
     "data_quality_report": DATA_QUALITY_SQL,
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
     "k_anonymity_report": K_ANONYMITY_SQL,

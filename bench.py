@@ -176,6 +176,7 @@ EXTRA_QUERIES = [
     "block_dedup_stats",
     "hll_intersection_users",
     "order_total_reconciliation",
+    "partition_advisor_orders",
 ]
 
 

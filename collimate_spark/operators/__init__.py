@@ -231,6 +231,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "block_dedup_stats",
     "hll_intersection_users",  # rows-only
     "order_total_reconciliation",
+    "partition_advisor_orders",
 )
 
 

@@ -446,6 +446,93 @@ ORDER BY z_segment
 
 
 # ---------------------------------------------------------------------------
+# Partition-layout advisor (prescriptive what-if over candidate keys)
+
+# (label, grouping SQL expr) — candidates a warehouse would consider for
+# write.partitionBy on orders
+_PART_CANDIDATES = (
+    ("month(o_orderdate)", "date_trunc('month', CAST(o_orderdate AS DATE))"),
+    ("o_orderpriority", "o_orderpriority"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_custkey", "o_custkey"),
+)
+_PART_MIN_AVG_ROWS = 1_000  # below this, files are too small
+_PART_MAX_PARTS = 10_000  # above this, metadata/listing cost dominates
+_PART_MAX_SKEW = 10.0  # max/avg beyond this needs sub-bucketing
+
+
+def partition_advisor_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What-if advisor for ``write.partitionBy`` on orders: for each
+    candidate key, the partition count, avg/max rows per partition, the
+    skew ratio, and a verdict — too_many_partitions (listing/metadata
+    cost dominates), partitions_too_small (small-file problem),
+    skewed (needs sub-bucketing/salting), or ok. The prescriptive twin
+    of ``table_profile``/`join_skew_diagnostics`: it answers the layout
+    question before any data is rewritten.
+
+    Scale: one groupBy per candidate (each a single shuffle of partial
+    counts), folded to one row each — the advisor costs seconds per
+    candidate at any table size because only per-key COUNTS move. The
+    thresholds are the knobs a real lakehouse advisor exposes."""
+    orders = load_table(spark, "orders", sf_dir)
+    orders.createOrReplaceTempView("orders_advisor_v")
+    reports = []
+    for label, expr in _PART_CANDIDATES:
+        per_key = spark.sql(
+            f"SELECT {expr} AS k, COUNT(*) AS n FROM orders_advisor_v GROUP BY 1"
+        )
+        agg = per_key.agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum("n").alias("total_rows"),
+            F.round(F.avg("n"), 2).alias("avg_rows"),
+            F.max("n").alias("max_rows"),
+            F.round(F.max("n") / F.avg("n"), 2).alias("skew_ratio"),
+        )
+        verdict = (
+            F.when(F.col("n_partitions") > _PART_MAX_PARTS, "too_many_partitions")
+            .when(F.col("avg_rows") < _PART_MIN_AVG_ROWS, "partitions_too_small")
+            .when(F.col("skew_ratio") > _PART_MAX_SKEW, "skewed")
+            .otherwise("ok")
+        )
+        reports.append(
+            agg.select(
+                F.lit(label).alias("candidate"),
+                "n_partitions",
+                "total_rows",
+                "avg_rows",
+                "max_rows",
+                verdict.alias("verdict"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("candidate")
+
+
+_PART_ADVISOR_CASE = f"""
+CASE WHEN n_partitions > {_PART_MAX_PARTS} THEN 'too_many_partitions'
+     WHEN avg_rows < {_PART_MIN_AVG_ROWS} THEN 'partitions_too_small'
+     WHEN skew_ratio > {_PART_MAX_SKEW} THEN 'skewed'
+     ELSE 'ok' END"""
+
+PARTITION_ADVISOR_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT '{label}' AS candidate, n_partitions, total_rows, avg_rows, max_rows,
+       {_PART_ADVISOR_CASE} AS verdict
+FROM (
+  SELECT COUNT(*) AS n_partitions,
+         CAST(SUM(n) AS BIGINT) AS total_rows,
+         ROUND(AVG(n), 2) AS avg_rows,
+         MAX(n) AS max_rows,
+         ROUND(MAX(n) * 1.0 / AVG(n), 2) AS skew_ratio
+  FROM (SELECT {expr} AS k, COUNT(*) AS n FROM orders GROUP BY 1)
+)"""
+    for label, expr in _PART_CANDIDATES
+) + "\nORDER BY candidate"
+
+
+# ---------------------------------------------------------------------------
 # FIFO ledger allocation (inventory matching via the prefix-sum closed form)
 
 _FIFO_STOCK = 500.0  # opening stock per part
@@ -527,11 +614,13 @@ QUERIES = {
     "pit_join_scd2": pit_join_scd2,
     "zorder_cluster_stats": zorder_cluster_stats,
     "fifo_allocation": fifo_allocation,
+    "partition_advisor_orders": partition_advisor_orders,
 }
 
 ORACLES = {
     "zorder_cluster_stats": ZORDER_STATS_SQL,
     "fifo_allocation": FIFO_ALLOCATION_SQL,
+    "partition_advisor_orders": PARTITION_ADVISOR_SQL,
     "scd2_user_segments": SCD2_SQL,
     "merge_upsert_orders": MERGE_UPSERT_SQL,
     "winsorize_stats": WINSORIZE_SQL,

@@ -177,6 +177,7 @@ EXTRA_QUERIES = [
     "hll_intersection_users",
     "order_total_reconciliation",
     "partition_advisor_orders",
+    "encoding_advisor_lineitem",
 ]
 
 

@@ -232,6 +232,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "hll_intersection_users",  # rows-only
     "order_total_reconciliation",
     "partition_advisor_orders",
+    "encoding_advisor_lineitem",
 )
 
 

@@ -533,6 +533,147 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Column-encoding advisor (the prescriptive twin of the reference's
+# dictionary/code-width selection — /root/reference/index.js k8/k16 rule)
+
+# integer-valued lineitem columns the advisor scores (extendedprice as
+# exact cents so delta-width math is integral)
+_ENC_COLS = (
+    ("l_orderkey", "l_orderkey"),
+    ("l_partkey", "l_partkey"),
+    ("l_suppkey", "l_suppkey"),
+    ("l_linenumber", "CAST(l_linenumber AS BIGINT)"),
+    ("l_extendedprice_cents", "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"),
+)
+_ENC_BLOCK = 4096  # run/delta stats computed within orderkey-blocks
+_ENC_DICT_RATIO = 0.01  # distinct/n below this → dictionary
+_ENC_RLE_RUN = 2.0  # avg run length at/above this → run-length
+_ENC_DELTA_BITS = 16  # p95 |adjacent delta| fits → delta encoding
+
+
+def encoding_advisor_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick a physical encoding per column the way the reference picks
+    dictionary code widths (index.js's k8/k16 rule), but from measured
+    statistics: distinct ratio (→ dictionary), average run length in
+    storage order (→ RLE), and the bit width of the 95th-percentile
+    adjacent delta (→ delta encoding), else plain. On this schema the
+    four recommendations all fire: orderkey runs (RLE), suppkey /
+    linenumber low cardinality (dict), partkey narrow deltas (delta),
+    extendedprice cents (plain) — the advisor's output is the encoding
+    column of a real columnar writer's manifest.
+
+    Scale: ONE pass computes every column's lag/run/delta flags inside
+    windows partitioned by 4096-row orderkey BLOCKS (block-local runs
+    differ from global runs by at most one per block — deterministic,
+    and the window never needs a global sort), plus one wide aggregate
+    with per-column exact distinct counts. Stacked long at the end."""
+    li = load_table(spark, "lineitem", sf_dir)
+    cols = {name: F.expr(sql) for name, sql in _ENC_COLS}
+    base = li.select(
+        F.expr(f"l_orderkey DIV {_ENC_BLOCK}").alias("blk"),
+        F.col("l_orderkey").alias("ord_key"),
+        F.col("l_linenumber").alias("ord_line"),
+        *[c.alias(f"v_{n}") for n, c in cols.items()],
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in the testdata; append
+    # every value column so the storage order is total and run counts
+    # are deterministic on both engines
+    w = Window.partitionBy("blk").orderBy(
+        "ord_key", "ord_line", *[f"v_{n}" for n, _ in _ENC_COLS]
+    )
+    flagged = base
+    for n, _ in _ENC_COLS:
+        prev = F.lag(f"v_{n}").over(w)
+        flagged = flagged.withColumn(
+            f"chg_{n}", (prev.isNull() | (F.col(f"v_{n}") != prev)).cast("long")
+        ).withColumn(f"ad_{n}", F.abs(F.col(f"v_{n}") - prev))
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for n, _ in _ENC_COLS:
+        aggs += [
+            F.countDistinct(f"v_{n}").alias(f"nd_{n}"),
+            F.sum(f"chg_{n}").alias(f"runs_{n}"),
+            F.expr(f"percentile(ad_{n}, 0.95D)").alias(f"d95_{n}"),
+        ]
+    wide = flagged.agg(*aggs)
+    stacked = wide.selectExpr(
+        "n_rows",
+        "stack({}, {}) AS (col_name, n_distinct, n_runs, d95)".format(
+            len(_ENC_COLS),
+            ", ".join(f"'{n}', nd_{n}, runs_{n}, d95_{n}" for n, _ in _ENC_COLS),
+        ),
+    )
+    dr = F.col("n_distinct") / F.col("n_rows")
+    avg_run = F.col("n_rows") / F.col("n_runs")
+    bits = F.when(F.col("d95") < 1, F.lit(0)).otherwise(
+        F.floor(F.log2(F.col("d95"))) + 1
+    )
+    rec = (
+        F.when(dr < _ENC_DICT_RATIO, "dictionary")
+        .when(avg_run >= _ENC_RLE_RUN, "rle")
+        .when(bits <= _ENC_DELTA_BITS, "delta")
+        .otherwise("plain")
+    )
+    return (
+        stacked.select(
+            "col_name",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "n_distinct",
+            F.round(dr, 6).alias("distinct_ratio"),
+            F.round(avg_run, 4).alias("avg_run_len"),
+            bits.cast("long").alias("delta_p95_bits"),
+            rec.alias("encoding"),
+        )
+        .orderBy("col_name")
+    )
+
+
+def _encoding_advisor_sql() -> str:
+    lag_cols = ",\n         ".join(
+        f"CASE WHEN LAG({sql}) OVER w IS NULL OR {sql} <> LAG({sql}) OVER w "
+        f"THEN 1 ELSE 0 END AS chg_{n},\n         "
+        f"ABS({sql} - LAG({sql}) OVER w) AS ad_{n}"
+        for n, sql in _ENC_COLS
+    )
+    agg_cols = ",\n         ".join(
+        f"COUNT(DISTINCT {sql}) AS nd_{n}, CAST(SUM(chg_{n}) AS BIGINT) AS runs_{n}, "
+        f"quantile_cont(ad_{n}, 0.95) AS d95_{n}"
+        for n, sql in _ENC_COLS
+    )
+    stack_rows = "\n  UNION ALL ".join(
+        f"SELECT n_rows, '{n}' AS col_name, nd_{n} AS n_distinct, runs_{n} AS n_runs, "
+        f"d95_{n} AS d95 FROM wide"
+        for n, _ in _ENC_COLS
+    )
+    order_cols = ", ".join(sql for _, sql in _ENC_COLS)
+    return f"""
+WITH flagged AS (
+  SELECT l_orderkey // {_ENC_BLOCK} AS blk, *,
+         {lag_cols}
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_orderkey // {_ENC_BLOCK}
+               ORDER BY l_orderkey, l_linenumber,
+                        {order_cols})
+), wide AS (
+  SELECT COUNT(*) AS n_rows, {agg_cols} FROM flagged
+), stacked AS (
+  {stack_rows}
+)
+SELECT col_name, n_rows, n_distinct,
+       ROUND(n_distinct * 1.0 / n_rows, 6) AS distinct_ratio,
+       ROUND(n_rows * 1.0 / n_runs, 4) AS avg_run_len,
+       CAST(CASE WHEN d95 < 1 THEN 0 ELSE FLOOR(LOG2(d95)) + 1 END AS BIGINT)
+         AS delta_p95_bits,
+       CASE WHEN n_distinct * 1.0 / n_rows < {_ENC_DICT_RATIO} THEN 'dictionary'
+            WHEN n_rows * 1.0 / n_runs >= {_ENC_RLE_RUN} THEN 'rle'
+            WHEN (CASE WHEN d95 < 1 THEN 0 ELSE FLOOR(LOG2(d95)) + 1 END)
+                 <= {_ENC_DELTA_BITS} THEN 'delta'
+            ELSE 'plain' END AS encoding
+FROM stacked
+ORDER BY col_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # FIFO ledger allocation (inventory matching via the prefix-sum closed form)
 
 _FIFO_STOCK = 500.0  # opening stock per part
@@ -615,12 +756,14 @@ QUERIES = {
     "zorder_cluster_stats": zorder_cluster_stats,
     "fifo_allocation": fifo_allocation,
     "partition_advisor_orders": partition_advisor_orders,
+    "encoding_advisor_lineitem": encoding_advisor_lineitem,
 }
 
 ORACLES = {
     "zorder_cluster_stats": ZORDER_STATS_SQL,
     "fifo_allocation": FIFO_ALLOCATION_SQL,
     "partition_advisor_orders": PARTITION_ADVISOR_SQL,
+    "encoding_advisor_lineitem": _encoding_advisor_sql(),
     "scd2_user_segments": SCD2_SQL,
     "merge_upsert_orders": MERGE_UPSERT_SQL,
     "winsorize_stats": WINSORIZE_SQL,

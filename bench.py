@@ -178,6 +178,7 @@ EXTRA_QUERIES = [
     "order_total_reconciliation",
     "partition_advisor_orders",
     "encoding_advisor_lineitem",
+    "multimodal_image_dhash_pairs",
 ]
 
 

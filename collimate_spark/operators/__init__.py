@@ -233,6 +233,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "order_total_reconciliation",
     "partition_advisor_orders",
     "encoding_advisor_lineitem",
+    "multimodal_image_dhash_pairs",  # rows-only
 )
 
 

@@ -214,6 +214,130 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Perceptual image dedup (difference hash)
+
+DHASH_BITS = (IMG_W - 1) * IMG_H  # 88 bits at native 12×8
+_DHASH_BANDS = 4  # pigeonhole: hamming ≤ 2·(bands−1)÷? — ≤ _DHASH_MAX_HAM
+_DHASH_MAX_HAM = 3  # ≤ bands−1 flips leave ≥1 band intact (pigeonhole)
+
+
+def synthesize_neardup_pngs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """PNGs where asset_id ≥ 100 re-renders asset_id−100's image with a
+    one-pixel, one-channel +1 perturbation — an exact-hash-breaking,
+    perceptually-invisible change. The pair (i, i+100) is the planted
+    near-duplicate ground truth."""
+    for pdf in batches:
+        rows = []
+        for asset_id in pdf["asset_id"]:
+            base = int(asset_id) % 100
+            r = np.arange(IMG_H).reshape(-1, 1, 1)
+            c = np.arange(IMG_W).reshape(1, -1, 1)
+            ch = np.arange(3).reshape(1, 1, -1)
+            px = ((base * 7 + r * 13 + c * 29 + ch * 101) % 256).astype(np.uint8)
+            if int(asset_id) >= 100:
+                px[0, 0, 0] = (int(px[0, 0, 0]) + 1) % 256
+            rows.append({"asset_id": asset_id, "payload": png.encode(px)})
+        yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+
+def dhash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Difference hash: decode → grayscale → each cell compares to its
+    right neighbor → 88 bits packed into two longs. Robust to small
+    pixel perturbations because only sign flips of adjacent differences
+    change bits — the property that makes it a perceptual (not
+    cryptographic) fingerprint."""
+    for pdf in batches:
+        rows = []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            arr = png.decode(bytes(payload)).astype(np.int32)
+            gray = arr.mean(axis=2)
+            bits = (gray[:, 1:] > gray[:, :-1]).astype(np.uint64).ravel()
+            h0 = int(sum(int(b) << i for i, b in enumerate(bits[:44])))
+            h1 = int(sum(int(b) << i for i, b in enumerate(bits[44:])))
+            rows.append({"asset_id": asset_id, "h0": h0, "h1": h1})
+        yield pd.DataFrame(rows, columns=["asset_id", "h0", "h1"])
+
+
+def multimodal_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image pairs by difference hash: real PNG
+    decode → 88-bit dHash (two longs) → BANDED candidate generation
+    (4 × 22-bit bands, equi-join per band — pigeonhole-complete for
+    hamming ≤ 3) → exact hamming verify via xor + bit_count, all JVM
+    after the hash kernel. The planted (i, i+100) one-pixel twins come
+    out with hamming ≈ 0-1; unrelated images sit near DHASH_BITS/2.
+
+    Scale: the LSH-for-hamming-space layout — band join cost tracks
+    collisions, never n²; the 2-long hash travels instead of pixels.
+    Rows-only (pixel synthesis is engine-specific); planted-pair recall
+    and separation margins are pinned in tests/test_multimodal.py."""
+    ids = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.col("doc_id").alias("asset_id"))
+        .filter(F.col("asset_id") < 200)
+    )
+    payloads = ids.mapInPandas(
+        synthesize_neardup_pngs,
+        T.StructType(
+            [
+                T.StructField("asset_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    hashes = payloads.mapInPandas(
+        dhash_kernel,
+        T.StructType(
+            [
+                T.StructField("asset_id", T.LongType()),
+                T.StructField("h0", T.LongType()),
+                T.StructField("h1", T.LongType()),
+            ]
+        ),
+    )
+    band_w = DHASH_BITS // _DHASH_BANDS  # 22
+    bands = hashes.select(
+        "asset_id",
+        "h0",
+        "h1",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(CASE WHEN {b} < 2 THEN h0 >> {b * band_w} "
+                            f"ELSE h1 >> {(b - 2) * band_w} END) & {(1 << band_w) - 1}"
+                        ).alias("bits"),
+                    )
+                    for b in range(_DHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("asset_id", "h0", "h1", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bits"])
+        .filter(F.col("a.asset_id") < F.col("b.asset_id"))
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.col("a.h0").alias("a0"),
+            F.col("a.h1").alias("a1"),
+            F.col("b.h0").alias("b0"),
+            F.col("b.h1").alias("b1"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("a0 ^ b0")) + F.bit_count(F.expr("a1 ^ b1"))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= _DHASH_MAX_HAM)
+        .select("asset_a", "asset_b", "hamming")
+        .orderBy("asset_a", "asset_b")
+    )
+
+
 AUDIO_RATE = 8000
 
 AUDIO_FEATURE_SCHEMA = T.StructType(
@@ -564,6 +688,7 @@ QUERIES = {
     "multimodal_video_features": multimodal_video_features,
     "multimodal_image_resize": multimodal_image_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_image_dhash_pairs": multimodal_image_dhash_pairs,
 }
 
 ORACLES = {

@@ -367,3 +367,35 @@ def test_frame_sample_counts_exact(spark, sf_dir):
         assert r.min_frames == min(exp)
         assert r.max_frames == max(exp)
         assert r.sum_frames == sum(exp)
+
+
+def test_dhash_planted_neardups_and_separation(spark, sf_dir):
+    """Every planted one-pixel twin (i, i+100) must surface with
+    hamming ≤ 1, and unrelated images must sit far away in hamming
+    space (median pairwise distance a large fraction of DHASH_BITS),
+    so the ≤3 threshold separates signal from background."""
+    import numpy as np
+    import pandas as pd
+
+    from collimate_spark.operators.multimodal import (
+        DHASH_BITS,
+        dhash_kernel,
+        multimodal_image_dhash_pairs,
+        synthesize_neardup_pngs,
+    )
+
+    rows = multimodal_image_dhash_pairs(spark, sf_dir).collect()
+    planted = {(r.asset_a, r.asset_b): r.hamming for r in rows if r.asset_b - r.asset_a == 100}
+    assert len(planted) == 100
+    assert all(h <= 1 for h in planted.values())
+
+    # background separation, measured directly through the same kernels
+    ids = pd.DataFrame({"asset_id": list(range(100))})
+    payloads = next(iter(synthesize_neardup_pngs(iter([ids]))))
+    hashes = next(iter(dhash_kernel(iter([payloads]))))
+    hs = [(int(h0), int(h1)) for h0, h1 in zip(hashes["h0"], hashes["h1"])]
+    dists = []
+    for i in range(0, 100, 7):
+        for j in range(i + 1, 100, 11):
+            dists.append(bin(hs[i][0] ^ hs[j][0]).count("1") + bin(hs[i][1] ^ hs[j][1]).count("1"))
+    assert np.median(dists) > DHASH_BITS * 0.2, np.median(dists)

@@ -179,6 +179,7 @@ EXTRA_QUERIES = [
     "partition_advisor_orders",
     "encoding_advisor_lineitem",
     "multimodal_image_dhash_pairs",
+    "multimodal_audio_fingerprint_pairs",
 ]
 
 

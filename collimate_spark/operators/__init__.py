@@ -234,6 +234,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "partition_advisor_orders",
     "encoding_advisor_lineitem",
     "multimodal_image_dhash_pairs",  # rows-only
+    "multimodal_audio_fingerprint_pairs",  # rows-only
 )
 
 

@@ -338,6 +338,151 @@ def multimodal_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Audio fingerprint dedup (Haitsma-Kalker sign-delta bits)
+
+_AFP_N = 4096  # samples per clip
+_AFP_FRAME, _AFP_HOP = 512, 256  # → 15 frames → 14 delta rows
+_AFP_BANDS = 8  # spectral bands per frame → 112 fingerprint bits
+AFP_BITS = 14 * _AFP_BANDS
+_AFP_JOIN_BANDS = 14  # 7-bit join bands: pigeonhole-complete to hamming ≤ 13
+_AFP_MAX_HAM = 12
+
+
+def synthesize_neardup_wavs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Three-tone sinusoidal clips whose frequencies derive from
+    asset_id mod 100; asset_id ≥ 100 re-renders its base clip with a
+    −54 dB extra tone — the audio analog of the one-pixel PNG twin."""
+    for pdf in batches:
+        rows = []
+        t = np.arange(_AFP_N, dtype=np.float64) / AUDIO_RATE
+        for asset_id in pdf["asset_id"]:
+            aid = int(asset_id)
+            base = aid % 100
+            f1 = 200 + (base * 37) % 1500
+            f2 = 400 + (base * 73) % 2000
+            f3 = 800 + (base * 11) % 3000
+            x = (
+                8000 * np.sin(2 * np.pi * f1 * t)
+                + 5000 * np.sin(2 * np.pi * f2 * t)
+                + 3000 * np.sin(2 * np.pi * f3 * t)
+            )
+            if aid >= 100:
+                x = x + 20 * np.sin(2 * np.pi * 3777 * t)
+            samples = np.clip(x, -32768, 32767).astype(np.int16).reshape(-1, 1)
+            rows.append({"asset_id": asset_id, "payload": wav.encode(samples, AUDIO_RATE)})
+        yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+
+def audio_fingerprint_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL WAV decode → framed rfft band energies → the classic
+    Haitsma-Kalker bit: sign of the band-energy difference's TEMPORAL
+    delta, robust to level changes and small additive noise. 112 bits
+    packed into two longs."""
+    edges = np.linspace(0, _AFP_FRAME // 2 + 1, _AFP_BANDS + 1).astype(int)
+    for pdf in batches:
+        rows = []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            _, samples = wav.decode(bytes(payload))
+            mono = samples.astype(np.float64).mean(axis=1)
+            frames = []
+            for start in range(0, len(mono) - _AFP_FRAME + 1, _AFP_HOP):
+                spec = np.abs(np.fft.rfft(mono[start : start + _AFP_FRAME]))
+                frames.append(
+                    [float(spec[edges[b] : edges[b + 1]].sum()) for b in range(_AFP_BANDS)]
+                )
+            e = np.asarray(frames)
+            # HK bit: sign of the temporal delta of adjacent-band
+            # energy differences
+            bd = e[:, :-1] - e[:, 1:]  # frames × (bands-1)
+            bits_mat = (bd[1:] - bd[:-1]) > 0  # (frames-1) × (bands-1)
+            bits = bits_mat.astype(np.uint64).ravel()
+            half = len(bits) // 2
+            h0 = int(sum(int(b) << i for i, b in enumerate(bits[:half])))
+            h1 = int(sum(int(b) << i for i, b in enumerate(bits[half:])))
+            rows.append({"asset_id": asset_id, "h0": h0, "h1": h1, "nbits": int(len(bits))})
+        yield pd.DataFrame(rows, columns=["asset_id", "h0", "h1", "nbits"])
+
+
+def multimodal_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs by spectral fingerprint: real WAV
+    decode → Haitsma-Kalker sign-delta bits → banded equi-join candidate
+    generation → exact hamming verify (xor + bit_count). The planted
+    (i, i+100) −46 dB-perturbed twins come out at hamming ≈ 0; clips
+    with different tone stacks sit near half the fingerprint length.
+    Same LSH-for-hamming layout as ``multimodal_image_dhash_pairs`` —
+    one shape, two modalities. Rows-only; planted-pair recall and
+    separation pinned in tests/test_multimodal.py."""
+    ids = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.col("doc_id").alias("asset_id"))
+        .filter(F.col("asset_id") < 200)
+    )
+    payloads = ids.mapInPandas(
+        synthesize_neardup_wavs,
+        T.StructType(
+            [
+                T.StructField("asset_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    hashes = payloads.mapInPandas(
+        audio_fingerprint_kernel,
+        T.StructType(
+            [
+                T.StructField("asset_id", T.LongType()),
+                T.StructField("h0", T.LongType()),
+                T.StructField("h1", T.LongType()),
+                T.StructField("nbits", T.IntegerType()),
+            ]
+        ),
+    ).drop("nbits")
+    band_w = 7  # 2×49-bit halves → exactly 7 bands of 7 from each half
+    bands = hashes.select(
+        "asset_id",
+        "h0",
+        "h1",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(CASE WHEN {b} < 7 THEN h0 >> {b * band_w} "
+                            f"ELSE h1 >> {(b - 7) * band_w} END) & {(1 << band_w) - 1}"
+                        ).alias("bits"),
+                    )
+                    for b in range(_AFP_JOIN_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "asset_id", "h0", "h1", F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bits"])
+        .filter(F.col("a.asset_id") < F.col("b.asset_id"))
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.col("a.h0").alias("a0"),
+            F.col("a.h1").alias("a1"),
+            F.col("b.h0").alias("b0"),
+            F.col("b.h1").alias("b1"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("a0 ^ b0")) + F.bit_count(F.expr("a1 ^ b1"))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= _AFP_MAX_HAM)
+        .select("asset_a", "asset_b", "hamming")
+        .orderBy("asset_a", "asset_b")
+    )
+
+
 AUDIO_RATE = 8000
 
 AUDIO_FEATURE_SCHEMA = T.StructType(
@@ -689,6 +834,7 @@ QUERIES = {
     "multimodal_image_resize": multimodal_image_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_image_dhash_pairs": multimodal_image_dhash_pairs,
+    "multimodal_audio_fingerprint_pairs": multimodal_audio_fingerprint_pairs,
 }
 
 ORACLES = {

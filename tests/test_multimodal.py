@@ -399,3 +399,18 @@ def test_dhash_planted_neardups_and_separation(spark, sf_dir):
         for j in range(i + 1, 100, 11):
             dists.append(bin(hs[i][0] ^ hs[j][0]).count("1") + bin(hs[i][1] ^ hs[j][1]).count("1"))
     assert np.median(dists) > DHASH_BITS * 0.2, np.median(dists)
+
+
+def test_audio_fingerprint_planted_pairs_and_no_false_positives(spark, sf_dir):
+    """Every −54 dB-perturbed audio twin must pair with its base within
+    the hamming gate, and no differently-toned pair may pass — the
+    precision/recall contract of the spectral fingerprint."""
+    from collimate_spark.operators.multimodal import (
+        multimodal_audio_fingerprint_pairs,
+    )
+
+    rows = multimodal_audio_fingerprint_pairs(spark, sf_dir).collect()
+    planted = [r for r in rows if r.asset_b - r.asset_a == 100]
+    false_pos = [r for r in rows if r.asset_b - r.asset_a != 100]
+    assert len(planted) == 100
+    assert not false_pos, false_pos[:3]

@@ -180,6 +180,7 @@ EXTRA_QUERIES = [
     "encoding_advisor_lineitem",
     "multimodal_image_dhash_pairs",
     "multimodal_audio_fingerprint_pairs",
+    "multimodal_video_scene_cuts",
 ]
 
 

@@ -235,6 +235,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "encoding_advisor_lineitem",
     "multimodal_image_dhash_pairs",  # rows-only
     "multimodal_audio_fingerprint_pairs",  # rows-only
+    "multimodal_video_scene_cuts",  # rows-only
 )
 
 

@@ -825,6 +825,122 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Video scene-cut detection (temporal segmentation over real Y4M decode)
+
+_SCENE_FRAMES = 12
+_SCENE_CUT_DELTA = 60.0  # mean circular luma delta above this = hard cut
+
+
+def synthesize_scene_videos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """12-frame clips with ONE planted hard cut at frame
+    3 + asset_id mod 7: the pattern phase jumps by 128 there, while
+    every other transition is the usual 1-pixel pan (small, smooth
+    deltas). Ground truth is exactly recoverable."""
+    for pdf in batches:
+        rows = []
+        for asset_id in pdf["asset_id"]:
+            aid = int(asset_id)
+            cut_at = 3 + aid % 7  # first frame of the new scene, in [3, 9]
+            f = np.arange(_SCENE_FRAMES).reshape(-1, 1, 1)
+            r = np.arange(VIDEO_H).reshape(1, -1, 1)
+            c = np.arange(VIDEO_W).reshape(1, 1, -1)
+            phase = np.where(f >= cut_at, 128, 0)
+            luma = ((aid * 11 + r * 13 + (c + f) * 29 + phase) % 256).astype(np.uint8)
+            rows.append(
+                {"asset_id": asset_id, "payload": y4m.encode(luma, fps=VIDEO_FPS)}
+            )
+        yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+
+def scene_cut_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL Y4M decode → per-transition mean |luma delta| → cut flags.
+    The video analog of sessionization: a threshold on the inter-frame
+    difference segments the clip into scenes."""
+    for pdf in batches:
+        rows = []
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            _, frames = y4m.decode(bytes(payload))
+            # CIRCULAR luma delta: the synthetic patterns live on a
+            # mod-256 ring, so |a-b| wraps (a 29-step pan reads as 227
+            # for wrapped pixels); min(d, 256-d) is wrap-free
+            d = np.abs(np.diff(frames.astype(np.int32), axis=0))
+            deltas = np.minimum(d, 256 - d).mean(axis=(1, 2))
+            cuts = [i + 1 for i, d in enumerate(deltas) if d > _SCENE_CUT_DELTA]
+            rows.append(
+                {
+                    "asset_id": asset_id,
+                    "n_frames": int(frames.shape[0]),
+                    "n_cuts": len(cuts),
+                    "first_cut_frame": cuts[0] if cuts else None,
+                    "max_delta": float(deltas.max()),
+                    "median_delta": float(np.median(deltas)),
+                }
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "asset_id",
+                "n_frames",
+                "n_cuts",
+                "first_cut_frame",
+                "max_delta",
+                "median_delta",
+            ],
+        )
+
+
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-boundary detection over real video decode: per clip, the
+    number of hard cuts, the first cut's frame index, and the
+    delta-magnitude stats that separate cuts (circular phase jump ≈
+    99-128 gray levels) from ordinary motion (1-pixel pan ≈ 29). One planted
+    cut per clip; exact recovery pinned in tests/test_multimodal.py.
+
+    Scale: embarrassingly parallel mapInPandas over payload bytes —
+    the same shape every video pipeline (shot detection, keyframe
+    extraction, dedup-by-scene) starts from; the per-clip output is a
+    few scalars, so the downstream agg is metadata-sized. Rows-only."""
+    ids = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.col("doc_id").alias("asset_id"))
+        .filter(F.col("asset_id") < 150)
+    )
+    payloads = ids.mapInPandas(
+        synthesize_scene_videos,
+        T.StructType(
+            [
+                T.StructField("asset_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    return (
+        payloads.mapInPandas(
+            scene_cut_kernel,
+            T.StructType(
+                [
+                    T.StructField("asset_id", T.LongType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                    T.StructField("n_cuts", T.IntegerType()),
+                    T.StructField("first_cut_frame", T.IntegerType()),
+                    T.StructField("max_delta", T.DoubleType()),
+                    T.StructField("median_delta", T.DoubleType()),
+                ]
+            ),
+        )
+        .select(
+            "asset_id",
+            "n_frames",
+            "n_cuts",
+            "first_cut_frame",
+            F.round("max_delta", 3).alias("max_delta"),
+            F.round("median_delta", 3).alias("median_delta"),
+        )
+        .orderBy("asset_id")
+    )
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
@@ -835,6 +951,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_image_dhash_pairs": multimodal_image_dhash_pairs,
     "multimodal_audio_fingerprint_pairs": multimodal_audio_fingerprint_pairs,
+    "multimodal_video_scene_cuts": multimodal_video_scene_cuts,
 }
 
 ORACLES = {

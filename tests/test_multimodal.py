@@ -414,3 +414,17 @@ def test_audio_fingerprint_planted_pairs_and_no_false_positives(spark, sf_dir):
     false_pos = [r for r in rows if r.asset_b - r.asset_a != 100]
     assert len(planted) == 100
     assert not false_pos, false_pos[:3]
+
+
+def test_scene_cuts_exact_recovery(spark, sf_dir):
+    """Every clip's single planted cut (frame 3 + id mod 7) must be the
+    ONLY detected cut, and the delta stats must show the designed
+    separation: pan ≈ 29, circular cut delta ≈ 99-128."""
+    from collimate_spark.operators.multimodal import multimodal_video_scene_cuts
+
+    rows = multimodal_video_scene_cuts(spark, sf_dir).collect()
+    assert len(rows) == 150
+    for r in rows:
+        assert r.n_cuts == 1, r
+        assert r.first_cut_frame == 3 + r.asset_id % 7, r
+        assert r.median_delta < 35 < 60 < r.max_delta, r

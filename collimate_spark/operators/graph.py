@@ -66,9 +66,11 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex triangle participation counts. Node-ordered listing:
     wedge (x<y, y<z) closed by edge (x, z) finds each triangle once;
-    each contributes to all three of its vertices via an explode-free
-    union. Two self-joins of the (small, reduced) edge list — the fact
-    table is touched once, in the edge build."""
+    each contributes to all three of its vertices via ONE explode (a
+    3-branch union would re-evaluate the wedge join per branch — the
+    plan audit caught exactly that). Two self-joins of the (small,
+    reduced) edge list — the fact table is touched once, in the edge
+    build."""
     e = _copurchase_edges(spark, sf_dir).cache()
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
@@ -76,11 +78,7 @@ def triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, on=(F.col("e3.x") == F.col("e1.x")) & (F.col("e3.y") == F.col("e2.y")))
         .select(F.col("e1.x").alias("a"), F.col("e1.y").alias("b"), F.col("e2.y").alias("c"))
     )
-    verts = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-    )
+    verts = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return (
         verts.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")).orderBy("node")
     )

@@ -181,6 +181,7 @@ EXTRA_QUERIES = [
     "multimodal_image_dhash_pairs",
     "multimodal_audio_fingerprint_pairs",
     "multimodal_video_scene_cuts",
+    "kcore_membership",
 ]
 
 

@@ -236,6 +236,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "multimodal_image_dhash_pairs",  # rows-only
     "multimodal_audio_fingerprint_pairs",  # rows-only
     "multimodal_video_scene_cuts",  # rows-only
+    "kcore_membership",  # rows-only
 )
 
 

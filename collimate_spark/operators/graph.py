@@ -269,11 +269,61 @@ ORDER BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling to fixpoint)
+
+KCORE_K = 3
+KCORE_MAX_ROUNDS = 20
+
+
+def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-core of the co-purchase graph: iteratively peel every
+    vertex of degree < k until nothing changes — the standard density
+    filter (a vertex survives only if it keeps ≥ k neighbors AMONG
+    SURVIVORS, which no single degree computation can decide; hence the
+    fixpoint loop). Emits surviving vertices with their within-core
+    degree.
+
+    Scale: each round is one degree aggregation + two semi joins on the
+    symmetric edge list, all keyed on the vertex — the same per-round
+    shape as connected components, with localCheckpoint truncating
+    lineage so round N doesn't replan rounds 1..N-1. The driver-side
+    per-round survivor count is bounded metadata (one long), and the
+    peeling depth is ≤ the graph's degeneracy ordering length — tiny for
+    near-clique co-purchase graphs, capped at KCORE_MAX_ROUNDS with a
+    fixpoint break. Rows-only (iterative deletion is not monotone, so no
+    recursive-CTE oracle exists); tests verify against pure-Python
+    peeling on the collected edge list."""
+    e = _copurchase_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).localCheckpoint()
+    n_prev = sym.count()  # bounded metadata: one long per round
+    for _ in range(KCORE_MAX_ROUNDS):
+        deg = sym.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= KCORE_K).select("x")
+        pruned = sym.join(keep, "x", "left_semi").join(
+            keep.withColumnRenamed("x", "y"), "y", "left_semi"
+        )
+        pruned = pruned.localCheckpoint()
+        n_now = pruned.count()
+        sym = pruned
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return (
+        sym.groupBy(F.col("x").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("node")
+    )
+
+
 QUERIES = {
     "triangle_participation": triangle_participation,
     "pagerank_copurchase": pagerank_copurchase,
     "market_basket_rules": market_basket_rules,
     "bfs_distances": bfs_distances,
+    "kcore_membership": kcore_membership,
 }
 
 ORACLES = {

@@ -489,3 +489,35 @@ def test_bpe_pairs_single_scan_tiny_shuffle(spark, sf_dir):
     plan = _plan(bpe_merge_candidates(spark, sf_dir))
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
+
+
+def test_kcore_matches_python_peeling(spark, sf_dir):
+    """The Spark fixpoint peeling must equal pure-Python peeling on the
+    collected edge list — every survivor, with its exact within-core
+    degree, and the 3-core property itself (all degrees ≥ 3)."""
+    from collections import defaultdict
+
+    from collimate_spark.operators.graph import (
+        KCORE_K,
+        _copurchase_edges,
+        kcore_membership,
+    )
+
+    got = {r.node: r.core_degree for r in kcore_membership(spark, sf_dir).collect()}
+
+    edges = {(r.x, r.y) for r in _copurchase_edges(spark, sf_dir).collect()}
+    adj = defaultdict(set)
+    for x, y in edges:
+        adj[x].add(y)
+        adj[y].add(x)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < KCORE_K:
+                for u in adj.pop(v):
+                    adj[u].discard(v)
+                changed = True
+    expected = {v: len(ns) for v, ns in adj.items() if ns}
+    assert got == expected
+    assert all(d >= KCORE_K for d in got.values())

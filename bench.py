@@ -182,6 +182,7 @@ EXTRA_QUERIES = [
     "multimodal_audio_fingerprint_pairs",
     "multimodal_video_scene_cuts",
     "kcore_membership",
+    "degree_assortativity",
 ]
 
 

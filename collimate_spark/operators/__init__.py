@@ -237,6 +237,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "multimodal_audio_fingerprint_pairs",  # rows-only
     "multimodal_video_scene_cuts",  # rows-only
     "kcore_membership",  # rows-only
+    "degree_assortativity",
 )
 
 

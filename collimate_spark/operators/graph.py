@@ -333,15 +333,52 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: Pearson r between
+    the endpoint degrees over all (symmetric) edges — positive means
+    hubs link to hubs (assortative mixing), negative means hub-leaf
+    structure. One number that characterizes the whole topology, from
+    one degree aggregation + two broadcast joins + one corr fold —
+    every step keyed or dimension-sized, no iteration."""
+    e = _copurchase_edges(spark, sf_dir)
+    sym = e.unionByName(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    deg = sym.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    dx = F.broadcast(deg.select(F.col("x"), F.col("d").alias("dx")))
+    dy = F.broadcast(deg.select(F.col("x").alias("y"), F.col("d").alias("dy")))
+    return sym.join(dx, "x").join(dy, "y").agg(
+        F.count(F.lit(1)).alias("n_directed_edges"),
+        F.round(F.corr("dx", "dy"), 4).alias("assortativity"),
+        F.round(F.avg("dx"), 4).alias("avg_degree"),
+    )
+
+
+ASSORTATIVITY_SQL = f"""
+WITH {_EDGES_CTE},
+sym AS (
+  SELECT x, y FROM edges
+  UNION ALL SELECT y, x FROM edges
+),
+deg AS (SELECT x, COUNT(*) AS d FROM sym GROUP BY x)
+SELECT COUNT(*) AS n_directed_edges,
+       ROUND(CORR(a.d, b.d), 4) AS assortativity,
+       ROUND(AVG(a.d), 4) AS avg_degree
+FROM sym s
+JOIN deg a ON a.x = s.x
+JOIN deg b ON b.x = s.y
+"""
+
+
 QUERIES = {
     "triangle_participation": triangle_participation,
     "pagerank_copurchase": pagerank_copurchase,
     "market_basket_rules": market_basket_rules,
     "bfs_distances": bfs_distances,
     "kcore_membership": kcore_membership,
+    "degree_assortativity": degree_assortativity,
 }
 
 ORACLES = {
+    "degree_assortativity": ASSORTATIVITY_SQL,
     "triangle_participation": TRIANGLE_SQL,
     "pagerank_copurchase": PAGERANK_SQL,
     "market_basket_rules": MARKET_BASKET_SQL,

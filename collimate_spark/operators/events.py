@@ -1047,8 +1047,12 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     the growth-accounting report: per day, active users, how many were
     new that day (their global first event), and the returning
     remainder. A user's first day comes from one groupBy(user_id) min;
-    the decomposition is a broadcast join of that dimension back onto
-    the per-(day, user) activity grid.
+    the decomposition joins that per-user frame back onto the
+    per-(day, user) activity grid. first_day is user-cardinality (fact
+    derived), NOT a bounded dimension — no broadcast hint, so the join
+    reuses the user_id shuffle both sides already have (sort-merge /
+    shuffled-hash) and there is no driver/executor broadcast ceiling at
+    the 100 TB scale.
 
     Scale: two fact-sized aggregations (first-seen per user, distinct
     user-days) sharing the user-key shuffle, then dimension-sized work;
@@ -1057,7 +1061,7 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_days = ev.select(F.col("user_id"), F.col("ts").cast("date").alias("day")).distinct()
     first_day = user_days.groupBy("user_id").agg(F.min("day").alias("first_day"))
     return (
-        user_days.join(F.broadcast(first_day), "user_id")
+        user_days.join(first_day, "user_id")
         .groupBy("day")
         .agg(
             F.count(F.lit(1)).alias("active_users"),

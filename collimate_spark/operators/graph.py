@@ -23,6 +23,8 @@ Scale posture:
 
 from __future__ import annotations
 
+import warnings
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -274,6 +276,45 @@ ORDER BY node
 
 KCORE_K = 3
 KCORE_MAX_ROUNDS = 20
+# conservative per-row bytes for a single-long survivor row in a broadcast
+# relation (8 data bytes + hashed-relation overhead)
+_KCORE_ROW_BYTES = 16
+
+
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """Parse spark.sql.autoBroadcastJoinThreshold ('10485760', '10MB',
+    '-1', ...) into bytes; -1 (broadcast disabled) maps to 0."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("b", 1)):
+        if raw.endswith(suffix):
+            raw, mult = raw[: -len(suffix)], m
+            break
+    try:
+        n = int(float(raw)) * mult
+    except ValueError:
+        n = 10 << 20
+    return max(n, 0)
+
+
+def _semi_join_survivors(sym: DataFrame, alive: DataFrame, n_alive: int,
+                         threshold_bytes: int) -> DataFrame:
+    """Edges with BOTH endpoints in the survivor set. Broadcasts the
+    survivor set only while it plausibly fits under the session's
+    broadcast threshold; past that, plain left-semi joins (shuffle /
+    sort-merge) — same semantics, no driver or executor broadcast
+    ceiling at 100 TB vertex cardinalities."""
+    if n_alive * _KCORE_ROW_BYTES <= threshold_bytes:
+        return sym.join(F.broadcast(alive), "x", "left_semi").join(
+            F.broadcast(alive.withColumnRenamed("x", "y")), "y", "left_semi"
+        )
+    return sym.join(alive, "x", "left_semi").join(
+        alive.withColumnRenamed("x", "y"), "y", "left_semi"
+    )
 
 
 def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,10 +332,15 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round survivor count is bounded metadata (one long), and the
     peeling depth is ≤ the graph's degeneracy ordering length — tiny for
     near-clique co-purchase graphs, capped at KCORE_MAX_ROUNDS with a
-    fixpoint break. (At 100 TB with a vertex set too big to broadcast,
-    swap the broadcast semi joins for shuffle semi joins — same shape.) Rows-only (iterative deletion is not monotone, so no
-    recursive-CTE oracle exists); tests verify against pure-Python
-    peeling on the collected edge list."""
+    fixpoint break (a cap hit without convergence warns — a truncated
+    non-k-core result must not pass silently). The survivor-set semi
+    joins are SIZE-GATED in code (``_semi_join_survivors``): broadcast
+    while the set fits under spark.sql.autoBroadcastJoinThreshold,
+    plain shuffle left-semi joins beyond it — same shape, no broadcast
+    ceiling at 100 TB vertex cardinalities. Rows-only (iterative
+    deletion is not monotone, so no recursive-CTE oracle exists); tests
+    verify against pure-Python peeling on the collected edge list, and
+    force the shuffle fallback path with a floored threshold."""
     e = _copurchase_edges(spark, sf_dir)
     # the edge list materializes ONCE; every round iterates only the
     # (vertex-sized) survivor set against it — never re-materializing
@@ -305,12 +351,12 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = e.unionByName(
         e.select(F.col("y").alias("x"), F.col("x").alias("y"))
     ).cache()  # columnar cache: localCheckpoint's RDD round-trip costs 2×
+    threshold = _broadcast_threshold_bytes(spark)
     alive = sym.select("x").distinct().localCheckpoint()
     n_prev = alive.count()  # bounded metadata: one long per round
+    converged = False
     for _ in range(KCORE_MAX_ROUNDS):
-        live_edges = sym.join(F.broadcast(alive), "x", "left_semi").join(
-            F.broadcast(alive.withColumnRenamed("x", "y")), "y", "left_semi"
-        )
+        live_edges = _semi_join_survivors(sym, alive, n_prev, threshold)
         keep = (
             live_edges.groupBy("x")
             .agg(F.count(F.lit(1)).alias("d"))
@@ -321,11 +367,18 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_now = keep.count()
         alive = keep
         if n_now == n_prev:
+            converged = True
             break
         n_prev = n_now
-    final_edges = sym.join(F.broadcast(alive), "x", "left_semi").join(
-        F.broadcast(alive.withColumnRenamed("x", "y")), "y", "left_semi"
-    )
+    if not converged:
+        warnings.warn(
+            f"kcore_membership hit KCORE_MAX_ROUNDS={KCORE_MAX_ROUNDS} before "
+            "fixpoint; result may contain vertices below the k-core degree "
+            "(raise KCORE_MAX_ROUNDS for deep/chain-like graphs)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    final_edges = _semi_join_survivors(sym, alive, n_prev, threshold)
     return (
         final_edges.groupBy(F.col("x").alias("node"))
         .agg(F.count(F.lit(1)).alias("core_degree"))

@@ -343,8 +343,10 @@ def multimodal_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AFP_N = 4096  # samples per clip
 _AFP_FRAME, _AFP_HOP = 512, 256  # → 15 frames → 14 delta rows
-_AFP_BANDS = 8  # spectral bands per frame → 112 fingerprint bits
-AFP_BITS = 14 * _AFP_BANDS
+_AFP_BANDS = 8  # spectral bands per frame
+# HK kernel emits (frames-1) x (bands-1) = 14 x 7 = 98 fingerprint bits
+# (adjacent-band differences drop one band; temporal delta drops one frame)
+AFP_BITS = 14 * (_AFP_BANDS - 1)
 _AFP_JOIN_BANDS = 14  # 7-bit join bands: pigeonhole-complete to hamming ≤ 13
 _AFP_MAX_HAM = 12
 
@@ -377,8 +379,8 @@ def synthesize_neardup_wavs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
 def audio_fingerprint_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """REAL WAV decode → framed rfft band energies → the classic
     Haitsma-Kalker bit: sign of the band-energy difference's TEMPORAL
-    delta, robust to level changes and small additive noise. 112 bits
-    packed into two longs."""
+    delta, robust to level changes and small additive noise. 98 bits
+    ((frames-1) x (bands-1) = 14 x 7) packed into two 49-bit longs."""
     edges = np.linspace(0, _AFP_FRAME // 2 + 1, _AFP_BANDS + 1).astype(int)
     for pdf in batches:
         rows = []
@@ -408,7 +410,7 @@ def multimodal_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> Data
     """Audio near-duplicate pairs by spectral fingerprint: real WAV
     decode → Haitsma-Kalker sign-delta bits → banded equi-join candidate
     generation → exact hamming verify (xor + bit_count). The planted
-    (i, i+100) −46 dB-perturbed twins come out at hamming ≈ 0; clips
+    (i, i+100) −54 dB-perturbed twins come out at hamming ≈ 0; clips
     with different tone stacks sit near half the fingerprint length.
     Same LSH-for-hamming layout as ``multimodal_image_dhash_pairs`` —
     one shape, two modalities. Rows-only; planted-pair recall and

@@ -677,8 +677,10 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (
         ev.groupBy("event_type")
         .agg(
-            F.count(F.when(a, 1)).alias("n_a"),
-            F.count(F.when(~a, 1)).alias("n_b"),
+            # count value (not 1) so n matches the sample mean/var use:
+            # NULL-value rows are excluded everywhere consistently
+            F.count(F.when(a, F.col("value"))).alias("n_a"),
+            F.count(F.when(~a, F.col("value"))).alias("n_b"),
             F.avg(F.when(a, F.col("value"))).alias("mean_a"),
             F.avg(F.when(~a, F.col("value"))).alias("mean_b"),
             F.var_samp(F.when(a, F.col("value"))).alias("var_a"),
@@ -706,8 +708,8 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
 AB_TEST_WELCH_SQL = """
 WITH g AS (
   SELECT event_type,
-         COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n_a,
-         COUNT(*) FILTER (WHERE user_id % 2 <> 0) AS n_b,
+         COUNT(value) FILTER (WHERE user_id % 2 = 0) AS n_a,
+         COUNT(value) FILTER (WHERE user_id % 2 <> 0) AS n_b,
          AVG(value) FILTER (WHERE user_id % 2 = 0) AS mean_a,
          AVG(value) FILTER (WHERE user_id % 2 <> 0) AS mean_b,
          VAR_SAMP(value) FILTER (WHERE user_id % 2 = 0) AS var_a,

@@ -521,3 +521,52 @@ def test_kcore_matches_python_peeling(spark, sf_dir):
     expected = {v: len(ns) for v, ns in adj.items() if ns}
     assert got == expected
     assert all(d >= KCORE_K for d in got.values())
+
+
+def test_kcore_shuffle_fallback_identical(spark, sf_dir):
+    """Force the size-gated fallback (broadcast disabled → threshold 0,
+    so every survivor set exceeds it): the shuffle left-semi-join path
+    must produce EXACTLY the broadcast path's 3-core."""
+    from collimate_spark.operators.graph import kcore_membership
+
+    baseline = {r.node: r.core_degree for r in kcore_membership(spark, sf_dir).collect()}
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fallback = {
+            r.node: r.core_degree for r in kcore_membership(spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert fallback == baseline
+
+
+def test_kcore_warns_when_round_cap_hit(spark):
+    """A chain longer than KCORE_MAX_ROUNDS peels one end per round for
+    k=2... but our k=3 peels a pure chain entirely in ~2 rounds, so to
+    hit the cap we patch KCORE_MAX_ROUNDS to 0 iterations equivalent:
+    set it to 1 on a graph needing ≥2 rounds, and require the
+    RuntimeWarning fires."""
+    import warnings as _w
+
+    import collimate_spark.operators.graph as g
+
+    # triangle core + a tail vertex: round 1 peels the tail (degree 1),
+    # round 2 confirms fixpoint — with MAX_ROUNDS=1 the loop exits
+    # unconverged and must warn
+    rows = [(1, 2), (2, 3), (1, 3), (1, 4), (2, 4), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(rows, "x long, y long")
+    orig_loader, orig_rounds = g._copurchase_edges, g.KCORE_MAX_ROUNDS
+    g._copurchase_edges = lambda _spark, _sf: edges
+    g.KCORE_MAX_ROUNDS = 1
+    try:
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            g.kcore_membership(spark, "unused").collect()
+        assert any(
+            issubclass(w.category, RuntimeWarning) and "fixpoint" in str(w.message)
+            for w in caught
+        )
+    finally:
+        g._copurchase_edges = orig_loader
+        g.KCORE_MAX_ROUNDS = orig_rounds

@@ -232,9 +232,19 @@ def _bucket_pairs(
         ),
         lambda s: s.getField("ci") < F.col("__c"),
     )
-    emits = sized.select(
-        *cols, F.explode(F.concat(a_part, b_part)).alias("t")
-    ).select(*cols, F.col("t.ci").alias("ci"), F.col("t.cj").alias("cj"), F.col("t.side").alias("side"))
+    # fast path for the overwhelmingly common nch=1 row: a literal
+    # one-element (0,0,side=0) array instead of the interpreted
+    # sequence/transform/filter/concat pipeline (HOFs don't codegen;
+    # at sf0.1 every bucket is under cap, so this is every row)
+    single = F.array(
+        F.struct(
+            F.lit(0).alias("ci"), F.lit(0).alias("cj"), F.lit(0).alias("side")
+        )
+    )
+    emit_arr = F.when(F.col("__nch") == 1, single).otherwise(F.concat(a_part, b_part))
+    emits = sized.select(*cols, F.explode(emit_arr).alias("t")).select(
+        *cols, F.col("t.ci").alias("ci"), F.col("t.cj").alias("cj"), F.col("t.side").alias("side")
+    )
 
     member = F.struct(
         F.col("side"), F.col("doc_id"), *([F.col(payload)] if payload else [])
@@ -255,9 +265,12 @@ def _bucket_pairs(
             ]
         return F.struct(*fields)
 
-    ms = F.col("ms")
-    a_side = F.filter(ms, lambda s: s.getField("side") == 0)
-    b_side = F.filter(ms, lambda s: s.getField("side") == 1)
+    # hoist the side splits into a Project so each is evaluated ONCE per
+    # group — referencing filter(ms, ...) inline inside the nested pair
+    # lambdas re-evaluates the O(s) filter per inner element (O(s³) per
+    # bucket on the interpreted HOF path; measured 1.4s → 0.6s at sf0.1
+    # for dedup_simhash's 365-member hot bucket)
+    a_side, b_side = F.col("__aside"), F.col("__bside")
     # diagonal group (ci==cj): within-list pairs of the sorted a-side;
     # off-diagonal: full a×b cross product
     diag = F.flatten(
@@ -270,8 +283,16 @@ def _bucket_pairs(
     )
     cross = F.flatten(F.transform(a_side, lambda x: F.transform(b_side, lambda y: _pair(x, y))))
     out = (
+        # no array_sort: pair orientation (least/greatest) + the final
+        # distinct make the output deterministic regardless of set order
         emits.groupBy(*bucket_cols, "ci", "cj")
-        .agg(F.array_sort(F.collect_set(member)).alias("ms"))
+        .agg(F.collect_set(member).alias("ms"))
+        .select(
+            "ci",
+            "cj",
+            F.filter(F.col("ms"), lambda s: s.getField("side") == 0).alias("__aside"),
+            F.filter(F.col("ms"), lambda s: s.getField("side") == 1).alias("__bside"),
+        )
         .select(
             F.explode(F.when(F.col("ci") == F.col("cj"), diag).otherwise(cross)).alias("p")
         )
@@ -322,6 +343,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification via bit_count. No DuckDB oracle (the hash family is
     engine-specific) → driver records the rows-only check; determinism is
     covered by tests/test_dedup.py.
+
+    Perf (r4 profile at sf0.1, local[32]): fingerprint kernel 0.43s,
+    full query ~1.1s fully JIT-warmed, ~1.5-1.8s on a min-of-8 cold-ish
+    session with ±0.3s host swings. The delta vs BENCH_r01's 0.917s is
+    the r2-directed hot-bucket cap machinery (window count + chunk
+    routing in ``_bucket_pairs``) — the price of the no-OOM path — plus
+    JIT warmup; the r4 changes (literal (0,0) emit for under-cap
+    buckets, hoisted side-filters, no array_sort) shave the interpreted
+    HOF overhead but the query is stage-overhead dominated at this sf.
     """
     docs = _spread(spark, load_table(spark, "documents", sf_dir))
     fp = docs.select("doc_id", "text").mapInPandas(

@@ -155,18 +155,36 @@ ORDER BY o_orderstatus
 """
 
 
-def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+APPROX_PCT_ACCURACY = 10_000  # GK sketch: rank error ≤ n / accuracy
+
+
+def winsorize_stats(
+    spark: SparkSession, sf_dir: str, *, approx: bool = False
+) -> DataFrame:
     """Winsorized (clamped to [p01, p99]) robust statistics of
     ``l_extendedprice`` per return flag. The exact percentile bounds are
     ONE tiny aggregate (two doubles) broadcast back over the fact table
     — the clamp itself is a narrow map, so the whole operator costs one
     full-table agg + one group agg regardless of scale. Exact
-    ``percentile`` matches DuckDB's interpolating ``quantile_cont``."""
+    ``percentile`` matches DuckDB's interpolating ``quantile_cont``.
+
+    ``approx=True`` is the at-scale mode: ``approx_percentile`` (GK
+    sketch, rank error ≤ n/APPROX_PCT_ACCURACY) replaces the exact
+    value-buffering percentile — constant memory instead of an
+    ObjectHashAggregate holding every value. Default stays exact so the
+    DuckDB oracle parity is bit-identical; the approx mode's error is
+    asserted in tests against the GK rank bound (measured 3.2× faster
+    at sf0.1: 2.78s → 0.87s whole-query, min-of-3)."""
     li = load_table(spark, "lineitem", sf_dir)
     # ONE array-percentile aggregate: two separate percentile exprs each
     # buffer the full column (measured 4.4s vs 1.9s at sf0.1 — the
     # ObjectHashAggregate holds one value map instead of two)
-    both = li.agg(F.expr("percentile(l_extendedprice, array(0.01, 0.99))").alias("b"))
+    pct = (
+        f"approx_percentile(l_extendedprice, array(0.01, 0.99), {APPROX_PCT_ACCURACY})"
+        if approx
+        else "percentile(l_extendedprice, array(0.01, 0.99))"
+    )
+    both = li.agg(F.expr(pct).alias("b"))
     bounds = both.select(
         F.element_at("b", 1).alias("p01"), F.element_at("b", 2).alias("p99")
     )
@@ -551,7 +569,9 @@ _ENC_RLE_RUN = 2.0  # avg run length at/above this → run-length
 _ENC_DELTA_BITS = 16  # p95 |adjacent delta| fits → delta encoding
 
 
-def encoding_advisor_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+def encoding_advisor_lineitem(
+    spark: SparkSession, sf_dir: str, *, approx: bool = False
+) -> DataFrame:
     """Pick a physical encoding per column the way the reference picks
     dictionary code widths (index.js's k8/k16 rule), but from measured
     statistics: distinct ratio (→ dictionary), average run length in
@@ -566,7 +586,16 @@ def encoding_advisor_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows partitioned by 4096-row orderkey BLOCKS (block-local runs
     differ from global runs by at most one per block — deterministic,
     and the window never needs a global sort), plus one wide aggregate
-    with per-column exact distinct counts. Stacked long at the end."""
+    with per-column exact distinct counts. Stacked long at the end.
+
+    ``approx=True`` is the at-scale mode: ``approx_percentile`` over the
+    FULL delta stream (no 1/16 sample needed — the GK sketch bounds the
+    buffer itself) replaces the five exact value-buffering percentiles,
+    and ``approx_count_distinct`` replaces the exact distinct expansion.
+    Default stays exact for DuckDB oracle parity; tests assert the
+    approx mode reproduces the exact mode's encoding recommendations
+    (measured 3.1× faster at sf0.1: 4.95s → 1.62s whole-query,
+    min-of-3)."""
     li = load_table(spark, "lineitem", sf_dir)
     cols = {name: F.expr(sql) for name, sql in _ENC_COLS}
     base = li.select(
@@ -589,18 +618,24 @@ def encoding_advisor_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn(f"ad_{n}", F.abs(F.col(f"v_{n}") - prev))
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for n, _ in _ENC_COLS:
-        aggs += [
-            F.countDistinct(f"v_{n}").alias(f"nd_{n}"),
-            F.sum(f"chg_{n}").alias(f"runs_{n}"),
+        if approx:
+            # scale mode: GK sketch over the FULL delta stream (bounded
+            # buffer, no sample) + HLL distinct — constant memory per agg
+            nd = F.approx_count_distinct(f"v_{n}").alias(f"nd_{n}")
+            d95 = F.expr(
+                f"approx_percentile(ad_{n}, 0.95D, {APPROX_PCT_ACCURACY})"
+            ).alias(f"d95_{n}")
+        else:
+            nd = F.countDistinct(f"v_{n}").alias(f"nd_{n}")
             # exact p95 buffers every value; a deterministic 1/16
             # orderkey-keyed sample is unbiased for the delta
             # distribution and shrinks the five ObjectHashAggregate
             # buffers 16× (4.9s → ~1.5s at sf0.1; both engines sample
             # identically so parity is exact)
-            F.expr(
+            d95 = F.expr(
                 f"percentile(CASE WHEN ord_key % 16 = 0 THEN ad_{n} END, 0.95D)"
-            ).alias(f"d95_{n}"),
-        ]
+            ).alias(f"d95_{n}")
+        aggs += [nd, F.sum(f"chg_{n}").alias(f"runs_{n}"), d95]
     wide = flagged.agg(*aggs)
     stacked = wide.selectExpr(
         "n_rows",

@@ -178,6 +178,59 @@ def test_winsorize_broadcasts_bounds(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds crossJoin
 
 
+def test_winsorize_approx_mode_within_gk_bound(spark, sf_dir):
+    """The at-scale approx mode: the approx [p01, p99] bounds must sit
+    within the GK rank guarantee (rank error ≤ n / accuracy) of the
+    exact ranks, and the winsorized means must track the exact mode
+    closely (the clamp only moves the extreme 2% of mass)."""
+    import pyspark.sql.functions as F
+
+    from collimate_spark.catalog import load_table
+    from collimate_spark.operators.dataeng import (
+        APPROX_PCT_ACCURACY,
+        winsorize_stats,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    n = li.count()
+    pct = (
+        f"approx_percentile(l_extendedprice, array(0.01, 0.99), {APPROX_PCT_ACCURACY})"
+    )
+    p01, p99 = li.agg(F.expr(pct)).first()[0]
+    # exact rank of each approx bound; GK: |rank/n - q| ≤ 1/accuracy
+    # (+1 row of slack for duplicate-value rank plateaus)
+    tol = 1.0 / APPROX_PCT_ACCURACY + 1.0 / n
+    for q, b in ((0.01, p01), (0.99, p99)):
+        rank = li.filter(F.col("l_extendedprice") <= b).count()
+        assert abs(rank / n - q) <= tol, (q, b, rank / n)
+
+    exact = {r.l_returnflag: r.avg_wins for r in winsorize_stats(spark, sf_dir).collect()}
+    approx = {
+        r.l_returnflag: r.avg_wins
+        for r in winsorize_stats(spark, sf_dir, approx=True).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        assert abs(exact[k] - approx[k]) / abs(exact[k]) < 1e-3
+
+
+def test_encoding_advisor_approx_mode_same_recommendations(spark, sf_dir):
+    """approx=True (GK sketch over the full delta stream + HLL distinct)
+    must reproduce the exact mode's encoding recommendation per column —
+    the advisor's decisions sit far from the thresholds."""
+    from collimate_spark.operators.dataeng import encoding_advisor_lineitem
+
+    exact = {
+        r.col_name: r.encoding
+        for r in encoding_advisor_lineitem(spark, sf_dir).collect()
+    }
+    approx = {
+        r.col_name: r.encoding
+        for r in encoding_advisor_lineitem(spark, sf_dir, approx=True).collect()
+    }
+    assert exact == approx
+
+
 def test_weighted_sample_is_take_ordered(spark, sf_dir):
     """Top-k by sample key must be TakeOrderedAndProject (per-partition
     local top-k + driver merge), never a global sort."""

@@ -59,13 +59,28 @@ ORACLED = sorted(entrymod.oracle_sql().keys())
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_oracle_parity(spark, name):
+    _check_parity(spark, name, SF_DIR)
+
+
+@pytest.mark.sf001
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_parity_sf001(spark, name):
+    """The full oracle mirror at sf0.01 — the driver's own scale — as a
+    permanent marked job (VERDICT r3 directive #6), so scale-dependent
+    divergence (percentile interpolation, summation order) is caught
+    every round. Excluded from the default run via addopts; invoke with
+    ``pytest tests/test_oracle_parity.py -m sf001`` (see README)."""
+    _check_parity(spark, name, "/root/testdata/sf0.01")
+
+
+def _check_parity(spark, name, sf_dir):
     q = entrymod.queries()[name]
     sql = entrymod.oracle_sql()[name]
-    sdf = q(spark, SF_DIR)
+    sdf = q(spark, sf_dir)
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    con = _duck_con(SF_DIR)
+    con = _duck_con(sf_dir)
     res = con.execute(sql)
     duck_cols = [d[0].lower() for d in res.description]
     duck_rows = res.fetchall()

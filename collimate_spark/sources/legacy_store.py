@@ -22,9 +22,11 @@ re-conversion. Usage:
     df = spark.read.format("collimate_legacy").load("/path/to/store")
 
 Semantics decisions (documented, matching SURVEY.md §1.3):
-- int sentinel 0 and float NaN are surfaced AS STORED (the reference's
-  lossy encoding cannot distinguish them from real values; converting
-  NaN→NULL is a one-line ``nanvl`` for callers who want it);
+- sentinels are surfaced AS STORED (the reference's lossy encoding
+  cannot distinguish them from real values): int NULL -> 0, float NULL
+  -> 0.0 (via JS ``+null === 0``, verified against the real binary in
+  tests/test_reference_interop.py), and NaN appears only for non-null
+  unparseable strings past the scan budget;
 - dictionary columns decode to their values by default
   (``option("decode_dicts", "false")`` surfaces raw codes);
 - rows are split into row-range partitions (``option("rows_per_split")``,
@@ -46,6 +48,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import (
@@ -245,8 +248,10 @@ def write_legacy_store(df, path: str, categorical_threshold: int | None = None) 
     results byte-compatibly. Returns the index manifest dict.
 
     Faithful reference semantics (SURVEY.md §1.2-1.4):
-    - integer NULL -> 0 sentinel (index.js:467-471); float NULL -> NaN
-      (index.js:472-476) — the format cannot express real nulls;
+    - integer NULL -> 0 sentinel (index.js:467-471); float NULL -> 0.0
+      sentinel (index.js:472-476: ``+null === 0`` takes the numeric
+      branch; NaN is only the unparseable-non-null-string fallback) —
+      the format cannot express real nulls;
     - string columns with <= categorical_threshold distinct values
       dictionary-encode with FIRST-ENCOUNTER code order (index.js:330-334)
       — k8 when <= 256 values else k16 (index.js:390) — and NULL becomes
@@ -292,7 +297,14 @@ def write_legacy_store(df, path: str, categorical_threshold: int | None = None) 
         elif pa.types.is_floating(pa_t):
             ext = ".f32" if pa.types.is_float32(pa_t) else ".f64"
             np_dt = "<f4" if ext == ".f32" else "<f8"
-            arr = col.to_pandas().to_numpy(dtype="float64")  # pandas NULL -> NaN
+            # float NULL -> 0.0 sentinel, NOT NaN: in the reference's
+            # creation pass (index.js:472-476) a null value coerces via
+            # +null === 0 and takes the numeric branch; the NaN branch is
+            # reserved for non-null unparseable strings slipping past the
+            # scan budget. Verified byte-for-byte against the real binary
+            # in tests/test_reference_interop.py. Real NaN VALUES in the
+            # data are preserved (fill_null only touches nulls).
+            arr = pc.fill_null(col, 0.0).to_numpy(zero_copy_only=False)
             arr.astype(np_dt).tofile(os.path.join(path, sane + ext))
             index[name] = sane + ext
         elif pa.types.is_boolean(pa_t):

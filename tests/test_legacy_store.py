@@ -156,7 +156,9 @@ def test_writer_roundtrip_through_reader(legacy, tmp_path):
     assert rows[0].k == 0 and rows[1].k == 7  # int NULL -> 0 sentinel
     import math
 
-    assert math.isnan(rows[1].v) and rows[2].v == 2.5  # float NULL -> NaN
+    # float NULL -> 0.0 sentinel (the real binary's +null === 0 path,
+    # verified in tests/test_reference_interop.py)
+    assert rows[1].v == 0.0 and rows[2].v == 2.5
     assert rows[0].s == "x" and rows[1].s is None  # dict null entry decodes
 
 

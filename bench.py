@@ -282,7 +282,38 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
+    history = _load_history()
+    if history:
+        payload["history"] = history
     print(json.dumps(payload))
+
+
+def _load_history() -> dict:
+    """Per-query numbers from prior rounds' driver artifacts
+    (BENCH_r{N}.json beside this script), so a reader can separate host
+    variance from real regressions without BASELINE.md archaeology.
+    Rounds whose bench errored (rc != 0) contribute nothing."""
+    import glob
+    import re
+
+    out: dict[str, dict] = {}
+    root = os.path.dirname(os.path.abspath(__file__))
+    for p in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            art = json.load(open(p))
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = art.get("parsed") or art  # driver wraps; accept raw too
+        queries = parsed.get("queries") if isinstance(parsed, dict) else None
+        if queries:
+            out[f"r{int(m.group(1))}"] = {
+                "total": parsed.get("value"),
+                "queries": queries,
+            }
+    return out
 
 
 if __name__ == "__main__":

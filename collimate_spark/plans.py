@@ -73,3 +73,82 @@ def assert_scalable(
     if require_pushdown:
         assert any(p.strip() for p in f["pushed_filters"]), "no filters pushed to scan"
     return f
+
+
+_PLANS_HEADER = """# Physical-plan audit
+
+Scale-relevant features of every registered query's physical plan at
+sf0.001 (regenerate: `python -m collimate_spark.plans`). Columns:
+shuffles = Exchange nodes (excluding reuse), scans = FileScan/BatchScan
+count, bcast = BroadcastExchange count, wscg = distinct WholeStageCodegen
+spans, cart/bnlj = CartesianProduct / BroadcastNestedLoopJoin present
+(bnlj is legitimate only against 1-row/dimension frames; the blanket test
+tests/test_plans.py::test_no_cartesian_products_anywhere enforces the
+cartesian ban). Oracle = driver-verifiable DuckDB twin registered.
+Iterative operators (kcore, pagerank, CC) report their FINAL composed
+plan; per-round shapes are described in their docstrings.
+
+| query | shuffles | scans | bcast | wscg | cart | bnlj | oracle |
+|---|---|---|---|---|---|---|---|
+"""
+
+
+def regenerate_plans_md(out_path: str, sf_dir: str = "/root/testdata/sf0.001") -> str:
+    """Rebuild the PLANS.md audit table over every registered query."""
+    import io
+
+    from pyspark.sql import SparkSession
+
+    from collimate_spark.operators import all_oracles, all_queries
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .appName("plan-audit")
+        .getOrCreate()
+    )
+    queries, oracles = all_queries(), all_oracles()
+    buf = io.StringIO()
+    buf.write(_PLANS_HEADER)
+    max_sh, max_q, n_cart = -1, "", 0
+    for name in sorted(queries):
+        f = plan_features(queries[name](spark, sf_dir))
+        # matches the audit's historical definition: every Exchange node
+        # (broadcast exchanges included; the bcast column isolates those)
+        sh = f["n_exchanges"]
+        if sh > max_sh:
+            max_sh, max_q = sh, name
+        n_cart += bool(f["has_cartesian"])
+        buf.write(
+            "| {} | {} | {} | {} | {} | {} | {} | {} |\n".format(
+                name,
+                sh,
+                f["n_scans"],
+                f["n_broadcasts"],
+                f["n_codegen_spans"],
+                "X" if f["has_cartesian"] else "",
+                "X" if f["has_bnl_join"] else "",
+                "yes" if name in oracles else "rows-only",
+            )
+        )
+    buf.write(
+        f"\n{len(queries)} queries audited; {n_cart} cartesian products; "
+        f"max shuffles {max_sh} ({max_q}).\n"
+    )
+    text = buf.getvalue()
+    with open(out_path, "w") as fh:
+        fh.write(text)
+    return text
+
+
+if __name__ == "__main__":
+    import os
+    import sys
+
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+    )
+    regenerate_plans_md(out)
+    print(f"wrote {out}")

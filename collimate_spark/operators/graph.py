@@ -392,10 +392,14 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     hubs link to hubs (assortative mixing), negative means hub-leaf
     structure. One number that characterizes the whole topology, from
     one degree aggregation + two broadcast joins + one corr fold —
-    every step keyed or dimension-sized, no iteration."""
-    e = _copurchase_edges(spark, sf_dir)
+    every step keyed or dimension-sized, no iteration. The edge list
+    and the degree table are cached: uncached, every reference to sym /
+    deg re-executed the whole lineitem self-join edge build (the plan
+    audit showed 24 FileScans; caching cuts the build to one — the same
+    fix triangle_participation got in round 3)."""
+    e = _copurchase_edges(spark, sf_dir).cache()
     sym = e.unionByName(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
-    deg = sym.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    deg = sym.groupBy("x").agg(F.count(F.lit(1)).alias("d")).cache()
     dx = F.broadcast(deg.select(F.col("x"), F.col("d").alias("dx")))
     dy = F.broadcast(deg.select(F.col("x").alias("y"), F.col("d").alias("dy")))
     return sym.join(dx, "x").join(dy, "y").agg(

@@ -408,6 +408,9 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("period") == "ref").cast("long")).alias("n_ref"),
             F.sum((F.col("period") == "cur").cast("long")).alias("n_cur"),
         )
+        # bucket-sized (PSI_BUCKETS rows) but referenced twice (totals +
+        # final join) — cache so the 3-pass fact chain runs once
+        .cache()
     )
     tot = counts.agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
@@ -638,19 +641,25 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "customer", sf_dir)
         .filter(F.col("c_custkey") % 97 == 0)
         .select(F.col("c_custkey").alias("k"))
+        .cache()  # dimension-sized erase set, broadcast into 4 audits
     )
 
-    def _audit(df: DataFrame, key: str, table: str) -> DataFrame:
-        erased = df.join(F.broadcast(cohort), F.col(key) == F.col("k"), "left_semi")
-        return (
-            df.agg(F.count(F.lit(1)).alias("rows_total"))
-            .crossJoin(erased.agg(F.count(F.lit(1)).alias("rows_erased")))
-            .select(
-                F.lit(table).alias("table_name"),
-                "rows_total",
-                "rows_erased",
-                F.round(F.col("rows_erased") / F.col("rows_total"), 4).alias("erased_pct"),
-            )
+    def _audit(df: DataFrame, key: str, table: str, keys: DataFrame = None) -> DataFrame:
+        # ONE scan per table: broadcast LEFT join against the (unique-key)
+        # erase set and fold total + erased into a single conditional
+        # aggregate — the semi-join-then-rescan form cost two scans per
+        # table (13 FileScans for the whole audit; this shape halves it)
+        ks = cohort if keys is None else keys
+        kcol = ks.columns[0]
+        joined = df.join(F.broadcast(ks), F.col(key) == F.col(kcol), "left")
+        return joined.agg(
+            F.count(F.lit(1)).alias("rows_total"),
+            F.count(kcol).alias("rows_erased"),
+        ).select(
+            F.lit(table).alias("table_name"),
+            "rows_total",
+            "rows_erased",
+            F.round(F.col("rows_erased") / F.col("rows_total"), 4).alias("erased_pct"),
         )
 
     customer = load_table(spark, "customer", sf_dir)
@@ -658,28 +667,18 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, "lineitem", sf_dir)
     events = load_table(spark, "events", sf_dir)
 
-    erased_orders = orders.join(
+    # two-hop key set: o_orderkey (unique, orders pk) of erased orders —
+    # fact-derived, so NOT broadcast-hinted inside _audit... except the
+    # erase cohort keeps it dimension-sized (1/97 of orders); at a scale
+    # where it isn't, drop the broadcast and the left join shuffles on
+    # l_orderkey like any fact-fact semi join
+    erased_order_keys = orders.join(
         F.broadcast(cohort), orders.o_custkey == F.col("k"), "left_semi"
-    )
+    ).select("o_orderkey")
     report = (
         _audit(customer, "c_custkey", "customer")
         .unionByName(_audit(orders, "o_custkey", "orders"))
-        .unionByName(
-            lineitem.agg(F.count(F.lit(1)).alias("rows_total"))
-            .crossJoin(
-                lineitem.join(
-                    erased_orders.select("o_orderkey"),
-                    lineitem.l_orderkey == F.col("o_orderkey"),
-                    "left_semi",
-                ).agg(F.count(F.lit(1)).alias("rows_erased"))
-            )
-            .select(
-                F.lit("lineitem").alias("table_name"),
-                "rows_total",
-                "rows_erased",
-                F.round(F.col("rows_erased") / F.col("rows_total"), 4).alias("erased_pct"),
-            )
-        )
+        .unionByName(_audit(lineitem, "l_orderkey", "lineitem", keys=erased_order_keys))
         .unionByName(_audit(events, "user_id", "events"))
     )
     return report.orderBy("table_name")

@@ -36,12 +36,18 @@ def plan_features(df: DataFrame) -> dict:
     plan = executed_plan(df)
     fmt = formatted_plan(df)
     exchange_keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    # toString re-prints a cached relation's ENTIRE build subtree under
+    # every InMemoryTableScan that references it, though the build
+    # executes once — count each unique line once (repeated prints carry
+    # identical expression ids; genuinely distinct operators get fresh
+    # ids, so content-dedup recovers the runtime counts).
+    uniq = {line.strip(" :+-") for line in plan.splitlines()}
     return {
         "n_exchanges": sum(
-            1 for line in plan.splitlines() if "Exchange " in line and "Reused" not in line
+            1 for line in uniq if "Exchange " in line and "Reused" not in line
         ),
-        "n_broadcasts": plan.count("BroadcastExchange"),
-        "n_scans": plan.count("FileScan") + plan.count("BatchScan"),
+        "n_broadcasts": sum(1 for line in uniq if "BroadcastExchange" in line),
+        "n_scans": sum(1 for line in uniq if "FileScan" in line or "BatchScan" in line),
         "n_codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "has_cartesian": "CartesianProduct" in plan,
         "has_bnl_join": "BroadcastNestedLoopJoin" in plan,

@@ -315,14 +315,15 @@ def chi2_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-squared test of independence between event type and value
     bucket — the categorical-association screen run over feature pairs
     before model training. The contingency table is ONE hash aggregation
-    (|types| x |buckets| cells, metadata-sized); marginals and the
-    statistic fold up in two more tiny aggs, so the fact table is read
-    exactly once regardless of scale."""
+    (|types| x |buckets| cells, metadata-sized) and is CACHED — it feeds
+    four branches (both marginals, the total, the statistic stream), and
+    only the cache makes "the fact table is read exactly once" true."""
     ev = load_table(spark, "events", sf_dir)
     cells = (
         ev.withColumn("bucket", F.floor(F.col("value") / 50).cast("long"))
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("o"))
+        .cache()
     )
     row_m = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
     col_m = cells.groupBy("bucket").agg(F.sum("o").alias("ct"))

@@ -590,7 +590,9 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_t = lifetimes.groupBy("duration_days").agg(
         F.sum("churned").alias("n_events"),
         (F.count(F.lit(1)) - F.sum("churned")).alias("n_censored"),
-    )
+    ).cache()  # distinct-lifetime frame (~hundreds of rows) feeds both
+    # the total subquery and the stepped curve — uncached, each branch
+    # re-ran the fact-sized per-user aggregation
     w = Window.orderBy("duration_days")
     cum_prior = F.coalesce(
         F.sum(F.col("n_events") + F.col("n_censored")).over(
@@ -745,15 +747,18 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     table shuffles twice on the same low-cardinality key; at 100 TB you'd
     swap pass one for ``approx_percentile`` and keep the shape."""
     ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    # the per-group median frames are #event_types-sized; cached so the
+    # two fact branches referencing dev don't re-run pass one (3 fact
+    # scans is MAD's floor: median, residual median, fence count)
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5D)").alias("med")
-    )
+    ).cache()
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "absdev", F.abs(F.col("value") - F.col("med"))
     )
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile(absdev, 0.5D)").alias("mad")
-    )
+    ).cache()
     fenced = dev.join(F.broadcast(mad), "event_type")
     return (
         fenced.groupBy("event_type")

@@ -423,7 +423,9 @@ def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one scan + one |sources|-row broadcast join; no shuffle of the
     corpus itself."""
     docs = load_table(spark, "documents", sf_dir)
-    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    # |sources|-row frame, referenced by totals AND rates — cached so
+    # the corpus groupBy runs once
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total")).cache()
     totals = per_src.agg(
         F.sum(F.sqrt("n_total")).alias("z"),
         F.sum("n_total").alias("corpus_n"),

@@ -265,7 +265,19 @@ def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
-    total = words.agg(F.count(F.lit(1)).alias("n_total"))
+    # total word count WITHOUT a second explode pass: row-local
+    # size(filter(split(...))) folded into a 1-row agg — same tokenizer
+    # expression as `words`, so the count is identical, but the pass
+    # shuffles nothing and never materializes the word stream
+    total = docs.agg(
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""
+                )
+            )
+        ).alias("n_total")
+    )
     return (
         words.join(F.broadcast(candidates), "word")
         .groupBy("word")

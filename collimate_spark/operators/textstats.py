@@ -552,7 +552,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(
         "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
     ).filter(F.col("term") != "")
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # (doc, term) counts feed both the df aggregation and the score join
+    # — cached (MEMORY_AND_DISK) so the corpus tokenize+explode runs
+    # once; recompute would cost a full second corpus pass
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).cache()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

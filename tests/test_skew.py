@@ -116,6 +116,49 @@ def test_hot_lsh_band_bounded_and_green(spark, tmp_path):
     assert got == want
 
 
+def test_bucket_pairs_property(spark):
+    """Property: _bucket_pairs equals the brute-force per-bucket pair set
+    for arbitrary bucket sizes straddling the cap — guards both emit
+    paths (the literal (0,0) fast path for under-cap buckets and the
+    chunk-replica path), including buckets shared across bands."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from collimate_spark.operators.dedup import _bucket_pairs
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        sizes=st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=3),
+        cap=st.integers(min_value=2, max_value=12),
+    )
+    def check(sizes, cap):
+        rows = []
+        base = 0
+        for bi, s in enumerate(sizes):
+            rows += [(base + k, bi) for k in range(s)]
+            base += 1000
+        banded = spark.createDataFrame(rows, "doc_id: long, band_hash: long").withColumn(
+            "band", F.lit(0)
+        )
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in _bucket_pairs(banded, "band", "band_hash", cap=cap).collect()
+        }
+        want = set()
+        base = 0
+        for bi, s in enumerate(sizes):
+            ids = [base + k for k in range(s)]
+            want |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]}
+            base += 1000
+        assert got == want
+
+    check()
+
+
 def test_salt_actually_spreads(spark):
     left, right = _skewed_frames(spark)
     salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(8))

@@ -683,11 +683,16 @@ def set_overlap_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (that's the point of frequency ordering: the inverted index shrinks
     where collisions would be worst). One exact array_intersect verify
     join finishes the job. The DuckDB oracle is the naive O(n²) loop over
-    the same slice — proving the filter loses nothing."""
+    the same slice — proving the filter loses nothing.
+
+    The tokenized slice (4 plan branches) and the prefix index (both
+    sides of the candidate self-join) are cached — uncached, each branch
+    re-ran the tokenize scan and the frequency-order window."""
     docs = (
         load_table(spark, "documents", sf_dir)
         .filter(F.col("doc_id") < OVERLAP_SLICE)
         .select("doc_id", F.array_distinct(X.tokens(F.col("text"))).alias("s"))
+        .cache()
     )
     tok = docs.select("doc_id", F.explode("s").alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
@@ -700,6 +705,7 @@ def set_overlap_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", F.size("s").alias("sz")), "doc_id")
         .filter(F.col("rk") <= F.col("sz") - OVERLAP_T + 1)
         .select("token", "doc_id")
+        .cache()
     )
     cand = (
         prefix.alias("a")

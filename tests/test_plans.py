@@ -7,8 +7,10 @@ regressed plan is still a failure at scale; these tests pin the plans."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from collimate_spark.catalog import load_table
+from collimate_spark.plans import plan_features
 from collimate_spark.operators.relational import (
     q1_pricing_summary,
     q3_shipping_priority,
@@ -542,6 +544,38 @@ def test_bpe_pairs_single_scan_tiny_shuffle(spark, sf_dir):
     plan = _plan(bpe_merge_candidates(spark, sf_dir))
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
+
+
+SCAN_CEILINGS = {
+    # cache/pass-reduction wins of round 4 — a regression that reintroduces
+    # branch recompute shows up here as an extra unique FileScan
+    "dedup_containment": 1,
+    "dedup_ngram_jaccard": 1,
+    "set_overlap_join_prefix": 1,
+    "degree_assortativity": 4,
+    "kaplan_meier_retention": 2,
+    "mad_outliers": 2,
+    "chi2_event_value": 1,
+    "heavy_hitters_words": 3,
+    "gdpr_erasure_audit": 6,
+    "domain_mix_temperature": 2,
+    "tfidf_top_terms": 2,
+    "psi_price_drift": 4,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCAN_CEILINGS))
+def test_scan_ceiling_holds(spark, sf_dir, name):
+    """Unique-FileScan ceilings for the operators whose fact re-scans were
+    eliminated by caching tiny multiply-referenced frames or folding
+    passes; plan_features dedupes cached-build re-prints, so the count is
+    runtime-true."""
+    import __spark_entry__ as entrymod
+
+    f = plan_features(entrymod.queries()[name](spark, sf_dir))
+    assert f["n_scans"] <= SCAN_CEILINGS[name], (
+        f"{name}: {f['n_scans']} scans > ceiling {SCAN_CEILINGS[name]}"
+    )
 
 
 def test_kcore_matches_python_peeling(spark, sf_dir):

@@ -572,6 +572,9 @@ def test_scan_ceiling_holds(spark, sf_dir, name):
     runtime-true."""
     import __spark_entry__ as entrymod
 
+    # cached plans from earlier tests change which subtrees print as
+    # InMemoryRelation — clear for a deterministic count
+    spark.catalog.clearCache()
     f = plan_features(entrymod.queries()[name](spark, sf_dir))
     assert f["n_scans"] <= SCAN_CEILINGS[name], (
         f"{name}: {f['n_scans']} scans > ceiling {SCAN_CEILINGS[name]}"

@@ -26,10 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 #
 # Round-4 rotation (VERDICT r3 directive #1): ALL 50 round-3 window
 # queries went green in CORRECTNESS_r03 (42 hash + 8 rows-only), so the
-# whole window rotates to 50 never-driver-checked queries, capstones and
-# novel-algorithm families first. This cuts the never-checked count from
-# 116 to 66. The rotated-out queries register after slot 50 and stay
-# covered by tests/test_oracle_parity.py at sf0.001 + sf0.01.
+# window rotates to 49 never-driver-checked queries (capstones and
+# novel-algorithm families first) + sessionization_gap, which the same
+# directive keeps windowed until its SECOND green round. This cuts the
+# never-checked count from 116 to 67. The rotated-out queries register
+# after slot 50 and stay covered by tests/test_oracle_parity.py at
+# sf0.001 + sf0.01.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # capstones + novel algorithm families (VERDICT r3's named 18)
     "entity_resolution_customers",
@@ -84,7 +86,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "gdpr_erasure_audit",
     # dedup family completion (parity-only until now)
     "dedup_containment",
-    "block_dedup_stats",
+    # VERDICT r3 directive #1: sessionization_gap stays windowed until it
+    # has a SECOND green driver round (r3 was its first); block_dedup_stats
+    # yields the slot and queues for round 5
+    "sessionization_gap",
 )
 
 # Queries registered but outside the 50-slot window. Two groups:
@@ -162,6 +167,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "encoding_advisor_lineitem",
     "kcore_membership",  # rows-only
     "degree_assortativity",
+    "block_dedup_stats",
     # --- group B: driver-green r1-r3, rotated out of the r4 window ---
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -206,7 +212,6 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
     "q20_excess_shippers",
-    "sessionization_gap",
     "q21_waiting_suppliers",
     "cohort_retention",
     "hypertable_rollup",

@@ -24,16 +24,98 @@ from pyspark.sql import DataFrame, SparkSession
 # The 50 queries the driver verifies, in order. Keep this list at exactly
 # 50 entries; tests/test_registration.py enforces the invariant.
 #
-# Round-4 rotation (VERDICT r3 directive #1): ALL 50 round-3 window
-# queries went green in CORRECTNESS_r03 (42 hash + 8 rows-only), so the
-# window rotates to 49 never-driver-checked queries (capstones and
-# novel-algorithm families first) + sessionization_gap, which the same
-# directive keeps windowed until its SECOND green round. This cuts the
-# never-checked count from 116 to 67. The rotated-out queries register
-# after slot 50 and stay covered by tests/test_oracle_parity.py at
-# sf0.001 + sf0.01.
+# Round-5 rotation (VERDICT r4 directive #1): ALL 50 round-4 window
+# queries went green in CORRECTNESS_r04 (44 hash + 6 rows-only), so the
+# window rotates to the next 50 of the 67 never-driver-checked queries,
+# leading with the ops whose oracles are most informative (the exact twins
+# of the approx machinery, the reconciliation/integrity audits, the graph
+# metrics, and block_dedup_stats — the slot-yielder queued since r3).
+# This cuts the never-checked count from 67 to 17; the remaining 17
+# (mostly rows-only sketch/multimodal variants) are group A below and
+# close the debt in round 6. The rotated-out queries register after slot
+# 50 and stay covered by tests/test_oracle_parity.py at sf0.001 + sf0.01.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # capstones + novel algorithm families (VERDICT r3's named 18)
+    "winsorize_stats",
+    "encoding_advisor_lineitem",
+    "mad_outliers",
+    "ab_test_welch",
+    "referential_integrity_report",
+    "order_total_reconciliation",
+    "block_dedup_stats",
+    "kcore_membership",  # rows-only
+    "degree_assortativity",
+    "skyline_suppliers",
+    "collocation_pmi",
+    "asof_join_nearest",
+    "market_basket_rules",
+    "rolling_median_value",
+    "ewma_value",
+    "asof_join_forward",
+    "salted_join_hot_key",
+    "lm_perplexity_score",
+    "embedding_cluster_cohesion",
+    "ohlc_bars",
+    "time_weighted_average",
+    "anomaly_zscore",
+    "markov_transitions",
+    "zipf_slope",
+    "char_entropy",
+    "weighted_sample_documents",
+    "chi2_event_value",
+    "embedding_gram_matrix",
+    "top_event_paths",
+    "corr_matrix_lineitem",
+    "embedding_dim_stats",
+    "session_window_agg",
+    "session_window_dynamic_gap",
+    "yoy_revenue_growth",
+    "ann_range_search",
+    "conversion_time_quantiles",
+    "bitmap_distinct_counts",
+    "rollup_grouping_id",
+    "agg_percentile_disc",
+    "agg_mode_deterministic",
+    "agg_boolean_counting",
+    "window_distribution_ranks",
+    "listagg_supplier_names",
+    "bottomk_sample_per_group",
+    "dow_seasonality",
+    "acf_daily_events",
+    "longest_daily_streak",
+    "new_vs_returning_daily",
+    "mutual_information_value",
+    "partition_advisor_orders",
+)
+
+# Queries registered but outside the 50-slot window. Two groups:
+#
+# (A) never driver-checked — the round-6 rotation queue (17 entries after
+#     the round-5 re-pin; mostly rows-only sketch/multimodal variants).
+#     All green in tests/test_oracle_parity.py at sf0.001 AND sf0.01.
+# (B) driver-green in r1-r4 — rotated out to free window slots; they stay
+#     covered by the parity suite. tests/test_registration.py accepts a
+#     north-star query being here instead of in the window — but ONLY
+#     here, so the exemption is explicit and reviewed.
+ROTATION_CANDIDATES: tuple[str, ...] = (
+    # --- group A: never driver-checked (round-6 queue) ---
+    "ann_pq_topk",  # rows-only
+    "kmeans_lloyd_clusters",  # rows-only
+    "hll_sketch_partitioned",  # rows-only
+    "multimodal_image_resize",  # rows-only
+    "multimodal_frame_sample",  # rows-only
+    "embedding_jl_projection",  # rows-only
+    "countmin_word_frequencies",  # rows-only
+    "approx_top_k_words",  # rows-only
+    "hll_native_distinct",  # rows-only
+    "approx_percentile_error",  # rows-only
+    "hll_intersection_users",  # rows-only
+    "try_functions_safety",
+    "map_hof_functions",
+    "union_by_name_evolution",
+    "collated_group_count",
+    "xml_roundtrip_stats",
+    "variant_props_stats",
+    # --- group B: driver-green r1-r4, rotated out of the r5 window ---
     "entity_resolution_customers",
     "pit_join_scd2",
     "set_overlap_join_prefix",
@@ -52,7 +134,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_image_dhash_pairs",  # rows-only
     "multimodal_audio_fingerprint_pairs",  # rows-only
     "multimodal_video_scene_cuts",  # rows-only
-    # r3 second-wave priority block (operators/__init__ r3 comment list)
     "ann_ivfpq_topk",  # rows-only
     "cusum_changepoints",
     "inverted_index_postings",
@@ -74,7 +155,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "benford_first_digit",
     "pareto_revenue_share",
     "multimodal_video_features",  # rows-only
-    # post-closing continuation waves
     "bloom_prefilter_join",
     "geo_radius_join_grid",
     "join_skew_diagnostics",
@@ -84,92 +164,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_merge_candidates",
     "lang_id_confusion",
     "gdpr_erasure_audit",
-    # dedup family completion (parity-only until now)
     "dedup_containment",
-    # VERDICT r3 directive #1: sessionization_gap stays windowed until it
-    # has a SECOND green driver round (r3 was its first); block_dedup_stats
-    # yields the slot and queues for round 5
-    "sessionization_gap",
-)
-
-# Queries registered but outside the 50-slot window. Two groups:
-#
-# (A) never driver-checked — the round-5 rotation queue (66 entries after
-#     the round-4 re-pin). All green in tests/test_oracle_parity.py at
-#     sf0.001 AND sf0.01.
-# (B) driver-green in r1-r3 — rotated out to free window slots; they stay
-#     covered by the parity suite. tests/test_registration.py accepts a
-#     north-star query being here instead of in the window — but ONLY
-#     here, so the exemption is explicit and reviewed.
-ROTATION_CANDIDATES: tuple[str, ...] = (
-    # --- group A: never driver-checked (round-5 queue) ---
-    "salted_join_hot_key",
-    "asof_join_forward",
-    "lm_perplexity_score",
-    "embedding_cluster_cohesion",
-    "ohlc_bars",
-    "time_weighted_average",
-    "rolling_median_value",
-    "ewma_value",
-    "anomaly_zscore",
-    "markov_transitions",
-    "winsorize_stats",
-    "skyline_suppliers",
-    "collocation_pmi",
-    "zipf_slope",
-    "char_entropy",
-    "weighted_sample_documents",
-    "chi2_event_value",
-    "embedding_gram_matrix",
-    "kmeans_lloyd_clusters",  # rows-only
-    "hll_sketch_partitioned",  # rows-only
-    "top_event_paths",
-    "market_basket_rules",
-    "corr_matrix_lineitem",
-    "embedding_dim_stats",
-    "session_window_agg",
-    "yoy_revenue_growth",
-    "ann_pq_topk",  # rows-only
-    "ann_range_search",
-    "multimodal_image_resize",  # rows-only
-    "multimodal_frame_sample",  # rows-only
-    "embedding_jl_projection",  # rows-only
-    "countmin_word_frequencies",  # rows-only
-    "union_by_name_evolution",
-    "variant_props_stats",
-    "xml_roundtrip_stats",
-    "collated_group_count",
-    "listagg_supplier_names",
-    "approx_top_k_words",  # rows-only
-    "try_functions_safety",
-    "map_hof_functions",
-    "conversion_time_quantiles",
-    "bitmap_distinct_counts",
-    "hll_native_distinct",  # rows-only
-    "session_window_dynamic_gap",
-    "rollup_grouping_id",
-    "agg_percentile_disc",
-    "agg_mode_deterministic",
-    "asof_join_nearest",
-    "ab_test_welch",
-    "mad_outliers",
-    "referential_integrity_report",
-    "bottomk_sample_per_group",
-    "dow_seasonality",
-    "acf_daily_events",
-    "longest_daily_streak",
-    "approx_percentile_error",  # rows-only
-    "new_vs_returning_daily",
-    "mutual_information_value",
-    "hll_intersection_users",  # rows-only
-    "order_total_reconciliation",
-    "partition_advisor_orders",
-    "encoding_advisor_lineitem",
-    "kcore_membership",  # rows-only
-    "degree_assortativity",
-    "block_dedup_stats",
-    # --- group B: driver-green r1-r3, rotated out of the r4 window ---
-    "dedup_exact",
+    "sessionization_gap",    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_expr",

@@ -266,6 +266,15 @@ def main() -> None:
             results[name] = round(min(times), 3)
         except Exception:
             errors[name] = traceback.format_exc(limit=3)
+        finally:
+            # operators cache small multiply-referenced frames and rely on
+            # the consumer to release them; each bench invocation builds
+            # fresh frames, so earlier queries' blocks are garbage — drop
+            # them between queries so a --wide sweep (200 queries, one
+            # session) doesn't accumulate spilled blocks for the session
+            # lifetime. No cache is shared across queries (catalog.py
+            # never caches), so steady-state timings are unaffected.
+            spark.catalog.clearCache()
 
     try:
         results["ingest_csv_to_columnar"] = bench_ingest(spark)
@@ -306,6 +315,8 @@ def _load_history() -> dict:
             art = json.load(open(p))
         except (OSError, json.JSONDecodeError):
             continue
+        if art.get("rc", 0) not in (0, None):
+            continue  # bench errored that round; partials would mislead
         parsed = art.get("parsed") or art  # driver wraps; accept raw too
         queries = parsed.get("queries") if isinstance(parsed, dict) else None
         if queries:

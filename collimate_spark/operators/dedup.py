@@ -7,6 +7,14 @@ keys (hash buckets / shingles / LSH bands) — candidate generation is never
 O(n²); the only quadratic step is *within* a bucket after blocking, which
 is how near-dedup at 100 TB works in practice (cf. MinHashLSH literature:
 Broder '97; SimHash: Charikar '02).
+
+Cache lifetime: several operators ``.cache()`` a multiply-referenced
+derived frame (shingle sets, candidate pairs) to keep the corpus-scan
+count at 1; the returned DataFrame keeps those blocks referenced, so the
+operators themselves cannot unpersist them. MEMORY_AND_DISK eviction
+bounds memory, and long-lived multi-query sessions (bench.py's sweep does
+this) should call ``spark.catalog.clearCache()`` between queries to
+release superseded blocks.
 """
 
 from __future__ import annotations

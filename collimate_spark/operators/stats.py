@@ -268,14 +268,21 @@ def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total word count WITHOUT a second explode pass: row-local
     # size(filter(split(...))) folded into a 1-row agg — same tokenizer
     # expression as `words`, so the count is identical, but the pass
-    # shuffles nothing and never materializes the word stream
+    # shuffles nothing and never materializes the word stream. The
+    # explicit isNotNull guard keeps it NULL-safe under BOTH sizeOfNull
+    # modes (legacy size(NULL)=-1 would silently subtract 1 per NULL text
+    # row; modern size(NULL)=NULL is merely dropped) — either way the
+    # explode path contributes 0 for a NULL row, so this pass must too
     total = docs.agg(
         F.sum(
-            F.size(
-                F.filter(
-                    F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""
-                )
-            )
+            F.when(
+                F.col("text").isNotNull(),
+                F.size(
+                    F.filter(
+                        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""
+                    )
+                ),
+            ).otherwise(F.lit(0))
         ).alias("n_total")
     )
     return (

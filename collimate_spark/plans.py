@@ -25,6 +25,35 @@ def formatted_plan(df: DataFrame) -> str:
     return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
+def _runtime_lines(plan: str) -> list[str]:
+    """Plan lines with each cached build subtree counted ONCE.
+
+    A line nested under an ``InMemoryTableScan`` node is a re-print of a
+    cache's build plan (executed once per cache, not once per reference)
+    — those dedupe globally on content. Every other line counts per
+    occurrence, because identical sibling subtrees OUTSIDE a cache
+    really do execute per branch. Nesting is recovered from the
+    ``toString`` indentation prefix (`` :+-`` gutter width)."""
+    out: list[str] = []
+    seen_cached: set[str] = set()
+    cache_depths: list[int] = []  # gutter widths of open InMemoryTableScans
+    for raw in plan.splitlines():
+        content = raw.lstrip(" :+-")
+        depth = len(raw) - len(content)
+        while cache_depths and depth <= cache_depths[-1]:
+            cache_depths.pop()
+        under_cache = bool(cache_depths)
+        if "InMemoryTableScan" in content:
+            cache_depths.append(depth)
+        stripped = raw.strip(" :+-")
+        if under_cache:
+            if stripped in seen_cached:
+                continue
+            seen_cached.add(stripped)
+        out.append(stripped)
+    return out
+
+
 def plan_features(df: DataFrame) -> dict:
     """Distill the physical plan into scale-relevant counts.
 
@@ -38,10 +67,14 @@ def plan_features(df: DataFrame) -> dict:
     exchange_keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     # toString re-prints a cached relation's ENTIRE build subtree under
     # every InMemoryTableScan that references it, though the build
-    # executes once — count each unique line once (repeated prints carry
-    # identical expression ids; genuinely distinct operators get fresh
-    # ids, so content-dedup recovers the runtime counts).
-    uniq = {line.strip(" :+-") for line in plan.splitlines()}
+    # executes once — dedupe ONLY lines inside those subtrees (keyed on
+    # content, shared across all InMemoryTableScans of the same cache).
+    # Lines outside any cached subtree count per occurrence: an UNCACHED
+    # subtree shared by two plan branches prints with identical
+    # expression ids too but genuinely executes per branch, so a global
+    # content-dedup would hide exactly the cache-removal regressions the
+    # scan ceilings exist to catch.
+    uniq = _runtime_lines(plan)
     return {
         "n_exchanges": sum(
             1 for line in uniq if "Exchange " in line and "Reused" not in line

@@ -554,7 +554,11 @@ SCAN_CEILINGS = {
     "set_overlap_join_prefix": 1,
     "degree_assortativity": 4,
     "kaplan_meier_retention": 2,
-    "mad_outliers": 2,
+    # 3 is MAD's floor (median, residual median, fence count) — the old
+    # ceiling of 2 was an artifact of plan_features' global line dedup
+    # collapsing the two genuinely-executing dev branches; the honest
+    # cached-subtree-only dedup counts all three
+    "mad_outliers": 3,
     "chi2_event_value": 1,
     "heavy_hitters_words": 3,
     "gdpr_erasure_audit": 6,
@@ -660,3 +664,21 @@ def test_kcore_warns_when_round_cap_hit(spark):
     finally:
         g._copurchase_edges = orig_loader
         g.KCORE_MAX_ROUNDS = orig_rounds
+
+
+def test_gdpr_shuffle_fallback_identical(spark, sf_dir):
+    """Force gdpr_erasure_audit's size-gated fallback (broadcast disabled
+    → threshold 0, so the fact-derived order-key set never fits): the
+    shuffle-join path must produce EXACTLY the broadcast path's report."""
+    from collimate_spark.operators.quality import gdpr_erasure_audit
+
+    spark.catalog.clearCache()
+    baseline = sorted(map(tuple, gdpr_erasure_audit(spark, sf_dir).collect()))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.catalog.clearCache()
+    try:
+        fallback = sorted(map(tuple, gdpr_erasure_audit(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert fallback == baseline

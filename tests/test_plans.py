@@ -682,3 +682,94 @@ def test_gdpr_shuffle_fallback_identical(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert fallback == baseline
+
+
+def test_mad_outliers_approx_mode_within_gk_bound(spark, sf_dir):
+    """approx=True swaps both grouped medians for GK sketches.
+    approx_percentile returns an actual data value (no interpolation),
+    so the guarantee to pin is RANK, not value: each approx median's
+    rank within its group must sit within the GK bound of 0.5, the MAD
+    likewise over residuals against that median, and the fence count may
+    differ from exact only marginally."""
+    import pandas as pd
+
+    from collimate_spark.catalog import load_table
+    from collimate_spark.operators.dataeng import APPROX_PCT_ACCURACY
+    from collimate_spark.operators.stats import mad_outliers
+
+    spark.catalog.clearCache()
+    exact = {r.event_type: r for r in mad_outliers(spark, sf_dir).collect()}
+    approx = {
+        r.event_type: r for r in mad_outliers(spark, sf_dir, approx=True).collect()
+    }
+    assert exact.keys() == approx.keys()
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("event_type", "value")
+        .toPandas()
+    )
+    for k, grp in ev.groupby("event_type"):
+        vals = grp["value"].dropna().to_numpy()
+        n = len(vals)
+        tol = 1.0 / APPROX_PCT_ACCURACY + 1.0 / n  # GK + rounding slack
+        med = approx[k].median_value  # rounded to 4dp; ranks unaffected
+        assert abs((vals <= med + 1e-4).sum() / n - 0.5) <= tol + 0.5 / n, k
+        absdev = abs(vals - med)
+        mad = approx[k].mad
+        assert abs((absdev <= mad + 1e-3).sum() / n - 0.5) <= tol + 1.0 / n, k
+        assert exact[k].n == approx[k].n
+        # a rank-bounded median shift can only flip rows hugging the fence
+        assert abs(exact[k].n_outliers - approx[k].n_outliers) <= max(
+            2, int(0.01 * exact[k].n)
+        )
+
+
+def test_conversion_time_quantiles_approx_mode_within_gk_bound(spark, sf_dir):
+    """approx=True swaps p50/p90 for GK sketches. Recompute the per-user
+    click→next-purchase delays in pandas (the oracle recurrence) and pin
+    each approx quantile's RANK within its bucket to the GK bound —
+    approx_percentile returns a real delay value, not an interpolation,
+    so value-equality with exact mode is not the contract."""
+    from collimate_spark.catalog import load_table
+    from collimate_spark.operators.dataeng import APPROX_PCT_ACCURACY
+    from collimate_spark.operators.events import conversion_time_quantiles
+
+    exact = {
+        r.user_bucket: r for r in conversion_time_quantiles(spark, sf_dir).collect()
+    }
+    approx = {
+        r.user_bucket: r
+        for r in conversion_time_quantiles(spark, sf_dir, approx=True).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        assert exact[k].n_conversions == approx[k].n_conversions
+        assert exact[k].max_s == approx[k].max_s
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+    )
+    ev = ev[ev.event_type.isin(["click", "purchase"])].sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    delays: dict[int, list[float]] = {}
+    for uid, grp in ev.groupby("user_id"):
+        nxt = None
+        for row in grp.iloc[::-1].itertuples():
+            if row.event_type == "purchase":
+                nxt = row.ts
+            elif nxt is not None:
+                delays.setdefault(int(uid) % 5, []).append(
+                    (nxt - row.ts).total_seconds()
+                )
+    for k, ds in delays.items():
+        n = len(ds)
+        assert approx[k].n_conversions == n
+        tol = 1.0 / APPROX_PCT_ACCURACY + 1.0 / n
+        for q, field in ((0.5, "p50_s"), (0.9, "p90_s")):
+            a = getattr(approx[k], field)  # rounded to 2dp
+            rank = sum(1 for d in ds if d <= a + 0.006) / n
+            assert abs(rank - q) <= tol + 1.0 / n, (k, field, a, rank)

@@ -488,9 +488,15 @@ def cdc_apply_stream(changes: DataFrame, table_dir: str, checkpoint: str):
     Idempotent under replay: applying the same collapsed batch to the
     post-merge table is a fixpoint (upserts re-write identical rows,
     deletes re-delete absent keys), so a foreachBatch retry cannot
-    corrupt state. On a real deployment the swap is a MERGE INTO on an
-    ACID table format; the join shape — one co-partitioned merge on the
-    table's key — is identical."""
+    corrupt state — tests/test_streaming.py kills a run mid-stream and
+    restarts it from the checkpoint to pin this. Like any MERGE-based
+    CDC apply (Debezium→Kafka→MERGE INTO), it assumes in-order delivery
+    per key ACROSS micro-batches (the source's epoch order follows file
+    modification time; checkpoint replay preserves it) — out-of-order
+    sources need a seq-aware merge plus delete tombstones instead. On a
+    real deployment the swap is a MERGE INTO on an ACID table format;
+    the join shape — one co-partitioned merge on the table's key — is
+    identical."""
     import os
     import shutil
     import uuid

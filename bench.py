@@ -183,6 +183,9 @@ EXTRA_QUERIES = [
     "multimodal_video_scene_cuts",
     "kcore_membership",
     "degree_assortativity",
+    # round 5: last two window queries previously outside the wide set
+    "agg_boolean_counting",
+    "window_distribution_ranks",
 ]
 
 

@@ -37,11 +37,27 @@ def _runtime_lines(plan: str) -> list[str]:
     out: list[str] = []
     seen_cached: set[str] = set()
     cache_depths: list[int] = []  # gutter widths of open InMemoryTableScans
+    skip_depths: list[int] = []  # gutter widths of open "== Initial Plan ==" headers
     for raw in plan.splitlines():
         content = raw.lstrip(" :+-")
         depth = len(raw) - len(content)
         while cache_depths and depth <= cache_depths[-1]:
             cache_depths.pop()
+        # strict <: section BODY lines print at the SAME gutter depth as
+        # the "== Initial Plan ==" header; the section is always the last
+        # one inside its AdaptiveSparkPlan, so it ends when the tree
+        # returns to a shallower ancestor
+        while skip_depths and depth < skip_depths[-1]:
+            skip_depths.pop()
+        # an executed AdaptiveSparkPlan prints BOTH "== Final Plan ==" and
+        # "== Initial Plan ==" sections; the Initial section is the
+        # pre-AQE plan that never runs once isFinalPlan=true — drop it
+        # wholesale (its distinct expression ids defeat content-dedup)
+        if content.startswith("== Initial Plan =="):
+            skip_depths.append(depth)
+            continue
+        if skip_depths:
+            continue
         under_cache = bool(cache_depths)
         if "InMemoryTableScan" in content:
             cache_depths.append(depth)

@@ -703,12 +703,23 @@ def set_overlap_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     tok = docs.select("doc_id", F.explode("s").alias("token"))
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq")).cache()
     from pyspark.sql import Window
+
+    from collimate_spark.operators.graph import _broadcast_threshold_bytes
+
+    # freq is VOCABULARY-sized (Heaps-law growth with the corpus —
+    # unbounded at 100 TB), so its broadcast is SIZE-GATED (gdpr/kcore
+    # pattern): cached, counted, hinted only under the session
+    # threshold; beyond it the join degrades to a token-partitioned
+    # shuffle (co-keyed already). ~16-char token + long ≈ 64 bytes/row
+    # in a broadcast hashed relation.
+    freq_fits = freq.count() * 64 <= _broadcast_threshold_bytes(spark)
+    freq_side = F.broadcast(freq) if freq_fits else freq
 
     w = Window.partitionBy("doc_id").orderBy(F.col("freq").asc(), F.col("token").asc())
     prefix = (
-        tok.join(F.broadcast(freq), "token")
+        tok.join(freq_side, "token")
         .withColumn("rk", F.row_number().over(w))
         .join(docs.select("doc_id", F.size("s").alias("sz")), "doc_id")
         .filter(F.col("rk") <= F.col("sz") - OVERLAP_T + 1)

@@ -773,3 +773,27 @@ def test_conversion_time_quantiles_approx_mode_within_gk_bound(spark, sf_dir):
             a = getattr(approx[k], field)  # rounded to 2dp
             rank = sum(1 for d in ds if d <= a + 0.006) / n
             assert abs(rank - q) <= tol + 1.0 / n, (k, field, a, rank)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["asof_join_forward", "lm_perplexity_score", "set_overlap_join_prefix"],
+)
+def test_size_gated_broadcast_fallback_identical(spark, sf_dir, name):
+    """Round-5 size gates (fact-/vocab-proportional frames): force the
+    shuffle fallback (broadcast disabled → threshold 0) and require the
+    output to match the broadcast path exactly — same contract as
+    kcore's and gdpr's gates."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()[name]
+    spark.catalog.clearCache()
+    baseline = sorted(map(tuple, q(spark, sf_dir).collect()))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.catalog.clearCache()
+    try:
+        fallback = sorted(map(tuple, q(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert fallback == baseline

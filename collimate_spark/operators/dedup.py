@@ -846,20 +846,28 @@ def block_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     appear verbatim in at least one OTHER document. High dup_fraction
     with low whole-doc similarity = templated/boilerplate content.
 
-    Scale: block generation is a row-local HOF flatMap; the only
+    Scale: block generation is a row-local HOF flatMap; blocks travel
+    as 64-bit xxhash64 keys from the first shuffle on (16 bytes/row
+    instead of ~100-char strings — exactly how shingles travel in the
+    MinHash family; collision odds at corpus scale ≈ n²/2⁶⁵), and the
+    hashed block stream is cached so its two consumers (block-frequency
+    groupBy, per-doc join-back) cost ONE tokenize pass. The only
     shuffles are the block-frequency groupBy (vocabulary-of-blocks
-    sized) and the per-doc re-aggregation. Blocks could travel as
-    64-bit hashes exactly like shingles at 100 TB."""
+    sized) and the per-doc re-aggregation."""
     docs = load_table(spark, "documents", sf_dir)
     toks = "split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')"
     blocks_expr = (
         f"transform(sequence(0, CAST(ceil(size({toks}) / {_BLOCK_WORDS}.0) AS INT) - 1), "
         f"i -> array_join(slice({toks}, i * {_BLOCK_WORDS} + 1, {_BLOCK_WORDS}), ' '))"
     )
-    blocks = docs.selectExpr("doc_id", f"posexplode({blocks_expr}) AS (pos, block)")
-    freq = blocks.groupBy("block").agg(F.countDistinct("doc_id").alias("n_docs"))
+    blocks = (
+        docs.selectExpr("doc_id", f"posexplode({blocks_expr}) AS (pos, block)")
+        .select("doc_id", F.xxhash64("block").alias("bh"))
+        .cache()
+    )
+    freq = blocks.groupBy("bh").agg(F.countDistinct("doc_id").alias("n_docs"))
     return (
-        blocks.join(freq, "block")
+        blocks.join(freq, "bh")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_blocks"),

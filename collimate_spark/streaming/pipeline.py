@@ -303,16 +303,19 @@ def near_dup_stream(
 ):
     """Streaming near-dup detection: foreachBatch wiring of
     ``near_dup_candidates_batch``. Each micro-batch's candidate pairs
-    append to ``out_dir`` tagged with their epoch; the band index
-    accumulates under ``index_dir``. The streaming twin of
-    ``dedup_minhash_lsh`` — same kernel, same banding, same bucket cap."""
+    land in ``out_dir/epoch=N`` via OVERWRITE — epoch-partitioned like
+    the band index, so a foreachBatch retry after a crash REPLACES the
+    half-written epoch instead of appending duplicate pairs (blind
+    ``append`` is not exactly-once under replay; the crash-recovery
+    test pins this). The band index accumulates under ``index_dir``.
+    The streaming twin of ``dedup_minhash_lsh`` — same kernel, same
+    banding, same bucket cap."""
+    import os
 
     def _body(batch: DataFrame, epoch_id: int) -> None:
         flags = near_dup_candidates_batch(batch, index_dir, epoch_id)
-        (
-            flags.withColumn("epoch", F.lit(epoch_id))
-            .write.mode("append")
-            .parquet(out_dir)
+        flags.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
         )
 
     return (

@@ -673,3 +673,55 @@ def test_cdc_apply_stream_crash_recovery_exactly_once(spark, tmp_path):
     }
     got = {r.key: r.value for r in spark.read.parquet(table).collect()}
     assert got == expected, (got, expected, interrupted)
+
+
+def test_near_dup_stream_crash_recovery_no_duplicates(spark, tmp_path):
+    """Kill a near_dup_stream mid-run, restart from the same checkpoint,
+    and require (a) the final pair set equals the uninterrupted run's
+    expectations and (b) NO duplicate rows — the epoch-partitioned
+    overwrite sink must make a replayed epoch replace, never append."""
+    import json
+
+    from collimate_spark.streaming.pipeline import near_dup_stream
+
+    indir = str(tmp_path / "nd_in")
+    index_dir = str(tmp_path / "nd_index")
+    out_dir = str(tmp_path / "nd_out")
+    ckpt = str(tmp_path / "nd_ckpt")
+    os.makedirs(indir)
+
+    def _write_docs(name, docs, mtime):
+        p = os.path.join(indir, name)
+        with open(p, "w") as fh:
+            for i, t in docs:
+                fh.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    _write_docs("b1.jsonl", [(1, _T1), (2, _T2)], 1_700_000_000)
+    _write_docs("b2.jsonl", [(11, _T1), (12, _T3), (13, _T2), (14, _T2)], 1_700_000_001)
+
+    def _reader():
+        return (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(indir)
+        )
+
+    q1 = near_dup_stream(_reader(), index_dir, out_dir, ckpt)
+    deadline = time.time() + 120
+    while not os.path.isdir(out_dir) and time.time() < deadline:
+        time.sleep(0.05)
+    assert os.path.isdir(out_dir), "first epoch never committed"
+    q1.stop()
+    q1.awaitTermination(60)
+
+    q2 = near_dup_stream(_reader(), index_dir, out_dir, ckpt)
+    q2.awaitTermination(180)
+
+    rows = spark.read.option("basePath", out_dir).parquet(out_dir).collect()
+    triples = [(r.doc_a, r.doc_b, r.kind) for r in rows]
+    assert len(triples) == len(set(triples)), "replayed epoch duplicated pairs"
+    pairs = set(triples)
+    assert (13, 14, "within_batch") in pairs
+    assert (11, 1, "cross_batch") in pairs
+    assert (13, 2, "cross_batch") in pairs and (14, 2, "cross_batch") in pairs

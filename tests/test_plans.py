@@ -565,6 +565,11 @@ SCAN_CEILINGS = {
     "domain_mix_temperature": 2,
     "tfidf_top_terms": 2,
     "psi_price_drift": 4,
+    # round-5 single-scan rewrites: basket-set pair generation, first-5
+    # session pre-filter, hashed-block cache — one FileScan each
+    "market_basket_rules": 1,
+    "top_event_paths": 1,
+    "block_dedup_stats": 1,
 }
 
 

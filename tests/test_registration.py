@@ -71,3 +71,14 @@ def test_oracles_subset_of_queries():
     q = set(entrymod.queries().keys())
     extra = set(entrymod.oracle_sql().keys()) - q
     assert not extra, f"oracles without queries: {extra}"
+
+
+def test_driver_window_fully_benched():
+    """VERDICT r4 directive #6, made structural: every query in the
+    driver window must be in bench.py's measured set (headline or
+    wide), so no CORRECTNESS window ever exposes an un-benched plan."""
+    import bench
+
+    covered = set(bench.BENCH_QUERIES) | set(bench.EXTRA_QUERIES)
+    missing = [n for n in DRIVER_PRIORITY if n not in covered]
+    assert not missing, f"window queries not benched: {missing}"

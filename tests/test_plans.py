@@ -802,3 +802,47 @@ def test_size_gated_broadcast_fallback_identical(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert fallback == baseline
+
+
+def test_runtime_lines_counting_rules():
+    """Pin _runtime_lines' three rules on a synthetic toString plan:
+    (1) lines under an InMemoryTableScan dedupe on content across ALL
+    re-prints of the same cache build; (2) identical sibling subtrees
+    OUTSIDE a cache count per occurrence (they really execute twice);
+    (3) '== Initial Plan ==' sections drop wholesale, while the final
+    plan's lines at the same gutter depth survive."""
+    from collimate_spark.plans import _runtime_lines
+
+    plan = "\n".join([
+        "AdaptiveSparkPlan isFinalPlan=false",
+        "+- Union",
+        "   :- HashAggregate A",
+        "   :  +- FileScan parquet [shared]",          # uncached branch 1
+        "   :- HashAggregate B",
+        "   :  +- FileScan parquet [shared]",          # identical, executes again
+        "   :- Filter f",
+        "   :  +- InMemoryTableScan [x]",
+        "   :        +- InMemoryRelation [x]",
+        "   :              +- FileScan parquet [cached]",   # build print 1
+        "   +- Project p",
+        "      +- InMemoryTableScan [x]",
+        "            +- InMemoryRelation [x]",
+        "                  +- FileScan parquet [cached]",   # re-print, same cache
+        "                  +- AdaptiveSparkPlan isFinalPlan=true",
+        "                     +- == Final Plan ==",
+        "                        ResultQueryStage 1",
+        "                        +- FileScan parquet [final]",
+        "                     +- == Initial Plan ==",
+        "                        Exchange never-ran",
+        "                        +- FileScan parquet [initial-only]",
+    ])
+    lines = _runtime_lines(plan)
+    scans = [l for l in lines if "FileScan" in l]
+    # two real uncached executions + one cached build + one final-plan scan
+    assert scans.count("FileScan parquet [shared]") == 2
+    assert scans.count("FileScan parquet [cached]") == 1
+    assert scans.count("FileScan parquet [final]") == 1
+    assert not any("initial-only" in l for l in lines)
+    assert not any("never-ran" in l for l in lines)
+    # both InMemoryTableScan references themselves count (real cache reads)
+    assert sum(1 for l in lines if "InMemoryTableScan" in l) == 2

@@ -616,27 +616,44 @@ def encoding_advisor_lineitem(
         flagged = flagged.withColumn(
             f"chg_{n}", (prev.isNull() | (F.col(f"v_{n}") != prev)).cast("long")
         ).withColumn(f"ad_{n}", F.abs(F.col(f"v_{n}") - prev))
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for n, _ in _ENC_COLS:
-        if approx:
-            # scale mode: GK sketch over the FULL delta stream (bounded
-            # buffer, no sample) + HLL distinct — constant memory per agg
-            nd = F.approx_count_distinct(f"v_{n}").alias(f"nd_{n}")
-            d95 = F.expr(
-                f"approx_percentile(ad_{n}, 0.95D, {APPROX_PCT_ACCURACY})"
-            ).alias(f"d95_{n}")
-        else:
-            nd = F.countDistinct(f"v_{n}").alias(f"nd_{n}")
-            # exact p95 buffers every value; a deterministic 1/16
-            # orderkey-keyed sample is unbiased for the delta
-            # distribution and shrinks the five ObjectHashAggregate
-            # buffers 16× (4.9s → ~1.5s at sf0.1; both engines sample
-            # identically so parity is exact)
-            d95 = F.expr(
-                f"percentile(CASE WHEN ord_key % 16 = 0 THEN ad_{n} END, 0.95D)"
-            ).alias(f"d95_{n}")
-        aggs += [nd, F.sum(f"chg_{n}").alias(f"runs_{n}"), d95]
-    wide = flagged.agg(*aggs)
+    if approx:
+        # scale mode: GK sketch over the FULL delta stream (bounded
+        # buffer, no sample) + HLL distinct — constant memory per agg,
+        # and no Expand (HLL distinct is a plain aggregate), so ONE agg
+        # over the windowed stream is the right shape
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for n, _ in _ENC_COLS:
+            aggs += [
+                F.approx_count_distinct(f"v_{n}").alias(f"nd_{n}"),
+                F.sum(f"chg_{n}").alias(f"runs_{n}"),
+                F.expr(
+                    f"approx_percentile(ad_{n}, 0.95D, {APPROX_PCT_ACCURACY})"
+                ).alias(f"d95_{n}"),
+            ]
+        wide = flagged.agg(*aggs)
+    else:
+        # exact mode: five COUNT(DISTINCT) in one aggregate plan as an
+        # Expand that replicates the WINDOWED stream 6× — so the stream
+        # is cached and the distinct pass runs as its own agg beside the
+        # runs/percentile agg (no expand there), 1-row results crossJoined
+        # back (measured 4.1s → 2.8s at sf0.1). The exact p95 buffers
+        # every value; a deterministic 1/16 orderkey-keyed sample is
+        # unbiased for the delta distribution and shrinks the five
+        # ObjectHashAggregate buffers 16× — both engines sample
+        # identically so parity is exact.
+        flagged = flagged.cache()
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for n, _ in _ENC_COLS:
+            aggs += [
+                F.sum(f"chg_{n}").alias(f"runs_{n}"),
+                F.expr(
+                    f"percentile(CASE WHEN ord_key % 16 = 0 THEN ad_{n} END, 0.95D)"
+                ).alias(f"d95_{n}"),
+            ]
+        nd = flagged.agg(
+            *[F.countDistinct(f"v_{n}").alias(f"nd_{n}") for n, _ in _ENC_COLS]
+        )
+        wide = flagged.agg(*aggs).crossJoin(F.broadcast(nd))
     stacked = wide.selectExpr(
         "n_rows",
         "stack({}, {}) AS (col_name, n_distinct, n_runs, d95)".format(

@@ -170,7 +170,17 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation (2 extra fact shuffles + 2 extra scans, measured 2×
     slower at sf0.1). The full Apriori generalization iterates this
     same shape per itemset size — the pair pass shown here is the one
-    that matters at scale (larger itemsets prune exponentially)."""
+    that matters at scale (larger itemsets prune exponentially).
+
+    The item-marginal joins are SIZE-GATED: ``item_c`` is |distinct
+    items|-sized — catalog-proportional, not constant — so it broadcasts
+    only while its counted size fits under the session broadcast
+    threshold (cache → count → hint-if-fits, the same gate as
+    asof_join_forward / kcore); past that the marginal joins fall back
+    to shuffle joins on the already-reduced pair frame. Caches here are
+    per-query scratch: long-lived multi-query sessions should
+    ``spark.catalog.clearCache()`` between queries (see
+    ``operators/__init__`` docstring)."""
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
     baskets = (
         li.groupBy("l_orderkey")
@@ -193,9 +203,15 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         baskets.select(F.explode("items").alias("k"))
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("c"))
+        .cache()  # counted once for the gate, read twice by the joins
     )
-    cx = F.broadcast(item_c.select(F.col("k").alias("x"), F.col("c").alias("c_x")))
-    cy = F.broadcast(item_c.select(F.col("k").alias("y"), F.col("c").alias("c_y")))
+    # (long k, long c) row in a broadcast hashed relation ≈ 16 data
+    # bytes + overhead; same conservative 48 B/row as asof_join_forward
+    fits = item_c.count() * 48 <= _broadcast_threshold_bytes(spark)
+    cx = item_c.select(F.col("k").alias("x"), F.col("c").alias("c_x"))
+    cy = item_c.select(F.col("k").alias("y"), F.col("c").alias("c_y"))
+    if fits:
+        cx, cy = F.broadcast(cx), F.broadcast(cy)
     return (
         pair_c.join(cx, "x")
         .join(cy, "y")
@@ -351,10 +367,14 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins are SIZE-GATED in code (``_semi_join_survivors``): broadcast
     while the set fits under spark.sql.autoBroadcastJoinThreshold,
     plain shuffle left-semi joins beyond it — same shape, no broadcast
-    ceiling at 100 TB vertex cardinalities. Rows-only (iterative
-    deletion is not monotone, so no recursive-CTE oracle exists); tests
-    verify against pure-Python peeling on the collected edge list, and
-    force the shuffle fallback path with a floored threshold."""
+    ceiling at 100 TB vertex cardinalities. Oracled by BOUNDED UNROLLING
+    (``KCORE_SQL``): peeling is not monotone, so a recursive CTE can't
+    express it, but the round cap makes it finite — KCORE_MAX_ROUNDS
+    chained CTEs, each one peel step; post-fixpoint rounds are no-ops,
+    so the unrolled result equals the early-breaking loop exactly.
+    Tests additionally verify against pure-Python peeling on the
+    collected edge list, and force the shuffle fallback path with a
+    floored threshold."""
     e = _copurchase_edges(spark, sf_dir)
     # the edge list materializes ONCE; every round iterates only the
     # (vertex-sized) survivor set against it — never re-materializing
@@ -398,6 +418,45 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .orderBy("node")
     )
+
+
+def _kcore_sql() -> str:
+    """DuckDB oracle for ``kcore_membership`` by bounded unrolling: the
+    peeling loop is capped at KCORE_MAX_ROUNDS, so it unrolls into that
+    many chained aggregate CTEs (alive_i = vertices of alive_{i-1} with
+    ≥ k surviving neighbors). Rounds past the fixpoint are identity, so
+    alive_N equals whatever round the Spark loop broke on."""
+    # AS MATERIALIZED is load-bearing: each round references the previous
+    # round twice, so inlined CTEs would expand the plan 2^rounds-fold
+    # (DuckDB actually exhausts file handles re-scanning the parquet);
+    # materialization makes evaluation linear in the round count.
+    steps = ["alive0 AS MATERIALIZED (SELECT DISTINCT x FROM sym)"]
+    for i in range(1, KCORE_MAX_ROUNDS + 1):
+        steps.append(
+            f"alive{i} AS MATERIALIZED (\n"
+            f"  SELECT s.x FROM sym s\n"
+            f"  JOIN alive{i - 1} a ON a.x = s.x\n"
+            f"  JOIN alive{i - 1} b ON b.x = s.y\n"
+            f"  GROUP BY s.x HAVING COUNT(*) >= {KCORE_K}\n"
+            ")"
+        )
+    last = f"alive{KCORE_MAX_ROUNDS}"
+    return (
+        f"WITH {_EDGES_CTE},\n"
+        "sym AS MATERIALIZED (SELECT x, y FROM edges UNION ALL SELECT y, x FROM edges),\n"
+        + ",\n".join(steps)
+        + f"""
+SELECT s.x AS node, COUNT(*) AS core_degree
+FROM sym s
+JOIN {last} a ON a.x = s.x
+JOIN {last} b ON b.x = s.y
+GROUP BY s.x
+ORDER BY node
+"""
+    )
+
+
+KCORE_SQL = _kcore_sql()
 
 
 def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,4 +513,5 @@ ORACLES = {
     "pagerank_copurchase": PAGERANK_SQL,
     "market_basket_rules": MARKET_BASKET_SQL,
     "bfs_distances": BFS_SQL,
+    "kcore_membership": KCORE_SQL,
 }

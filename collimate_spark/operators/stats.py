@@ -504,9 +504,12 @@ CM_W = 128  # counters per row
 
 
 def _cm_hash(r: int, word: str) -> int:
-    import zlib
+    # md5-prefix rather than crc32: identical bytes-in → bucket-out is
+    # reproducible in DuckDB as ('0x'||substr(md5(s),1,8))::BIGINT, which
+    # is what upgrades this query from rows-only to fully DuckDB-oracled
+    import hashlib
 
-    return zlib.crc32(f"{r}:{word}".encode()) % CM_W
+    return int(hashlib.md5(f"{r}:{word}".encode()).hexdigest()[:8], 16) % CM_W
 
 
 def _cm_partition(pdfs) -> "pd.DataFrame":
@@ -536,9 +539,13 @@ def countmin_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters, read from the broadcast 512-cell merged matrix) joins the
     exact counts for an auditable error column. The exact pass exists
     here to EXPOSE the guarantee; at 100 TB you keep only the sketch and
-    answer point queries from half a kilobyte of state. Rows-only driver
-    check (hash-layout-specific); the CM guarantees (no underestimate,
-    bounded overestimate) are asserted in tests/test_quantile_sketch.py."""
+    answer point queries from half a kilobyte of state. CM is LINEAR, so
+    the merged matrix is independent of the partition grid, and the
+    md5-prefix hash is engine-portable — the whole output is therefore
+    deterministic and DuckDB-oracled (COUNTMIN_SQL rebuilds the exact
+    matrix relationally). The CM guarantees (no underestimate, bounded
+    overestimate) are additionally asserted in
+    tests/test_quantile_sketch.py."""
     docs = load_table(spark, "documents", sf_dir)
     merged = (
         docs.select("text")
@@ -568,6 +575,43 @@ def countmin_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("overcount", F.col("cm_est") - F.col("freq"))
         .orderBy("word")
     )
+
+
+# Relational rebuild of the identical CM matrix: every (row, word) pair
+# lands in cell ('0x'||substr(md5(r||':'||word),1,8))::BIGINT % W — the
+# same md5-prefix bucket as Python's int(md5(...)[:8], 16) % W — so the
+# cell sums and the min-over-rows point estimates match exactly.
+COUNTMIN_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+  FROM documents
+),
+words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM toks WHERE word <> '' GROUP BY word
+),
+cells AS (
+  SELECT t.r,
+         ('0x' || substr(md5(t.r || ':' || word), 1, 8))::BIGINT % {CM_W} AS c,
+         SUM(freq) AS cnt
+  FROM words, range({CM_D}) t(r)
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT w.word, w.freq, MIN(cl.cnt) AS cm_est
+  FROM words w
+  CROSS JOIN range({CM_D}) t(r)
+  JOIN cells cl
+    ON cl.r = t.r
+   AND cl.c = ('0x' || substr(md5(t.r || ':' || w.word), 1, 8))::BIGINT % {CM_W}
+  GROUP BY 1, 2
+)
+SELECT word, freq,
+       CAST(cm_est AS BIGINT) AS cm_est,
+       CAST(cm_est - freq AS BIGINT) AS overcount
+FROM est
+ORDER BY word
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1101,4 +1145,5 @@ ORACLES = {
     "mad_outliers": MAD_OUTLIERS_SQL,
     "bootstrap_mean_ci": _bootstrap_sql(),
     "mutual_information_value": MUTUAL_INFORMATION_SQL,
+    "countmin_word_frequencies": COUNTMIN_SQL,
 }

@@ -186,6 +186,8 @@ EXTRA_QUERIES = [
     # round 5: last two window queries previously outside the wide set
     "agg_boolean_counting",
     "window_distribution_ranks",
+    # round 6: window re-verification capstone previously un-benched
+    "dedup_connected_components",
 ]
 
 
@@ -296,8 +298,30 @@ def main() -> None:
         payload["errors"] = errors
     history = _load_history()
     if history:
-        payload["history"] = history
-    print(json.dumps(payload))
+        # Totals only on stdout: the driver's artifact keeps just the
+        # LAST 2000 stdout chars, and round 5 proved that per-query
+        # history grows the payload line past that window, truncating
+        # the headline `value` out of the official record. Per-query
+        # history remains available to readers in the BENCH_r*.json
+        # artifacts themselves (which _load_history reads).
+        payload["history_totals"] = {k: v["total"] for k, v in history.items()}
+    line = json.dumps(payload)
+    print(line)
+    # keep the one-line contract verifiable: the payload must fit the
+    # driver's tail capture with headroom for trailing log noise
+    if len(line) > 1900:
+        print(
+            json.dumps(
+                {
+                    "metric": payload["metric"],
+                    "value": payload["value"],
+                    "unit": payload["unit"],
+                    "sf": payload["sf"],
+                    "n_queries": len(results),
+                    "n_errors": len(errors),
+                }
+            )
+        )
 
 
 def _load_history() -> dict:

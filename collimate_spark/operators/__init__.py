@@ -13,6 +13,18 @@ similarity / textstats / multimodal / udx) first, then the most
 informative one-per-operator relational / join / window / event queries.
 Everything else (already driver-verified green in round 1) registers
 after slot 50 and stays covered by tests/test_oracle_parity.py.
+
+CACHE-LIFETIME CONTRACT (covers every caching operator — the dedup
+family, market_basket_rules, encoding_advisor_lineitem, asof_join
+carry frames, kcore/graph edge lists, gdpr/ppjoin gated key sets, and
+any other operator calling ``.cache()`` internally): operators cache
+per-query scratch frames and deliberately do NOT unpersist them,
+because the returned DataFrame's lineage still references the cached
+frame — an eager unpersist would silently recompute it on collect.
+MEMORY_AND_DISK eviction makes a leaked block safe but not free, so
+any caller running MANY queries in one session (the driver's verify
+loop, bench.py, notebooks) should call ``spark.catalog.clearCache()``
+between queries — bench.py does exactly this.
 """
 
 from __future__ import annotations
@@ -24,17 +36,92 @@ from pyspark.sql import DataFrame, SparkSession
 # The 50 queries the driver verifies, in order. Keep this list at exactly
 # 50 entries; tests/test_registration.py enforces the invariant.
 #
-# Round-5 rotation (VERDICT r4 directive #1): ALL 50 round-4 window
-# queries went green in CORRECTNESS_r04 (44 hash + 6 rows-only), so the
-# window rotates to the next 50 of the 67 never-driver-checked queries,
-# leading with the ops whose oracles are most informative (the exact twins
-# of the approx machinery, the reconciliation/integrity audits, the graph
-# metrics, and block_dedup_stats — the slot-yielder queued since r3).
-# This cuts the never-checked count from 67 to 17; the remaining 17
-# (mostly rows-only sketch/multimodal variants) are group A below and
-# close the debt in round 6. The rotated-out queries register after slot
-# 50 and stay covered by tests/test_oracle_parity.py at sf0.001 + sf0.01.
+# Round-6 rotation (VERDICT r5 directives #1/#2): CORRECTNESS_r05 went
+# 49 hash-green + 1 rows-only, so the window rotates to close the
+# verification debt to ZERO — all 17 remaining never-driver-checked
+# queries (round-5 group A) enter, oracled ones first. Two of them
+# gained brand-new DuckDB oracles this round (countmin via an
+# engine-portable md5 hash lattice; kcore via bounded unrolling of the
+# peeling loop — directive #2), so kcore re-enters to prove its oracle.
+# The other 32 slots are re-verifications: the judge's preferred
+# capstones (entity resolution, curate_corpus, PIT join, PageRank, the
+# perceptual trio), every operator whose code changed this round
+# (market_basket_rules size-gate, agg_percentile_disc approx twin,
+# heavy_hitters_words, gdpr_erasure_audit), and one-per-module
+# informative pipelines. Ten group-A entries plus the perceptual trio
+# are rows-only BY DESIGN (sketch estimates / binary decode paths with
+# no SQL equivalent — each named with its property test in BASELINE.md
+# §r6); every other entry is DuckDB-oracled. Rotated-out queries
+# register after slot 50 and stay covered by tests/test_oracle_parity.py
+# at sf0.001 + sf0.01.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # --- group A close-out: oracled first ---
+    "try_functions_safety",
+    "map_hof_functions",
+    "union_by_name_evolution",
+    "collated_group_count",
+    "xml_roundtrip_stats",
+    "variant_props_stats",
+    "countmin_word_frequencies",  # oracled THIS round (md5 CM lattice)
+    "kcore_membership",  # oracled THIS round (bounded-unrolling CTE chain)
+    # --- group A close-out: rows-only by design (sketch/decode) ---
+    "ann_pq_topk",  # rows-only: sample-trained PQ codebooks
+    "kmeans_lloyd_clusters",  # rows-only: float-order-sensitive iterations
+    "hll_sketch_partitioned",  # rows-only: HLL register layout
+    "multimodal_image_resize",  # rows-only: binary decode path
+    "multimodal_frame_sample",  # rows-only: binary decode path
+    "embedding_jl_projection",  # rows-only: matmul association order
+    "approx_top_k_words",  # rows-only: approximate by contract
+    "hll_native_distinct",  # rows-only: Spark-native sketch values
+    "approx_percentile_error",  # rows-only: GK internals in output
+    "hll_intersection_users",  # rows-only: HLL estimates in output
+    # --- changed this round: re-verify ---
+    "market_basket_rules",
+    "agg_percentile_disc",
+    "heavy_hitters_words",
+    "gdpr_erasure_audit",
+    # --- judge-preferred capstones ---
+    "entity_resolution_customers",
+    "curate_corpus",
+    "pit_join_scd2",
+    "pagerank_copurchase",
+    "multimodal_image_dhash_pairs",  # rows-only: perceptual hash layout
+    "multimodal_audio_fingerprint_pairs",  # rows-only
+    "multimodal_video_scene_cuts",  # rows-only
+    # --- informative re-verifications, one per module family ---
+    "dedup_minhash_lsh",
+    "dedup_connected_components",
+    "dedup_survivor_best_quality",
+    "set_overlap_join_prefix",
+    "ann_bruteforce_topk",
+    "corpus_pipeline_funnel",
+    "scd2_user_segments",
+    "merge_upsert_orders",
+    "ivm_incremental_agg",
+    "attribution_multitouch",
+    "kaplan_meier_retention",
+    "fifo_allocation",
+    "concurrent_sessions_timeline",
+    "cusum_changepoints",
+    "inverted_index_postings",
+    "chunk_documents",
+    "domain_mix_temperature",
+    "psi_price_drift",
+    "rfm_segmentation",
+    "bm25_search",
+    "cohort_retention",
+)
+
+# Queries registered but outside the 50-slot window. After the round-6
+# rotation the never-driver-checked queue (group A) is EMPTY — every
+# registered query has been through at least one driver window. All
+# entries below are driver-green from r1-r5, rotated out to free window
+# slots; they stay covered by the parity suite at sf0.001 + sf0.01.
+# tests/test_registration.py accepts a north-star query being here
+# instead of in the window — but ONLY here, so the exemption is explicit
+# and reviewed. One entry per line (round-5 ADVICE).
+ROTATION_CANDIDATES: tuple[str, ...] = (
+    # --- rotated out of the r5 window (driver-green in CORRECTNESS_r05) ---
     "winsorize_stats",
     "encoding_advisor_lineitem",
     "mad_outliers",
@@ -42,12 +129,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "referential_integrity_report",
     "order_total_reconciliation",
     "block_dedup_stats",
-    "kcore_membership",  # rows-only
     "degree_assortativity",
     "skyline_suppliers",
     "collocation_pmi",
     "asof_join_nearest",
-    "market_basket_rules",
     "rolling_median_value",
     "ewma_value",
     "asof_join_forward",
@@ -73,7 +158,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "conversion_time_quantiles",
     "bitmap_distinct_counts",
     "rollup_grouping_id",
-    "agg_percentile_disc",
     "agg_mode_deterministic",
     "agg_boolean_counting",
     "window_distribution_ranks",
@@ -85,62 +169,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "new_vs_returning_daily",
     "mutual_information_value",
     "partition_advisor_orders",
-)
-
-# Queries registered but outside the 50-slot window. Two groups:
-#
-# (A) never driver-checked — the round-6 rotation queue (17 entries after
-#     the round-5 re-pin; mostly rows-only sketch/multimodal variants).
-#     All green in tests/test_oracle_parity.py at sf0.001 AND sf0.01.
-# (B) driver-green in r1-r4 — rotated out to free window slots; they stay
-#     covered by the parity suite. tests/test_registration.py accepts a
-#     north-star query being here instead of in the window — but ONLY
-#     here, so the exemption is explicit and reviewed.
-ROTATION_CANDIDATES: tuple[str, ...] = (
-    # --- group A: never driver-checked (round-6 queue) ---
-    "ann_pq_topk",  # rows-only
-    "kmeans_lloyd_clusters",  # rows-only
-    "hll_sketch_partitioned",  # rows-only
-    "multimodal_image_resize",  # rows-only
-    "multimodal_frame_sample",  # rows-only
-    "embedding_jl_projection",  # rows-only
-    "countmin_word_frequencies",  # rows-only
-    "approx_top_k_words",  # rows-only
-    "hll_native_distinct",  # rows-only
-    "approx_percentile_error",  # rows-only
-    "hll_intersection_users",  # rows-only
-    "try_functions_safety",
-    "map_hof_functions",
-    "union_by_name_evolution",
-    "collated_group_count",
-    "xml_roundtrip_stats",
-    "variant_props_stats",
-    # --- group B: driver-green r1-r4, rotated out of the r5 window ---
-    "entity_resolution_customers",
-    "pit_join_scd2",
-    "set_overlap_join_prefix",
-    "pagerank_copurchase",
+    # --- driver-green r1-r4, rotated out earlier ---
     "triangle_participation",
     "bfs_distances",
-    "scd2_user_segments",
-    "merge_upsert_orders",
-    "ivm_incremental_agg",
-    "corpus_pipeline_funnel",
-    "attribution_multitouch",
-    "kaplan_meier_retention",
-    "fifo_allocation",
-    "concurrent_sessions_timeline",
-    "heavy_hitters_words",
-    "multimodal_image_dhash_pairs",  # rows-only
-    "multimodal_audio_fingerprint_pairs",  # rows-only
-    "multimodal_video_scene_cuts",  # rows-only
     "ann_ivfpq_topk",  # rows-only
-    "cusum_changepoints",
-    "inverted_index_postings",
-    "chunk_documents",
-    "domain_mix_temperature",
-    "psi_price_drift",
-    "rfm_segmentation",
     "regr_price_trend",
     "grouped_agg_gini",
     "udtf_parse_props",
@@ -163,17 +195,13 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "train_val_test_split",
     "bpe_merge_candidates",
     "lang_id_confusion",
-    "gdpr_erasure_audit",
     "dedup_containment",
-    "sessionization_gap",    "dedup_exact",
+    "sessionization_gap",
+    "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     "dedup_minhash_lsh_expr",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    "dedup_connected_components",
-    "dedup_survivor_best_quality",
-    "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
     "text_quality_metrics",
@@ -182,7 +210,6 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "winnow_fingerprint_pairs",
     "text_length_histogram",
     "text_pii_scrub",
-    "curate_corpus",
     "multimodal_metadata",
     "multimodal_features",
     "multimodal_image_features",
@@ -209,9 +236,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
-    "cohort_retention",
     "hypertable_rollup",
-    "bm25_search",
     "shard_export_assignment",
     "quality_filter_pipeline",
 )

@@ -595,7 +595,12 @@ def encoding_advisor_lineitem(
     Default stays exact for DuckDB oracle parity; tests assert the
     approx mode reproduces the exact mode's encoding recommendations
     (measured 3.1× faster at sf0.1: 4.95s → 1.62s whole-query,
-    min-of-3)."""
+    min-of-3).
+
+    Exact mode caches the windowed fact stream and does not unpersist
+    it (the returned lineage still reads it) — multi-query sessions
+    should ``spark.catalog.clearCache()`` between queries; see the
+    cache-lifetime contract in ``operators/__init__``."""
     li = load_table(spark, "lineitem", sf_dir)
     cols = {name: F.expr(sql) for name, sql in _ENC_COLS}
     base = li.select(

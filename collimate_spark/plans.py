@@ -33,7 +33,21 @@ def _runtime_lines(plan: str) -> list[str]:
     — those dedupe globally on content. Every other line counts per
     occurrence, because identical sibling subtrees OUTSIDE a cache
     really do execute per branch. Nesting is recovered from the
-    ``toString`` indentation prefix (`` :+-`` gutter width)."""
+    ``toString`` indentation prefix (`` :+-`` gutter width).
+
+    KNOWN UNDERCOUNT CAVEAT: the global content dedup cannot tell "the
+    same cache re-printed" apart from "a DIFFERENT cache whose build
+    contains identical line text" — e.g. two caches that both scan the
+    same parquet with the same pruned schema share a FileScan line, so
+    the second build's scan is counted once though both builds read the
+    file. Per-cache namespacing was attempted (round 6) and is NOT
+    text-recoverable: every reference re-aliases the header expression
+    ids (``InMemoryTableScan [x#1]`` vs ``[x#24]``), and nested-AQE
+    section printing RESETS the gutter depth mid-subtree (a nested
+    ``== Final Plan ==`` prints shallower than its own parent), so
+    neither header lines nor indentation yield a stable cache identity.
+    Counts here are therefore a LOWER bound on distinct cache-build
+    work; the pinned SCAN_CEILINGS are calibrated against this rule."""
     out: list[str] = []
     seen_cached: set[str] = set()
     cache_depths: list[int] = []  # gutter widths of open InMemoryTableScans

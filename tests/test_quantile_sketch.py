@@ -36,18 +36,31 @@ def test_quantile_sketch_deterministic(spark, sf_dir):
 
 
 def test_countmin_guarantees(spark, sf_dir):
-    """CM invariants on real data: estimates NEVER undercount (structural
-    guarantee) and overcount stays within the 4·N/W slack (loose form of
-    the εN bound; the min over 4 rows makes larger excursions vanishingly
-    unlikely and this data is fixed)."""
+    """CM invariants on real data: estimates NEVER undercount (the
+    structural guarantee — holds for EVERY word under ANY hash), and the
+    probabilistic ε-bound holds in aggregate: P[overcount > e·N/W] ≤
+    e^-D per word, so with D=4 at most a small fraction of the
+    vocabulary may exceed e·N/W (the earlier all-words-within-4·N/W
+    assertion was hash-lottery, not a CM property — it broke the moment
+    the hash changed). Plus determinism across runs (the sketch is
+    linear, so the merged matrix is partition-grid-independent)."""
+    import math
+
     from collimate_spark.operators.stats import CM_W, countmin_word_frequencies
 
     rows = countmin_word_frequencies(spark, sf_dir).collect()
     assert rows
     n_total = sum(r.freq for r in rows)
+    eps_bound = math.e * n_total / CM_W
+    over_eps = 0
     for r in rows:
         assert r.overcount >= 0, (r.word, r.freq, r.cm_est)
-        assert r.overcount <= 4 * n_total / CM_W, (r.word, r.overcount)
+        # hard sanity ceiling: no estimate can exceed the corpus size
+        assert r.cm_est <= n_total, (r.word, r.cm_est)
+        if r.overcount > eps_bound:
+            over_eps += 1
+    # e^-4 ≈ 1.8% per word; allow up to 10% of the vocab as slack
+    assert over_eps <= max(1, len(rows) // 10), (over_eps, len(rows))
     a = [tuple(x) for x in countmin_word_frequencies(spark, sf_dir).collect()]
     assert a == [tuple(x) for x in rows]  # deterministic
 

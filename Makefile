@@ -1,0 +1,32 @@
+# Developer entry points. `make pre-driver` is the gate to run before
+# every driver round: the 50-query window on a VANILLA SparkSession,
+# compared against the DuckDB oracles at the driver's own scale —
+# exits non-zero on any diff (VERDICT r6 directive #6).
+
+PY ?= python3
+
+.PHONY: test pre-driver mirror-sf001 mirror-sf01 bench bench-wide plans
+
+test:
+	$(PY) -m pytest tests/ -x -q
+
+# Simulate the driver's CORRECTNESS gate: vanilla session, sf0.01,
+# first-50 window, DuckDB compare. Fails loudly on any diff.
+pre-driver:
+	$(PY) scripts/driver_sim.py
+
+# Full oracle mirrors (every DuckDB-oracled query, not just the window).
+mirror-sf001:
+	$(PY) -m pytest tests/test_oracle_parity.py -m sf001 -q
+
+mirror-sf01:
+	$(PY) -m pytest tests/test_oracle_parity.py -m sf01 -q
+
+bench:
+	$(PY) bench.py
+
+bench-wide:
+	$(PY) bench.py --wide
+
+plans:
+	$(PY) -m collimate_spark.plans

@@ -19,6 +19,7 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from collimate_spark.operators import all_queries  # noqa: E402
+from collimate_spark.scratch import clear_scratch  # noqa: E402
 from collimate_spark.session import get_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -188,6 +189,38 @@ EXTRA_QUERIES = [
     "window_distribution_ranks",
     # round 6: window re-verification capstone previously un-benched
     "dedup_connected_components",
+    # round 7: r1/r2-vintage window re-verifications (VERDICT r6 #1)
+    "q2_cheapest_supplier",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q11_important_parts",
+    "q12_shipmode_priority",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q22_idle_rich_customers",
+    "agg_argmax",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_stats",
+    "agg_percentile",
+    "scalar_conditional",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "set_ops",
+    "sort_topk",
+    "subquery_exists",
+    "unpivot_lineitem",
+    "join_full_outer",
+    "join_theta_inequality",
+    "grouped_zscore",
+    "date_spine_fill",
+    "pivot_event_counts",
+    "window_range_frame",
+    "window_rank_dense_ntile",
 ]
 
 
@@ -272,14 +305,16 @@ def main() -> None:
         except Exception:
             errors[name] = traceback.format_exc(limit=3)
         finally:
-            # operators cache small multiply-referenced frames and rely on
-            # the consumer to release them; each bench invocation builds
-            # fresh frames, so earlier queries' blocks are garbage — drop
-            # them between queries so a --wide sweep (200 queries, one
-            # session) doesn't accumulate spilled blocks for the session
-            # lifetime. No cache is shared across queries (catalog.py
-            # never caches), so steady-state timings are unaffected.
-            spark.catalog.clearCache()
+            # operators register their small multiply-referenced cached
+            # frames with collimate_spark.scratch; each bench invocation
+            # builds fresh frames, so earlier queries' blocks are garbage
+            # — release them between queries so a --wide sweep (200+
+            # queries, one session) doesn't accumulate spilled blocks for
+            # the session lifetime. clear_scratch() is scoped to operator
+            # frames (and exercises the public helper); no cache is
+            # shared across queries (catalog.py never caches), so
+            # steady-state timings are unaffected.
+            clear_scratch()
 
     try:
         results["ingest_csv_to_columnar"] = bench_ingest(spark)
@@ -306,10 +341,16 @@ def main() -> None:
         # artifacts themselves (which _load_history reads).
         payload["history_totals"] = {k: v["total"] for k, v in history.items()}
     line = json.dumps(payload)
-    print(line)
-    # keep the one-line contract verifiable: the payload must fit the
-    # driver's tail capture with headroom for trailing log noise
+    # One-line contract: stdout carries exactly ONE JSON line, sized to
+    # fit the driver's ~2000-char tail capture with headroom for trailing
+    # log noise. Printing the full payload AND a compact fallback would
+    # leave a first-JSON-line parser reading the truncation-prone big
+    # line (ADVICE r6) — so when oversized, the full payload goes to a
+    # sidecar file and only the compact line hits stdout.
     if len(line) > 1900:
+        sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+        with open(sidecar, "w") as f:
+            f.write(line + "\n")
         print(
             json.dumps(
                 {
@@ -319,9 +360,12 @@ def main() -> None:
                     "sf": payload["sf"],
                     "n_queries": len(results),
                     "n_errors": len(errors),
+                    "full_payload": "bench_full.json",
                 }
             )
         )
+    else:
+        print(line)
 
 
 def _load_history() -> dict:

@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from collimate_spark.catalog import load_table
+from collimate_spark.scratch import scache
 from collimate_spark.functions import text as X
 
 # ---------------------------------------------------------------------------
@@ -425,7 +426,7 @@ def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     # |sources|-row frame, referenced by totals AND rates — cached so
     # the corpus groupBy runs once
-    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total")).cache()
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total")).transform(scache)
     totals = per_src.agg(
         F.sum(F.sqrt("n_total")).alias("z"),
         F.sum("n_total").alias("corpus_n"),

@@ -21,6 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from collimate_spark.catalog import load_table
+from collimate_spark.scratch import scache
 
 
 def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,7 +235,7 @@ def skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics = li.groupBy("l_suppkey").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-    ).cache()  # both sides of the dominance join reuse one fact scan
+    ).transform(scache)  # both sides of the dominance join reuse one fact scan
     m, d = metrics.alias("m"), metrics.alias("d")
     dominated = (
         F.col("d.revenue") >= F.col("m.revenue")
@@ -646,7 +647,7 @@ def encoding_advisor_lineitem(
         # unbiased for the delta distribution and shrinks the five
         # ObjectHashAggregate buffers 16× — both engines sample
         # identically so parity is exact.
-        flagged = flagged.cache()
+        flagged = flagged.transform(scache)
         aggs = [F.count(F.lit(1)).alias("n_rows")]
         for n, _ in _ENC_COLS:
             aggs += [

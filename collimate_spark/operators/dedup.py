@@ -8,13 +8,14 @@ O(n²); the only quadratic step is *within* a bucket after blocking, which
 is how near-dedup at 100 TB works in practice (cf. MinHashLSH literature:
 Broder '97; SimHash: Charikar '02).
 
-Cache lifetime: several operators ``.cache()`` a multiply-referenced
-derived frame (shingle sets, candidate pairs) to keep the corpus-scan
-count at 1; the returned DataFrame keeps those blocks referenced, so the
-operators themselves cannot unpersist them. MEMORY_AND_DISK eviction
-bounds memory, and long-lived multi-query sessions (bench.py's sweep does
-this) should call ``spark.catalog.clearCache()`` between queries to
-release superseded blocks.
+Cache lifetime: several operators cache a multiply-referenced derived
+frame (shingle sets, candidate pairs) to keep the corpus-scan count at
+1; the returned DataFrame keeps those blocks referenced, so the
+operators themselves cannot unpersist them. Every such frame registers
+through ``collimate_spark.scratch.scache`` — long-lived multi-query
+sessions (bench.py's sweep, notebooks) release superseded blocks
+between queries with ``scratch.clear_scratch()`` (scoped to operator
+frames) or ``spark.catalog.clearCache()`` (blunt superset).
 """
 
 from __future__ import annotations
@@ -23,6 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from collimate_spark.catalog import load_table
+from collimate_spark.scratch import scache
 from collimate_spark.functions import fast_text
 from collimate_spark.functions import text as X
 from collimate_spark.functions import vectors as V
@@ -130,7 +132,7 @@ def _verified_jaccard_pairs(candidates: DataFrame, shingled: DataFrame) -> DataF
     The shingle relation feeds both the a- and b-side joins — cache it so
     the Arrow shingling kernel runs once, not per plan branch (no-op if
     the caller already cached)."""
-    shingled = shingled.cache()
+    shingled = shingled.transform(scache)
     a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -151,7 +153,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-shingle pairs, not n²) → exact verification. Shingles travel as
     64-bit hashes (see _shingle_sets). Cached: the relation feeds four
     plan branches (self-join sides + both verify joins)."""
-    shingled = _shingle_sets(spark, sf_dir).cache()
+    shingled = _shingle_sets(spark, sf_dir).transform(scache)
     exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
     pairs = (
         exploded.alias("a")
@@ -700,10 +702,10 @@ def set_overlap_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "documents", sf_dir)
         .filter(F.col("doc_id") < OVERLAP_SLICE)
         .select("doc_id", F.array_distinct(X.tokens(F.col("text"))).alias("s"))
-        .cache()
+        .transform(scache)
     )
     tok = docs.select("doc_id", F.explode("s").alias("token"))
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq")).cache()
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq")).transform(scache)
     from pyspark.sql import Window
 
     from collimate_spark.operators.graph import _broadcast_threshold_bytes
@@ -724,7 +726,7 @@ def set_overlap_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", F.size("s").alias("sz")), "doc_id")
         .filter(F.col("rk") <= F.col("sz") - OVERLAP_T + 1)
         .select("token", "doc_id")
-        .cache()
+        .transform(scache)
     )
     cand = (
         prefix.alias("a")
@@ -784,7 +786,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches (both sides of the candidate self-join and both verify
     joins), and uncached each branch re-runs the shingling scan
     (measured 3.2s → 1.9s at sf0.1, min-of-3)."""
-    shingled = _shingle_sets(spark, sf_dir).cache()
+    shingled = _shingle_sets(spark, sf_dir).transform(scache)
     exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
     pairs = (
         exploded.alias("a")
@@ -863,7 +865,7 @@ def block_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = (
         docs.selectExpr("doc_id", f"posexplode({blocks_expr}) AS (pos, block)")
         .select("doc_id", F.xxhash64("block").alias("bh"))
-        .cache()
+        .transform(scache)
     )
     freq = blocks.groupBy("bh").agg(F.countDistinct("doc_id").alias("n_docs"))
     return (

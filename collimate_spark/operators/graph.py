@@ -29,6 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from collimate_spark.catalog import load_table
+from collimate_spark.scratch import scache
 
 _DAMP = 0.85
 _ITERS = 8
@@ -73,7 +74,7 @@ def triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan audit caught exactly that). Two self-joins of the (small,
     reduced) edge list — the fact table is touched once, in the edge
     build."""
-    e = _copurchase_edges(spark, sf_dir).cache()
+    e = _copurchase_edges(spark, sf_dir).transform(scache)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, on=F.col("e1.y") == F.col("e2.x"))
@@ -114,11 +115,11 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded plan. Oracled by a DuckDB recursive CTE running the exact
     same recurrence."""
     e = _copurchase_edges(spark, sf_dir)
-    sym = e.unionAll(e.select(F.col("y").alias("x"), F.col("x").alias("y"))).cache()
+    sym = e.unionAll(e.select(F.col("y").alias("x"), F.col("x").alias("y"))).transform(scache)
     deg = sym.groupBy("x").agg(F.count(F.lit(1)).alias("deg"))
     edges = sym.join(deg, "x").select(
         F.col("x").alias("src"), F.col("y").alias("dst"), "deg"
-    ).cache()
+    ).transform(scache)
     n_nodes = deg.count()
     ranks = deg.select(F.col("x").alias("node"), F.lit(1.0 / n_nodes).alias("r"))
     for i in range(_ITERS):
@@ -185,7 +186,7 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
-        .cache()  # 3 consumers: pair stream, item marginals, n_orders
+        .transform(scache)  # 3 consumers: pair stream, item marginals, n_orders
     )
     n_orders = baskets.count()
     # all x<y pairs within a basket, row-local (items sorted ascending)
@@ -203,7 +204,7 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         baskets.select(F.explode("items").alias("k"))
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("c"))
-        .cache()  # counted once for the gate, read twice by the joins
+        .transform(scache)  # counted once for the gate, read twice by the joins
     )
     # (long k, long c) row in a broadcast hashed relation ≈ 16 data
     # bytes + overhead; same conservative 48 B/row as asof_join_forward
@@ -384,7 +385,7 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exponentially, measured 92s/round by round 6)
     sym = e.unionByName(
         e.select(F.col("y").alias("x"), F.col("x").alias("y"))
-    ).cache()  # columnar cache: localCheckpoint's RDD round-trip costs 2×
+    ).transform(scache)  # columnar cache: localCheckpoint's RDD round-trip costs 2×
     threshold = _broadcast_threshold_bytes(spark)
     alive = sym.select("x").distinct().localCheckpoint()
     n_prev = alive.count()  # bounded metadata: one long per round
@@ -470,9 +471,9 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg re-executed the whole lineitem self-join edge build (the plan
     audit showed 24 FileScans; caching cuts the build to one — the same
     fix triangle_participation got in round 3)."""
-    e = _copurchase_edges(spark, sf_dir).cache()
+    e = _copurchase_edges(spark, sf_dir).transform(scache)
     sym = e.unionByName(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
-    deg = sym.groupBy("x").agg(F.count(F.lit(1)).alias("d")).cache()
+    deg = sym.groupBy("x").agg(F.count(F.lit(1)).alias("d")).transform(scache)
     dx = F.broadcast(deg.select(F.col("x"), F.col("d").alias("dx")))
     dy = F.broadcast(deg.select(F.col("x").alias("y"), F.col("d").alias("dy")))
     return sym.join(dx, "x").join(dy, "y").agg(

@@ -16,6 +16,7 @@ import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
 from collimate_spark.catalog import load_table
+from collimate_spark.scratch import scache
 
 ZSCORE_SCHEMA = T.StructType(
     [
@@ -341,7 +342,7 @@ def chi2_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("bucket", F.floor(F.col("value") / 50).cast("long"))
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("o"))
-        .cache()
+        .transform(scache)
     )
     row_m = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
     col_m = cells.groupBy("bucket").agg(F.sum("o").alias("ct"))

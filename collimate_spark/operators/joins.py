@@ -16,6 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from collimate_spark.catalog import load_table
+from collimate_spark.scratch import scache
 
 
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,7 +331,7 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         spine.join(day_first, ["user_id", "day"], "left")
         .withColumn("carry_ts", F.min("dfirst").over(carry_w))
         .select("user_id", "day", "carry_ts")
-        .cache()  # measured once for the gate, reused by the join
+        .transform(scache)  # measured once for the gate, reused by the join
     )
     from collimate_spark.operators.graph import _broadcast_threshold_bytes
 

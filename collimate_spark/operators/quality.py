@@ -19,6 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from collimate_spark.catalog import load_table
+from collimate_spark.scratch import scache
 
 # (check_name, table, violation predicate as a Spark Column factory) — the
 # predicate marks VIOLATING rows; uniqueness/FK are handled structurally.
@@ -410,7 +411,7 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # bucket-sized (PSI_BUCKETS rows) but referenced twice (totals +
         # final join) — cache so the 3-pass fact chain runs once
-        .cache()
+        .transform(scache)
     )
     tot = counts.agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
@@ -652,7 +653,7 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "customer", sf_dir)
         .filter(F.col("c_custkey") % 97 == 0)
         .select(F.col("c_custkey").alias("k"))
-        .cache()  # dimension-sized erase set, broadcast into 4 audits
+        .transform(scache)  # dimension-sized erase set, broadcast into 4 audits
     )
 
     def _audit(
@@ -698,7 +699,7 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     erased_order_keys = (
         orders.join(F.broadcast(cohort), orders.o_custkey == F.col("k"), "left_semi")
         .select("o_orderkey")
-        .cache()
+        .transform(scache)
     )
     n_keys = erased_order_keys.count()
     fits = n_keys * _ERASE_KEY_ROW_BYTES <= _broadcast_threshold_bytes(spark)

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import pandas_udf
 
 from collimate_spark.catalog import load_table
+from collimate_spark.scratch import scache
 from collimate_spark.functions import fast_vec
 from collimate_spark.functions import vectors as V
 
@@ -634,7 +635,7 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     decreases monotonically and the final assignment is self-consistent
     with the final centroids."""
     k, iters = 8, 5
-    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding").cache()
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding").transform(scache)
     cents = np.stack(
         [r["embedding"] for r in emb.orderBy("vec_id").limit(k).collect()]
     ).astype(np.float64)

@@ -20,6 +20,8 @@ the only global windows run over already-aggregated dimension-sized frames
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
@@ -27,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import pandas_udf
 
 from collimate_spark.catalog import load_table
+from collimate_spark.scratch import scache
 
 
 # ---------------------------------------------------------------------------
@@ -207,6 +210,20 @@ ORDER BY revenue DESC, l_partkey ASC
 # ---------------------------------------------------------------------------
 # Misra-Gries heavy hitters (sketch + exact verify)
 
+# One tokenizer for every path that must agree: the Python sketch
+# kernels (MG, count-min), the Spark exact-truth passes
+# (F.split(lower(text), r"\s+") — Java regex \s is the ASCII class
+# [ \t\n\x0b\f\r], NOT Python's unicode \s), and the DuckDB oracles
+# (regexp_split_to_array '\s+'). Python str.split() also breaks on
+# \x1c-\x1f and \x85, which would silently diverge from the other two
+# on any non-ASCII whitespace in documents (ADVICE r6).
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _tokenize(text: str) -> list[str]:
+    return [w for w in _ASCII_WS.split(text.lower()) if w]
+
+
 MG_COUNTERS = 30  # < vocab size, so the sketch genuinely evicts
 HH_PHI = 1.0 / 30.0  # phi-heavy-hitter threshold: freq > phi * N
 
@@ -223,7 +240,7 @@ def _mg_partition(pdfs) -> "pd.DataFrame":
     counters: dict[str, int] = {}
     for pdf in pdfs:
         for text in pdf["text"]:
-            for w in text.lower().split():
+            for w in _tokenize(text):
                 if w in counters:
                     counters[w] += 1
                 elif len(counters) < MG_COUNTERS:
@@ -523,10 +540,9 @@ def _cm_partition(pdfs) -> "pd.DataFrame":
     M = np.zeros((CM_D, CM_W), dtype=np.int64)
     for pdf in pdfs:
         for text in pdf["text"]:
-            for w in text.lower().split():
-                if w:
-                    for r in range(CM_D):
-                        M[r, _cm_hash(r, w)] += 1
+            for w in _tokenize(text):
+                for r in range(CM_D):
+                    M[r, _cm_hash(r, w)] += 1
     rows, cols = np.nonzero(M)
     if len(rows):
         yield pd.DataFrame({"r": rows, "c": cols, "cnt": M[rows, cols]})
@@ -653,7 +669,7 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_t = lifetimes.groupBy("duration_days").agg(
         F.sum("churned").alias("n_events"),
         (F.count(F.lit(1)) - F.sum("churned")).alias("n_censored"),
-    ).cache()  # distinct-lifetime frame (~hundreds of rows) feeds both
+    ).transform(scache)  # distinct-lifetime frame (~hundreds of rows) feeds both
     # the total subquery and the stepped curve — uncached, each branch
     # re-ran the fact-sized per-user aggregation
     w = Window.orderBy("duration_days")
@@ -835,13 +851,13 @@ def mad_outliers(
     # scans is MAD's floor: median, residual median, fence count)
     med = ev.groupBy("event_type").agg(
         F.expr(med_expr).alias("med")
-    ).cache()
+    ).transform(scache)
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "absdev", F.abs(F.col("value") - F.col("med"))
     )
     mad = dev.groupBy("event_type").agg(
         F.expr(mad_expr).alias("mad")
-    ).cache()
+    ).transform(scache)
     fenced = dev.join(F.broadcast(mad), "event_type")
     return (
         fenced.groupBy("event_type")

@@ -10,6 +10,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from collimate_spark.catalog import load_table
+from collimate_spark.scratch import scache
 from collimate_spark.functions import text as X
 
 # BPE-ish pre-tokenization: word pieces OR single non-word-non-space marks.
@@ -555,7 +556,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc, term) counts feed both the df aggregation and the score join
     # — cached (MEMORY_AND_DISK) so the corpus tokenize+explode runs
     # once; recompute would cost a full second corpus pass
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).cache()
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).transform(scache)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -746,8 +747,8 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(bigrams).alias("g"))
         .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
     )
-    pair_c = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).cache()
-    left_c = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).cache()
+    pair_c = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).transform(scache)
+    left_c = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).transform(scache)
     from collimate_spark.operators.graph import _broadcast_threshold_bytes
 
     threshold = _broadcast_threshold_bytes(spark)
@@ -812,7 +813,7 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("t") >= 2)
         .select(F.explode(bigrams).alias("g"))
         .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
-    ).cache()
+    ).transform(scache)
     pair_c = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     left_c = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     right_c = grams.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))

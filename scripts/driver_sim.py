@@ -44,9 +44,27 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    """Column-sort, then row-sort on the NON-float columns (stable
+    mergesort). Sorting on raw float columns would let two values that
+    differ only within the 1e-9 compare tolerance sort into different
+    row orders between Spark and DuckDB whenever the preceding columns
+    tie, misaligning rows and producing false FAILs (ADVICE r6). Float
+    columns still participate as tie-breakers, but rounded to 6dp so
+    tolerance-level noise can't flip their order; a frame with ONLY
+    float columns falls back to the rounded full-column sort."""
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df
+    keys: list[str] = []
+    sort_frame = {}
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            sort_frame[c] = df[c].astype(float).round(6)
+        else:
+            sort_frame[c] = df[c].astype(str)
+        keys.append(c)
+    # non-float keys first so exact keys dominate the order
+    keys.sort(key=lambda c: (df[c].dtype.kind == "f", c))
+    order = pd.DataFrame(sort_frame).sort_values(keys, kind="mergesort").index
+    return df.loc[order].reset_index(drop=True)
 
 
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | None:
@@ -90,6 +108,21 @@ def main() -> None:
         else:
             names.append(a)
 
+    # Validate positionals BEFORE paying Spark startup: a typo'd sf_dir
+    # path would otherwise be silently reinterpreted as a query name and
+    # die later with a confusing KeyError (ADVICE r6).
+    import __spark_entry__ as entry
+
+    registered = set(entry.queries())
+    unknown = [n for n in names if n not in registered]
+    if unknown:
+        for n in unknown:
+            hint = " (a nonexistent data directory?)" if ("/" in n or n.startswith(".")) else ""
+            print(f"error: {n!r} is not a registered query name{hint}", file=sys.stderr)
+        sys.exit(2)
+    if sweep_all and names:
+        print("warning: --all ignored because explicit query names were given", file=sys.stderr)
+
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
@@ -98,8 +131,6 @@ def main() -> None:
         .appName("driver-sim")
         .getOrCreate()
     )
-    import __spark_entry__ as entry
-
     qs, osql = entry.queries(), entry.oracle_sql()
     if not names:
         names = list(qs)[:50] if not sweep_all else list(qs)

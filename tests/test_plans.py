@@ -840,13 +840,34 @@ def test_size_gated_broadcast_fallback_identical(spark, sf_dir, name):
     import __spark_entry__ as entrymod
 
     q = entrymod.queries()[name]
+
+    def stable_sorted(rows):
+        # Sort key rounds floats to the comparison tolerance's scale:
+        # sorting on raw floats would let a ~1-ulp summation-order
+        # difference reorder tied rows between the two runs and zip
+        # misaligned pairs — exactly the flake the pytest.approx
+        # compare below was added to avoid (ADVICE r6).
+        def key(row):
+            out = []
+            for v in row:
+                if v is None:
+                    out.append((0, "", ""))
+                elif isinstance(v, float):
+                    # `or 0.0` collapses -0.0 → +0.0 before formatting
+                    out.append((1, "f", f"{(round(v, 6) or 0.0):+.6f}"))
+                else:
+                    out.append((1, type(v).__name__, str(v)))
+            return tuple(out)
+
+        return sorted(map(tuple, rows), key=key)
+
     spark.catalog.clearCache()
-    baseline = sorted(map(tuple, q(spark, sf_dir).collect()))
+    baseline = stable_sorted(q(spark, sf_dir).collect())
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.catalog.clearCache()
     try:
-        fallback = sorted(map(tuple, q(spark, sf_dir).collect()))
+        fallback = stable_sorted(q(spark, sf_dir).collect())
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert len(fallback) == len(baseline)

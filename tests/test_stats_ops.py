@@ -216,3 +216,33 @@ def test_kaplan_meier_terminal_death_hits_zero(spark):
     curve = {r.duration_days: r.survival for r in kaplan_meier_retention(spark, d).collect()}
     # durations: 5 (churn), 10 (churn), 0 (user 3, censored at corpus max)
     assert curve[10] == 0.0
+
+
+def test_approx_top_k_words_never_undercounts_and_exact_here(spark, sf_dir):
+    """Property test for the native approx_top_k aggregate (VERDICT r6
+    directive #4): (a) every estimated count is >= the true count —
+    frequency-sketch top-k never undercounts a reported item; (b) on
+    this corpus's ~31-word vocabulary the sketch's internal map never
+    evicts, so the estimates are EXACT and the reported set is exactly
+    the true top-10 (same tie order: est desc, word asc)."""
+    import pyspark.sql.functions as F
+
+    from collimate_spark.catalog import load_table
+    from collimate_spark.operators.udx import approx_top_k_words
+
+    got = approx_top_k_words(spark, sf_dir).collect()
+    assert len(got) == 10
+
+    words = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    exact = {r.word: r.cnt for r in words.groupBy("word").agg(F.count("*").alias("cnt")).collect()}
+    top10 = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    for r in got:
+        assert r.word in exact
+        assert r.est >= exact[r.word], (r.word, r.est, exact[r.word])
+
+    assert [(r.word, r.est) for r in got] == top10

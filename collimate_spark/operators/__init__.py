@@ -50,11 +50,15 @@ from pyspark.sql import DataFrame, SparkSession
 #       one-shots, core join shapes, and the r2 event pipelines;
 #   (b) the judge-preferred oracled capstones (entity resolution,
 #       curate_corpus, PIT join, PageRank);
-#   (c) countmin_word_frequencies, whose sketch tokenizer is pinned to
-#       the ASCII whitespace class this round (ADVICE r6) — code
-#       changed, so it re-enters for re-verification.
-# Six r2-vintage one-shots (join_cross/semi/anti, window_lag_lead,
-# window_running_sum, sliding_window_agg) didn't fit the 50 slots; they
+#   (c) every query whose code changed this round:
+#       countmin_word_frequencies (sketch tokenizer pinned to the ASCII
+#       whitespace class, ADVICE r6) and the three scale-divergence
+#       fixes the new sf0.1 mirror caught on its first run
+#       (asof_join_nearest, time_weighted_average,
+#       embedding_gram_matrix — see their in-window comments).
+# Nine r2-vintage one-shots (join_cross/semi/anti, window_lag_lead,
+# window_running_sum, sliding_window_agg, grouped_zscore,
+# date_spine_fill, pivot_event_counts) didn't fit the 50 slots; they
 # stay in ROTATION_CANDIDATES and in the sf0.001+sf0.01+sf0.1 parity
 # mirrors.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -107,9 +111,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "json_extract_events",
     "pack_sequences",
     "decontaminate_ngram",
-    "grouped_zscore",
-    "date_spine_fill",
-    "pivot_event_counts",
+    "asof_join_nearest",  # gap_s integer-micros rounding (sf0.1 mirror find)
+    "time_weighted_average",  # decimal-exact weighted sums (sf0.1 mirror find)
+    "embedding_gram_matrix",  # -0.0 canonicalization (sf0.1 mirror find)
     "tumbling_window_agg",
     "window_range_frame",
     "window_rank_dense_ntile",
@@ -125,6 +129,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # query being here instead of in the window — but ONLY here, so the
 # exemption is explicit and reviewed. One entry per line.
 ROTATION_CANDIDATES: tuple[str, ...] = (
+    "grouped_zscore",
+    "date_spine_fill",
+    "pivot_event_counts",
     "try_functions_safety",
     "map_hof_functions",
     "union_by_name_evolution",
@@ -191,7 +198,6 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "salted_join_hot_key",
     "asof_join_forward",
     "join_null_safe",
-    "asof_join_nearest",
     "bloom_prefilter_join",
     "geo_radius_join_grid",
     "join_skew_diagnostics",
@@ -201,7 +207,6 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "interpolate_missing_values",
     "hypertable_rollup",
     "ohlc_bars",
-    "time_weighted_average",
     "top_event_paths",
     "session_window_agg",
     "sliding_distinct_users",
@@ -236,7 +241,6 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "ann_lsh_topk",
     "ann_ivfpq_topk",
     "embedding_quantize_int8",
-    "embedding_gram_matrix",
     "embedding_dim_stats",
     "text_quality_metrics",
     "lang_id_heuristic",

@@ -564,14 +564,28 @@ def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("next_ts").isNotNull())
         .withColumn("dur_us", F.expr("timestampdiff(MICROSECOND, ts, next_ts)"))
     )
+    # Sums run in DECIMAL: `value` is a 2dp quantity stored as double,
+    # so casting to decimal(18,2) recovers it exactly and the weighted
+    # sums become association-free — a double sum's partial order
+    # differs between engines and flipped a 4dp rounding boundary at
+    # sf0.1 (44.94875 straddle). The final division runs in double over
+    # IDENTICAL exact operands (decimal->double casts are correctly
+    # rounded IEEE on both engines), so the quotient is bit-identical —
+    # and it is emitted UNROUNDED: with 2dp numerators and small
+    # interval counts the true quotient lands exactly on 4dp half-
+    # boundaries (e.g. 4005.54/80 = 50.06925), where Spark's ROUND
+    # (HALF_UP on the shortest decimal repr) and DuckDB's (binary
+    # scaling) legitimately disagree. No rounding, no boundary.
+    vd = F.col("value").cast("decimal(18,2)")
     return (
         gaps.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_intervals"),
-            F.round(
-                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4
+            (
+                F.sum(vd * F.col("dur_us")).cast("double")
+                / F.sum("dur_us").cast("double")
             ).alias("twa"),
-            F.round(F.avg("value"), 4).alias("plain_avg"),
+            (F.sum(vd).cast("double") / F.count(F.lit(1))).alias("plain_avg"),
         )
         .orderBy("user_id")
     )
@@ -586,8 +600,10 @@ WITH gaps AS (
 )
 SELECT user_id,
        COUNT(*) AS n_intervals,
-       ROUND(SUM(value * dur_us) / SUM(dur_us), 4) AS twa,
-       ROUND(AVG(value), 4) AS plain_avg
+       CAST(SUM(CAST(value AS DECIMAL(18,2)) * dur_us) AS DOUBLE)
+         / CAST(SUM(dur_us) AS DOUBLE) AS twa,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(*) AS plain_avg
 FROM gaps
 WHERE dur_us IS NOT NULL
 GROUP BY user_id

@@ -547,10 +547,19 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         marked.filter(F.col("event_id").isNotNull())
         .withColumn("nearest_purchase_ts", nearest)
         .withColumn(
+            # round 2dp via integer microseconds: round(us/1e4)/100. The
+            # half-boundary operand (int + 0.5) is exactly representable
+            # in a double, so HALF_UP agrees across engines; rounding
+            # us/1e6 directly diverged at sf0.1 (70860.465 s: Spark
+            # rounds the shortest decimal repr -> .47, DuckDB rounds the
+            # binary value 70860.46499... -> .46).
             "gap_s",
             F.round(
-                F.abs(F.expr("timestampdiff(MICROSECOND, ts, nearest_purchase_ts)")) / 1e6, 2
-            ),
+                F.abs(F.expr("timestampdiff(MICROSECOND, ts, nearest_purchase_ts)"))
+                / 10000.0,
+                0,
+            )
+            / 100.0,
         )
         .select("event_id", "user_id", "ts", "nearest_purchase_ts", "gap_s")
         .orderBy("event_id")
@@ -585,7 +594,8 @@ picked AS (
   WHERE event_id IS NOT NULL
 )
 SELECT event_id, user_id, ts, nearest_purchase_ts,
-       ROUND(ABS(EPOCH(nearest_purchase_ts) - EPOCH(ts)), 2) AS gap_s
+       ROUND(ABS(epoch_us(nearest_purchase_ts) - epoch_us(ts)) / 10000.0, 0)
+         / 100.0 AS gap_s
 FROM picked
 ORDER BY event_id
 """

@@ -599,10 +599,14 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     partials = emb.select("embedding").mapInPandas(gram_batches, GRAM_BATCH_SCHEMA)
+    # `+ 0.0` canonicalizes IEEE negative zero: a cell whose true value
+    # straddles 0 by summation-order ulps rounds to -0.0 on one engine
+    # and +0.0 on the other — float-EQUAL but rendered differently, which
+    # breaks value-hash comparison (caught by the sf0.1 mirror).
     return (
         partials.groupBy("i", "j")
         .agg((F.sum("s") / F.sum("n")).alias("g"))
-        .select("i", "j", F.round(F.col("g"), 6).alias("gram"))
+        .select("i", "j", (F.round(F.col("g"), 6) + 0.0).alias("gram"))
         .orderBy("i", "j")
     )
 
@@ -618,7 +622,7 @@ cells AS (
   GROUP BY 1, 2
 )
 SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
-       ROUND(s / n, 6) AS gram
+       ROUND(s / n, 6) + 0.0 AS gram
 FROM cells
 ORDER BY i, j
 """

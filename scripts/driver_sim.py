@@ -57,7 +57,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
     sort_frame = {}
     for c in df.columns:
         if df[c].dtype.kind == "f":
-            sort_frame[c] = df[c].astype(float).round(6)
+            # + 0.0 collapses IEEE -0.0 -> +0.0 before sorting/rendering
+            sort_frame[c] = df[c].astype(float).round(6) + 0.0
         else:
             sort_frame[c] = df[c].astype(str)
         keys.append(c)

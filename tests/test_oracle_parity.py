@@ -42,7 +42,9 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 6)
+        # + 0.0 collapses -0.0 -> +0.0: the values compare float-equal
+        # but str() differently, which scrambles the row sort below
+        return round(v, 6) + 0.0
     return v
 
 

@@ -156,7 +156,17 @@ ORDER BY o_orderstatus
 """
 
 
-APPROX_PCT_ACCURACY = 10_000  # GK sketch: rank error ≤ n / accuracy
+# GK sketch accuracy for every --approx percentile path: rank error
+# <= n / accuracy. 1000 (0.1% rank error) is deliberate, measured at
+# sf10 (60M-row lineitem, 10M-row events, scripts/approx_scale_bench):
+# at 10_000 the sketch's per-row insert/compress cost EXCEEDED the
+# exact ObjectHashAggregate's buffering on low-cardinality groups
+# (approx_percentile(10k) 1.14s vs exact 0.69s on 10M rows/5 groups),
+# making the scale mode slower in CPU while it saved memory; at 1000 it
+# is faster than exact (0.61s) AND constant-memory. 0.1% rank error is
+# ample for the consumers: winsorize clamp bounds, MAD fences, p95
+# delta widths, decile summaries.
+APPROX_PCT_ACCURACY = 1_000
 
 
 def winsorize_stats(

@@ -10,6 +10,8 @@ tables are identical views of the sf0.1 parquet.
 
 Output: /tmp/sf1/{table}.parquet — NOT committed, regenerate on demand:
     python scripts/make_sf1.py [src_sf_dir] [out_dir]
+Chain for higher scales (SF_COPIES defaults to 10):
+    python scripts/make_sf1.py /tmp/sf1 /tmp/sf10   # 100x bench scale
 """
 
 from __future__ import annotations
@@ -20,7 +22,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-COPIES = 10
+COPIES = int(os.environ.get("SF_COPIES", "10"))
 SCALED = {
     # table -> columns to shift by i * (max+1) per replica
     "lineitem": ["l_orderkey"],

@@ -148,16 +148,62 @@ def _verified_jaccard_pairs(candidates: DataFrame, shingled: DataFrame) -> DataF
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs: explode distinct trigram
-    shingles → self equi-join on shingle (candidate generation bounded by
-    shared-shingle pairs, not n²) → exact verification. Shingles travel as
-    64-bit hashes (see _shingle_sets). Cached: the relation feeds four
-    plan branches (self-join sides + both verify joins)."""
+    """Exact n-gram Jaccard near-dup pairs with PREFIX-FILTERED candidate
+    generation (the ppjoin family, same machinery as
+    ``set_overlap_join_prefix`` but for a Jaccard threshold).
+
+    The naive candidate step (self equi-join on every shared shingle)
+    is quadratic in shingle frequency, and frequency grows with the
+    corpus: measured 6.2s at 5k docs → 111s at 50k docs (18× per 10×).
+    Prefix filtering is LOSSLESS for the thresholded output: J(A,B) ≥ τ
+    implies overlap i ≥ τ/(1+τ)·(|A|+|B|) ≥ ⌈τ·|A|⌉ (since |B| ≥ i),
+    so in any global shingle order the smallest shared shingle must sit
+    within the first |A| − ⌈τ|A|⌉ + 1 shingles of BOTH sides
+    (pigeonhole). Ordering globally by ascending frequency makes those
+    prefixes the RAREST shingles — the candidate join runs on the
+    smallest buckets (at τ=0.8 the prefix is ~|A|/5 shingles). Same
+    verified-exact output, measured 111s → ~8s at 50k docs.
+
+    The frequency table is vocabulary-sized (Heaps-law growth), so its
+    join is size-gated (cache → count → broadcast-if-fits, the
+    gdpr/kcore pattern); beyond the threshold it degrades to the
+    shingle-partitioned shuffle it is already keyed on. Shingles travel
+    as 64-bit hashes (see _shingle_sets)."""
+    from pyspark.sql import Window
+
+    from collimate_spark.operators.graph import _broadcast_threshold_bytes
+
     shingled = _shingle_sets(spark, sf_dir).transform(scache)
     exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    # freq is deliberately NOT cached: caching it defeats the cache
+    # substitution that keeps this plan at ONE corpus scan (measured: 3
+    # FileScans with freq cached, 1 without — the freq cache's analyzed
+    # plan stops the a/b self-join sides from matching the shingled
+    # cache entry). The gate count below re-aggregates from the CACHED
+    # shingle frame — one cheap agg at build time, no corpus rescan —
+    # and at runtime freq computes once inside its single exchange.
+    freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    # 8-byte hash + 8-byte count ≈ 48 B/row in a broadcast hashed relation
+    freq_side = (
+        F.broadcast(freq)
+        if freq.count() * 48 <= _broadcast_threshold_bytes(spark)
+        else freq
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("freq").asc(), F.col("shingle").asc())
+    prefix = (
+        exploded.join(freq_side, "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .join(shingled.select("doc_id", F.size("shingles").alias("sz")), "doc_id")
+        .filter(
+            F.col("rk")
+            <= F.col("sz") - F.ceil(F.col("sz") * F.lit(JACCARD_THRESHOLD)) + 1
+        )
+        .select("shingle", "doc_id")
+        .transform(scache)
+    )
     pairs = (
-        exploded.alias("a")
-        .join(exploded.alias("b"), "shingle")
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()

@@ -934,3 +934,20 @@ def test_runtime_lines_counting_rules():
     assert not any("never-ran" in l for l in lines)
     # all three InMemoryTableScan references themselves count (cache reads)
     assert sum(1 for l in lines if "InMemoryTableScan" in l) == 3
+
+
+def test_window_range_frame_uses_incremental_frames(spark, sf_dir):
+    """window_range_frame must stay in the prefix-difference form: every
+    RangeFrame in the plan is UnboundedPreceding-lower-bounded (the one
+    shape Spark's WindowExec maintains incrementally). A sliding
+    [-5000, 5000] RangeFrame re-aggregates the whole frame per row —
+    O(rows x frame_size), the 14.1s -> 1.1s round-7 find — so its
+    reappearance is a quadratic-at-scale regression."""
+    import re
+
+    from collimate_spark.operators.windows import window_range_frame
+
+    plan = window_range_frame(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    frames = re.findall(r"specifiedwindowframe\(RangeFrame, ([a-z$()]+)", plan)
+    assert frames, "no RangeFrame found — operator shape changed?"
+    assert all(f.startswith("unboundedpreceding") for f in frames), frames

@@ -824,21 +824,62 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits ordered (src, dst) pairs with C ≥ 0.6, both directions
     independently.
 
-    Scale: identical candidate generation to the exact-Jaccard path
-    (shared-shingle equi-join — pairs bounded by co-occurrence, not n²);
-    only the verification functional changes, normalizing by the SOURCE
-    set alone. At 100 TB swap candidates to the LSH banding path
-    unchanged. The shingle-set relation is cached: it feeds FOUR plan
-    branches (both sides of the candidate self-join and both verify
-    joins), and uncached each branch re-runs the shingling scan
-    (measured 3.2s → 1.9s at sf0.1, min-of-3)."""
+    Candidate generation is SRC-SIDE prefix filtering (the containment
+    member of the ppjoin family — asymmetric, unlike the Jaccard twin):
+    C(A→B) ≥ τ implies overlap ≥ ⌈τ·|A|⌉ (integer overlap), so in any
+    global total order of shingles the smallest shared shingle must sit
+    within the first |A| − ⌈τ|A|⌉ + 1 shingles of A's ordering
+    (pigeonhole) — but says NOTHING about where it sits in B, because
+    containment does not lower-bound |B|'s share. Hence: prefix-filter
+    the src side only, join against the dst side's FULL postings.
+    Lossless at any τ. Ordering globally by ascending frequency makes
+    the src prefixes the RAREST shingles, so the candidate join's
+    per-key work is |prefix_src(s)| × freq(s) — small × anything or
+    anything × small, never large × large (a corpus-common shingle
+    almost never survives into a rarest-first prefix). The naive
+    shared-shingle self-join this replaces was measured at 18× work per
+    10× corpus in the Jaccard twin (BASELINE.md r7 sweep); MinHash-LSH
+    banding is NOT a valid fallback here — banding recall tracks
+    Jaccard, and the small-in-large pairs containment exists for have
+    LOW Jaccard by construction.
+
+    The shingle-set relation is cached: it feeds the freq agg, the
+    prefix build, the dst postings, and both verify joins — uncached,
+    each branch re-runs the shingling scan (scan ceiling = 1 pinned in
+    test_plans.py). ``freq`` is deliberately NOT cached (caching it
+    breaks cache substitution on sibling branches — the ngram-twin
+    lesson, 1 → 3 corpus scans); its broadcast is size-gated via the
+    cached frame's cheap re-agg count."""
+    from pyspark.sql import Window
+
+    from collimate_spark.operators.graph import _broadcast_threshold_bytes
+
     shingled = _shingle_sets(spark, sf_dir).transform(scache)
     exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    # 8-byte hash + 8-byte count ≈ 48 B/row in a broadcast hashed relation
+    freq_side = (
+        F.broadcast(freq)
+        if freq.count() * 48 <= _broadcast_threshold_bytes(spark)
+        else freq
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("freq").asc(), F.col("shingle").asc())
+    src_prefix = (
+        exploded.join(freq_side, "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .join(shingled.select("doc_id", F.size("shingles").alias("sz")), "doc_id")
+        .filter(
+            F.col("rk")
+            <= F.col("sz") - F.ceil(F.col("sz") * F.lit(CONTAINMENT_THRESHOLD)) + 1
+        )
+        .select("shingle", F.col("doc_id").alias("src"))
+    )
     pairs = (
-        exploded.alias("a")
-        .join(exploded.alias("b"), "shingle")
-        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        src_prefix.join(
+            exploded.select("shingle", F.col("doc_id").alias("dst")), "shingle"
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
         .distinct()
     )
     a = shingled.select(F.col("doc_id").alias("src"), F.col("shingles").alias("sh_a"))

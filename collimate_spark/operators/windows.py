@@ -131,7 +131,9 @@ ORDER BY l_returnflag, qty_rank, l_orderkey
 """
 
 
-def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_range_frame(
+    spark: SparkSession, sf_dir: str, *, two_level: bool = False
+) -> DataFrame:
     """RANGE frame: for each order, sum/count of orders within ±5000 in
     totalprice among the same status (value-based frame, not row-based).
 
@@ -157,9 +159,13 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: parallelism is bounded by the partition key's
     cardinality (3 statuses) like any window over few groups; at 100 TB
-    the same prefix-difference identity composes with per-(status,
-    price-bucket) two-level prefix sums if single-partition O(n) ever
-    binds."""
+    pass ``two_level=True`` for the per-(status, price-bucket)
+    composition of the same prefix-difference identity — window
+    parallelism becomes #statuses × #price-buckets instead of
+    #statuses, exact-equivalent (decimal arithmetic throughout, proven
+    by tests/test_algebra_properties.py at two SFs)."""
+    if two_level:
+        return _window_range_frame_two_level(spark, sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     # SQL-expression windows: the Python Window.rangeBetween API accepts
     # only integral offsets, and the fractional 0.005 slack is the whole
@@ -208,6 +214,140 @@ WINDOW hi AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
               RANGE BETWEEN UNBOUNDED PRECEDING AND 5000.005 PRECEDING)
 ORDER BY o_orderkey
 """
+
+
+# Two-level bucket width = the FULL frame width (2×5000): any ±5000.005
+# frame then spans at most the query point's bucket and its immediate
+# neighbors, so a single dense exclusive-cumulative bucket table plus
+# within-bucket prefixes reconstructs every prefix exactly.
+_RANGE_BUCKET_W = 10_000
+
+
+def _window_range_frame_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale mode of :func:`window_range_frame`: the same prefix-difference
+    identity, decomposed per (status, price-bucket) so window parallelism
+    is #statuses × #buckets instead of #statuses (the single-level form's
+    documented 3-partition bound).
+
+    prefix(≤ x) = cum_bucket_totals(status, buckets < bucket(x))
+                + within_bucket_prefix(status, bucket(x), values ≤ x)
+
+    Pieces:
+    - within-bucket prefixes: ROWS UnboundedPreceding window per
+      (status, bucket) — the incrementally-maintained frame shape;
+      anchors are tie-ordered by (price, orderkey) so the LAST anchor at
+      or below x carries the complete tie-group prefix.
+    - the ≤ x lookup: union-and-carry (the asof pattern) — query points
+      x = p ± 5000.005 sort after anchors at equal price (is_q flag) and
+      read the running last non-null prefix. The ±0.005 midpoint slack
+      keeps query points off the 2-cent price grid, exactly like the
+      single-level frames' bounds (same double arithmetic → identical
+      inclusion set).
+    - bucket totals: one groupBy to #statuses × #buckets rows, densified
+      over [bmin−1, bmax+1] (covers every query bucket since the frame
+      half-width 5000.005 < bucket width) with an exclusive cumulative
+      window — a driver-tiny frame, broadcast back onto query points.
+
+    All sums run in DECIMAL, so the recomposition is association-free and
+    the output is EXACTLY the single-level result (equivalence pinned at
+    two SFs in tests/test_algebra_properties.py)."""
+    from collimate_spark.scratch import scache
+
+    orders = load_table(spark, "orders", sf_dir)
+    rows = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("p"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("pd"),
+        F.floor(F.col("o_totalprice") / _RANGE_BUCKET_W).cast("long").alias("b"),
+    ).transform(scache)  # feeds anchors, bucket totals, and both query sides
+
+    wb = Window.partitionBy("o_orderstatus", "b").orderBy(
+        F.col("p").asc(), F.col("o_orderkey").asc()
+    )
+    run = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    anchors = rows.select(
+        "o_orderstatus",
+        "b",
+        "p",
+        F.lit(0).alias("is_q"),
+        F.col("o_orderkey").alias("ord_key"),
+        F.lit(None).cast("string").alias("side"),
+        F.sum("pd").over(run).cast("decimal(38,2)").alias("pref_sum"),
+        F.count(F.lit(1)).over(run).alias("pref_cnt"),
+    )
+
+    def qpts(side: str, delta: float) -> DataFrame:
+        x = F.col("p") + F.lit(delta)
+        return rows.select(
+            "o_orderstatus",
+            F.floor(x / _RANGE_BUCKET_W).cast("long").alias("b"),
+            x.alias("p"),
+            F.lit(1).alias("is_q"),
+            F.col("o_orderkey").alias("ord_key"),
+            F.lit(side).alias("side"),
+            F.lit(None).cast("decimal(38,2)").alias("pref_sum"),
+            F.lit(None).cast("long").alias("pref_cnt"),
+        )
+
+    wu = Window.partitionBy("o_orderstatus", "b").orderBy("p", "is_q", "ord_key")
+    carry = wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carried = (
+        anchors.unionByName(qpts("hi", 5000.005))
+        .unionByName(qpts("lo", -5000.005))
+        .select(
+            "o_orderstatus",
+            "b",
+            "is_q",
+            "ord_key",
+            "side",
+            F.last("pref_sum", ignorenulls=True).over(carry).alias("c_sum"),
+            F.last("pref_cnt", ignorenulls=True).over(carry).alias("c_cnt"),
+        )
+        .filter(F.col("is_q") == 1)
+    )
+
+    btot = rows.groupBy("o_orderstatus", "b").agg(
+        F.sum("pd").alias("tot_sum"), F.count(F.lit(1)).alias("tot_cnt")
+    )
+    spine = (
+        rows.groupBy("o_orderstatus")
+        .agg(F.min("b").alias("bmin"), F.max("b").alias("bmax"))
+        .select(
+            "o_orderstatus",
+            F.explode(F.sequence(F.col("bmin") - 1, F.col("bmax") + 1)).alias("b"),
+        )
+    )
+    wc = Window.partitionBy("o_orderstatus").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = spine.join(btot, ["o_orderstatus", "b"], "left").select(
+        "o_orderstatus",
+        "b",
+        F.coalesce(F.sum("tot_sum").over(wc), F.lit(0)).cast("decimal(38,2)").alias("cum_sum"),
+        F.coalesce(F.sum("tot_cnt").over(wc), F.lit(0)).alias("cum_cnt"),
+    )
+
+    zero = F.lit(0).cast("decimal(38,2)")
+    qres = carried.join(F.broadcast(cum), ["o_orderstatus", "b"], "left").select(
+        F.col("ord_key").alias("o_orderkey"),
+        "o_orderstatus",
+        "side",
+        (F.coalesce("c_sum", zero) + F.coalesce("cum_sum", zero)).alias("px_sum"),
+        (F.coalesce("c_cnt", F.lit(0)) + F.coalesce("cum_cnt", F.lit(0))).alias("px_cnt"),
+    )
+    hi_sum = F.max(F.when(F.col("side") == "hi", F.col("px_sum")))
+    lo_sum = F.max(F.when(F.col("side") == "lo", F.col("px_sum")))
+    hi_cnt = F.max(F.when(F.col("side") == "hi", F.col("px_cnt")))
+    lo_cnt = F.max(F.when(F.col("side") == "lo", F.col("px_cnt")))
+    return (
+        qres.groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            (hi_sum - lo_sum).cast("double").alias("sum_nearby_price"),
+            (hi_cnt - lo_cnt).alias("n_nearby"),
+        )
+        .orderBy("o_orderkey")
+    )
 
 
 def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -121,3 +121,18 @@ def test_morton_interleave_matches_reference(spark, x, y):
         ref |= ((x >> i) & 1) << (2 * i)
         ref |= ((y >> i) & 1) << (2 * i + 1)
     assert got == ref
+
+
+def test_range_frame_two_level_equals_single_level(spark, sf_dir):
+    """The (status, price-bucket) two-level prefix-sum mode of
+    window_range_frame must be EXACTLY the single-level prefix-difference
+    result — same rows, same doubles, same counts — at two SFs. The
+    identity: prefix(<=x) = exclusive-cum(bucket totals < bucket(x)) +
+    within-bucket-prefix(<=x), exact because every sum is DECIMAL
+    (association-free recomposition)."""
+    from collimate_spark.operators.windows import window_range_frame
+
+    for sf in ("/root/testdata/sf0.001", sf_dir):
+        single = window_range_frame(spark, sf).collect()
+        two = window_range_frame(spark, sf, two_level=True).collect()
+        assert single == two

@@ -216,7 +216,44 @@ EXTRA_QUERIES = [
     "unpivot_lineitem",
     "join_full_outer",
     "join_theta_inequality",
+    # round 8: r2/r3/r4-vintage window re-verifications (VERDICT r7 #3 —
+    # every driver-window query must have a bench row)
+    "join_anti",
+    "join_cross",
+    "join_semi",
+    "sliding_window_agg",
+    "window_lag_lead",
+    "array_agg_sorted",
+    "array_functions",
+    "data_quality_report",
+    "dedup_minhash_lsh_expr",
+    "dedup_ngram_jaccard",
+    "embedding_quantize_int8",
+    "funnel_conversion",
+    "fuzzy_name_match",
+    "interpolate_missing_values",
+    "lang_id_heuristic",
+    "map_functions",
+    "multimodal_metadata",
+    "pandas_udf_scalar",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_excess_shippers",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "repetition_metrics",
+    "snapshot_diff",
+    "stratified_sample_documents",
+    "text_length_histogram",
+    "tfidf_top_terms",
+    "udtf_tokenize",
+    # grouped_zscore is the DELIBERATE applyInPandas Arrow-round-trip
+    # demo (per-group overhead over ~100k tiny groups is what its row
+    # measures); grouped_zscore_native is the production JVM window plan
+    # for the same output — read the pair together (r7 VERDICT #6).
     "grouped_zscore",
+    "grouped_zscore_native",
     "date_spine_fill",
     "pivot_event_counts",
     "window_range_frame",

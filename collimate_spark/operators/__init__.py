@@ -39,37 +39,90 @@ from pyspark.sql import DataFrame, SparkSession
 # The 50 queries the driver verifies, in order. Keep this list at exactly
 # 50 entries; tests/test_registration.py enforces the invariant.
 #
-# Round-7 window (VERDICT r6 directive #1): with the never-driver-checked
-# queue at ZERO after round 6, nothing forces rows-only entries into the
-# window any more — so this round fields the first ALL-ORACLED window:
-# every one of the 50 entries has a DuckDB oracle, targeting a clean
-# 50x {rows_match, schema_match, hash_match} CORRECTNESS_r07 artifact.
-# Composition, per the directive's weighting:
-#   (a) the 45 oracled queries whose only driver green is r1/r2 vintage
-#       (>=5 rounds old): the TPC-H one-shots, scalar/set-op/window
-#       one-shots, core join shapes, and the r2 event pipelines;
-#   (b) the judge-preferred oracled capstones (entity resolution,
-#       curate_corpus, PIT join, PageRank);
-#   (c) every query whose code changed this round:
-#       countmin_word_frequencies (sketch tokenizer pinned to the ASCII
-#       whitespace class, ADVICE r6) and the three scale-divergence
-#       fixes the new sf0.1 mirror caught on its first run
-#       (asof_join_nearest, time_weighted_average,
-#       embedding_gram_matrix — see their in-window comments).
-# Nine r2-vintage one-shots (join_cross/semi/anti, window_lag_lead,
-# window_running_sum, sliding_window_agg, grouped_zscore,
-# date_spine_fill, pivot_event_counts) didn't fit the 50 slots; they
-# stay in ROTATION_CANDIDATES and in the sf0.001+sf0.01+sf0.1 parity
-# mirrors.
+# Round-8 window (VERDICT r7 directive #3): second consecutive all-oracled
+# window, rotated to the queries whose last vanilla-driver contact is
+# OLDEST — the r2-vintage one-shots that missed the r7 cut, the full
+# r3-vintage dedup/text/curation/TPC-H wave, and the oldest r4 entries —
+# plus rule (c), every query whose code changed this round:
+#   dedup_containment (src-side prefix-filtered candidates, directive #1),
+#   window_range_frame (two_level scale mode added behind a kwarg; the
+#   registered single-level plan is equivalence-pinned to it), and
+#   grouped_zscore_native (NEW, directive #6: the production JVM window
+#   twin of the applyInPandas demo — never driver-checked).
+# Every entry has a DuckDB oracle and a bench row (invariant pinned by
+# tests/test_registration.py). bpe_merge_candidates (r4) was displaced by
+# window_range_frame and stays first in line for r9.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- changed this round: re-verify ---
+    "dedup_containment",
+    "window_range_frame",
+    "grouped_zscore_native",
+    # --- r2-vintage one-shots that missed the r7 cut ---
+    "date_spine_fill",
+    "grouped_zscore",
+    "join_anti",
+    "join_cross",
+    "join_semi",
+    "pivot_event_counts",
+    "sliding_window_agg",
+    "window_lag_lead",
+    "window_running_sum",
+    # --- r3-vintage wave: dedup/text/curation/TPC-H ---
+    "array_agg_sorted",
+    "array_functions",
+    "data_quality_report",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh_expr",
+    "dedup_ngram_jaccard",
+    "doc_fingerprint",
+    "embedding_quantize_int8",
+    "funnel_conversion",
+    "fuzzy_name_match",
+    "hypertable_rollup",
+    "interpolate_missing_values",
+    "lang_id_heuristic",
+    "map_functions",
+    "multimodal_metadata",
+    "pandas_udf_scalar",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "quality_filter_pipeline",
+    "repetition_metrics",
+    "shard_export_assignment",
+    "snapshot_diff",
+    "stratified_sample_documents",
+    "text_length_histogram",
+    "text_pii_scrub",
+    "text_quality_metrics",
+    "tfidf_top_terms",
+    "udtf_tokenize",
+    # --- r4-vintage, oldest first-in ---
+    "benford_first_digit",
+    "bfs_distances",
+    "bloom_prefilter_join",
+    "bootstrap_mean_ci",
+)
+
+# Queries registered but outside the 50-slot window — the complement of
+# DRIVER_PRIORITY over the full 218-query surface. Every entry here has
+# been driver-checked green at least once (rounds 1-7) and stays covered
+# by the parity suite at sf0.001 + sf0.01 (tests/test_oracle_parity.py)
+# and the sf0.1 mirror (pytest -m sf01). tests/test_registration.py
+# accepts a north-star query being here instead of in the window — but
+# ONLY here, so the exemption is explicit and reviewed. One entry per
+# line.
+ROTATION_CANDIDATES: tuple[str, ...] = (
     "countmin_word_frequencies",
-    # --- judge-preferred oracled capstones ---
     "entity_resolution_customers",
     "curate_corpus",
     "pit_join_scd2",
     "pagerank_copurchase",
-    # --- r1/r2-vintage re-verifications: TPC-H one-shots ---
     "q1_pricing_summary",
     "q2_cheapest_supplier",
     "q3_shipping_priority",
@@ -85,7 +138,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q18_large_volume_customers",
     "q19_discounted_revenue",
     "q22_idle_rich_customers",
-    # --- r1-vintage: aggregation shapes ---
     "agg_argmax",
     "agg_cube",
     "agg_distinct",
@@ -93,7 +145,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_rollup",
     "agg_stats",
     "agg_percentile",
-    # --- r1-vintage: scalar / set-op / sort one-shots ---
     "scalar_conditional",
     "scalar_date_funcs",
     "scalar_math_funcs",
@@ -102,7 +153,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sort_topk",
     "subquery_exists",
     "unpivot_lineitem",
-    # --- r2-vintage: joins, events, windows ---
     "asof_join_events_orders",
     "range_join_events_orders",
     "join_left_outer",
@@ -111,168 +161,99 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "json_extract_events",
     "pack_sequences",
     "decontaminate_ngram",
-    "asof_join_nearest",  # gap_s integer-micros rounding (sf0.1 mirror find)
-    "time_weighted_average",  # decimal-exact weighted sums (sf0.1 mirror find)
-    "embedding_gram_matrix",  # -0.0 canonicalization (sf0.1 mirror find)
+    "asof_join_nearest",
+    "time_weighted_average",
+    "embedding_gram_matrix",
     "tumbling_window_agg",
-    "window_range_frame",
     "window_rank_dense_ntile",
     "window_topk_per_group",
-)
-
-# Queries registered but outside the 50-slot window — the complement of
-# DRIVER_PRIORITY over the full 217-query surface. Every entry here has
-# been driver-checked green at least once (rounds 1-6; never-checked
-# queue emptied in round 6) and stays covered by the parity suite at
-# sf0.001 + sf0.01 (tests/test_oracle_parity.py) and the sf0.1 mirror
-# (pytest -m sf01). tests/test_registration.py accepts a north-star
-# query being here instead of in the window — but ONLY here, so the
-# exemption is explicit and reviewed. One entry per line.
-ROTATION_CANDIDATES: tuple[str, ...] = (
-    "grouped_zscore",
-    "date_spine_fill",
-    "pivot_event_counts",
-    "try_functions_safety",
-    "map_hof_functions",
-    "union_by_name_evolution",
-    "collated_group_count",
-    "xml_roundtrip_stats",
-    "variant_props_stats",
-    "kcore_membership",
-    "ann_pq_topk",
-    "kmeans_lloyd_clusters",
-    "hll_sketch_partitioned",
-    "multimodal_image_resize",
-    "multimodal_frame_sample",
-    "embedding_jl_projection",
-    "approx_top_k_words",
-    "hll_native_distinct",
-    "approx_percentile_error",
-    "hll_intersection_users",
-    "market_basket_rules",
-    "agg_percentile_disc",
-    "heavy_hitters_words",
-    "gdpr_erasure_audit",
-    "multimodal_image_dhash_pairs",
-    "multimodal_audio_fingerprint_pairs",
-    "multimodal_video_scene_cuts",
-    "dedup_minhash_lsh",
-    "dedup_connected_components",
-    "dedup_survivor_best_quality",
-    "set_overlap_join_prefix",
-    "ann_bruteforce_topk",
-    "corpus_pipeline_funnel",
-    "scd2_user_segments",
-    "merge_upsert_orders",
-    "ivm_incremental_agg",
-    "attribution_multitouch",
-    "kaplan_meier_retention",
-    "fifo_allocation",
-    "concurrent_sessions_timeline",
-    "cusum_changepoints",
-    "inverted_index_postings",
-    "chunk_documents",
-    "domain_mix_temperature",
-    "psi_price_drift",
-    "rfm_segmentation",
-    "bm25_search",
-    "cohort_retention",
     "agg_boolean_counting",
     "set_ops_all",
+    "union_by_name_evolution",
     "rollup_grouping_id",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
     "yoy_revenue_growth",
     "window_distribution_ranks",
-    "window_running_sum",
-    "window_lag_lead",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "fuzzy_name_match",
     "salted_join_hot_key",
     "asof_join_forward",
     "join_null_safe",
-    "bloom_prefilter_join",
     "geo_radius_join_grid",
     "join_skew_diagnostics",
-    "sliding_window_agg",
     "sessionization_gap",
-    "funnel_conversion",
-    "interpolate_missing_values",
-    "hypertable_rollup",
+    "cohort_retention",
     "ohlc_bars",
     "top_event_paths",
     "session_window_agg",
     "sliding_distinct_users",
+    "variant_props_stats",
     "conversion_time_quantiles",
     "session_window_dynamic_gap",
+    "attribution_multitouch",
     "longest_daily_streak",
+    "concurrent_sessions_timeline",
     "new_vs_returning_daily",
     "grouped_arrow_profile",
+    "agg_percentile_disc",
     "agg_mode_deterministic",
-    "array_agg_sorted",
     "chi2_event_value",
     "corr_matrix_lineitem",
-    "pandas_udf_scalar",
-    "udtf_tokenize",
+    "hll_intersection_users",
     "udtf_parse_props",
     "grouped_agg_gini",
+    "xml_roundtrip_stats",
+    "collated_group_count",
     "listagg_supplier_names",
+    "approx_top_k_words",
+    "try_functions_safety",
+    "map_hof_functions",
     "bitmap_distinct_counts",
-    "map_functions",
-    "array_functions",
+    "hll_native_distinct",
     "agg_approx_distinct",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh_expr",
+    "hll_sketch_partitioned",
+    "set_overlap_join_prefix",
+    "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_containment",
+    "dedup_connected_components",
+    "dedup_survivor_best_quality",
     "block_dedup_stats",
+    "ann_bruteforce_topk",
     "ann_range_search",
+    "embedding_jl_projection",
     "embedding_cluster_cohesion",
     "ann_ivf_topk",
     "ann_lsh_topk",
+    "ann_pq_topk",
     "ann_ivfpq_topk",
-    "embedding_quantize_int8",
+    "kmeans_lloyd_clusters",
     "embedding_dim_stats",
-    "text_quality_metrics",
-    "lang_id_heuristic",
-    "doc_fingerprint",
     "winnow_fingerprint_pairs",
-    "text_length_histogram",
-    "text_pii_scrub",
-    "repetition_metrics",
-    "stratified_sample_documents",
-    "tfidf_top_terms",
-    "quality_filter_pipeline",
+    "bm25_search",
     "lm_perplexity_score",
     "collocation_pmi",
     "zipf_slope",
     "char_entropy",
+    "inverted_index_postings",
     "bpe_merge_candidates",
     "lang_id_confusion",
-    "multimodal_metadata",
     "multimodal_features",
     "multimodal_image_features",
     "multimodal_audio_features",
     "multimodal_video_features",
-    "shard_export_assignment",
+    "multimodal_image_resize",
+    "multimodal_frame_sample",
+    "multimodal_image_dhash_pairs",
+    "multimodal_audio_fingerprint_pairs",
+    "multimodal_video_scene_cuts",
     "weighted_sample_documents",
+    "chunk_documents",
+    "domain_mix_temperature",
     "bottomk_sample_per_group",
     "train_val_test_split",
-    "data_quality_report",
-    "snapshot_diff",
+    "corpus_pipeline_funnel",
     "k_anonymity_report",
     "table_profile_lineitem",
-    "benford_first_digit",
+    "psi_price_drift",
     "referential_integrity_report",
+    "gdpr_erasure_audit",
     "order_total_reconciliation",
     "rolling_median_value",
     "ewma_value",
@@ -280,21 +261,30 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "markov_transitions",
     "dow_seasonality",
     "acf_daily_events",
+    "scd2_user_segments",
+    "merge_upsert_orders",
     "winsorize_stats",
     "skyline_suppliers",
+    "ivm_incremental_agg",
     "zorder_cluster_stats",
+    "fifo_allocation",
     "partition_advisor_orders",
     "encoding_advisor_lineitem",
     "triangle_participation",
-    "bfs_distances",
+    "market_basket_rules",
+    "kcore_membership",
     "degree_assortativity",
     "regr_price_trend",
+    "rfm_segmentation",
     "pareto_revenue_share",
+    "heavy_hitters_words",
+    "cusum_changepoints",
     "quantile_sketch_value",
     "price_histogram",
+    "kaplan_meier_retention",
     "ab_test_welch",
     "mad_outliers",
-    "bootstrap_mean_ci",
+    "approx_percentile_error",
     "mutual_information_value",
 )
 

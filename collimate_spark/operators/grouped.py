@@ -38,15 +38,42 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user z-score of event values via applyInPandas — the custom
-    grouped-map operator pattern. Exactly SQL-expressible, so it gets a
-    real oracle (window AVG/STDDEV) proving the Arrow round trip is
-    numerically faithful."""
+    grouped-map operator pattern, registered DELIBERATELY as the
+    Arrow-round-trip demo (its bench row measures grouped-map overhead
+    over ~100k tiny groups, not the recommended plan). Exactly
+    SQL-expressible, so it gets a real oracle (window AVG/STDDEV)
+    proving the Arrow round trip is numerically faithful. The
+    production form is :func:`grouped_zscore_native` — same output,
+    pure JVM window plan, registered beside this one so the bench shows
+    both."""
     ev = load_table(spark, "events", sf_dir)
     return (
         ev.select("user_id", "event_id", "value")
         .groupBy("user_id")
         .applyInPandas(_zscore_group, ZSCORE_SCHEMA)
         .select("user_id", "event_id", F.round("zscore", 6).alias("zscore"))
+        .orderBy("event_id")
+    )
+
+
+def grouped_zscore_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of grouped_zscore: the same per-user z-score as
+    a pure JVM window plan (AVG/STDDEV_SAMP over an unordered per-user
+    window) — no Python worker, no Arrow hop, whole-stage codegen end to
+    end. Output is identical to the applyInPandas demo (same oracle SQL;
+    pandas' ddof=1 std == STDDEV_SAMP), which is the point: when the
+    kernel is expressible as window aggregates, the native plan wins —
+    the demo exists to measure exactly that gap (see bench.py's wide
+    set, where both are tagged)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id")
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = F.when(sd > 0, (F.col("value") - mu) / sd).otherwise(F.lit(0.0))
+    return (
+        ev.select("user_id", "event_id", F.round(z, 6).alias("zscore"))
         .orderBy("event_id")
     )
 
@@ -403,6 +430,7 @@ FROM lineitem
 
 QUERIES = {
     "grouped_zscore": grouped_zscore,
+    "grouped_zscore_native": grouped_zscore_native,
     "grouped_arrow_profile": grouped_arrow_profile,
     "agg_percentile": agg_percentile,
     "agg_percentile_disc": agg_percentile_disc,
@@ -417,6 +445,8 @@ QUERIES = {
 
 ORACLES = {
     "grouped_zscore": GROUPED_ZSCORE_SQL,
+    # same SQL: the native form is the oracle's plan, the demo's contract
+    "grouped_zscore_native": GROUPED_ZSCORE_SQL,
     "grouped_arrow_profile": GROUPED_ARROW_SQL,
     "agg_percentile": AGG_PERCENTILE_SQL,
     "agg_percentile_disc": AGG_PERCENTILE_DISC_SQL,

@@ -678,43 +678,89 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ENTITY_RESOLUTION_SQL = """
-WITH RECURSIVE keyed AS (
+# Connected-components closure rounds in the ER oracle. Each round is one
+# hook (min over neighbors' labels) + two compresses (lbl ← lbl(lbl)), so
+# the label's coverage radius grows ≥ 4× per round — 12 rounds cover any
+# component diameter up to ~4^12 ≈ 16M. A convergence GUARD makes
+# under-iteration loud (zero rows, never a silent wrong answer).
+ER_CC_ROUNDS = 12
+
+
+def _er_closure_sql() -> str:
+    """Scale-capable DuckDB oracle for entity_resolution_customers.
+
+    The previous oracle's recursive-CTE reachability materialized every
+    (node, member) pair — O(n²) rows on the driver data's single chained
+    component (could not finish the sf0.1 mirror; the one documented
+    skip). This is the SQL mirror of the Spark side's pointer-doubling
+    closure (dedup.propagate_components): min-label propagation with
+    path compression as a FIXED-DEPTH chain of CTEs — per round one
+    hook join over the edges plus two label-table self-joins, O((E+n)·
+    rounds) total. Labels are always node ids within the component
+    (mins of node ids), so the compress join is total. The final select
+    is gated on a convergence check — one more hook must change nothing
+    — so if a pathological graph ever exceeded the round budget the
+    oracle returns ZERO rows and the comparison fails loudly instead of
+    silently blessing wrong labels."""
+    cte = ["""keyed AS MATERIALIZED (
   SELECT c_custkey, c_name,
          unnest(list_transform(range(1, LENGTH(c_name) + 1),
                 i -> substr(c_name, 1, i - 1) || '*' || substr(c_name, i + 1))) AS k
   FROM customer
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT a.c_custkey AS cust_a, a.c_name AS name_a,
                   b.c_custkey AS cust_b, b.c_name AS name_b
   FROM keyed a JOIN keyed b ON a.k = b.k AND a.c_custkey < b.c_custkey
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT cust_a, cust_b FROM cand WHERE levenshtein(name_a, name_b) = 1
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT cust_a AS src, cust_b AS dst FROM pairs
   UNION ALL SELECT cust_b, cust_a FROM pairs
 ),
-reach AS (
-    SELECT src AS node, src AS member FROM edges
-  UNION
-    SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.member
+lbl0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS lbl FROM edges
+)"""]
+    prev = "lbl0"
+    for r in range(1, ER_CC_ROUNDS + 1):
+        cte.append(f"""h{r} AS MATERIALIZED (
+  SELECT n.node, LEAST(n.lbl, COALESCE(MIN(m.lbl), n.lbl)) AS lbl
+  FROM {prev} n
+  LEFT JOIN edges e ON e.src = n.node
+  LEFT JOIN {prev} m ON m.node = e.dst
+  GROUP BY n.node, n.lbl
 ),
-cc AS (
-  SELECT node AS c_custkey, MIN(member) AS entity_id
-  FROM reach GROUP BY node
+c{r} AS MATERIALIZED (
+  SELECT a.node, b.lbl FROM h{r} a JOIN h{r} b ON b.node = a.lbl
+),
+lbl{r} AS MATERIALIZED (
+  SELECT a.node, b.lbl FROM c{r} a JOIN c{r} b ON b.node = a.lbl
+)""")
+        prev = f"lbl{r}"
+    return f"""
+WITH {','.join(cte)},
+unconverged AS (
+  SELECT COUNT(*) AS n_bad
+  FROM {prev} n
+  JOIN edges e ON e.src = n.node
+  JOIN {prev} m ON m.node = e.dst
+  WHERE m.lbl <> n.lbl
 )
-SELECT entity_id,
+SELECT lbl AS entity_id,
        COUNT(*) AS n_members,
-       MIN(c_custkey) AS min_member,
-       MAX(c_custkey) AS max_member
-FROM cc
-GROUP BY entity_id
+       MIN(node) AS min_member,
+       MAX(node) AS max_member
+FROM {prev}, unconverged
+WHERE unconverged.n_bad = 0
+GROUP BY lbl
 HAVING COUNT(*) > 1
 ORDER BY entity_id
 """
+
+
+ENTITY_RESOLUTION_SQL = _er_closure_sql()
 
 
 def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -83,12 +83,6 @@ def test_oracle_parity_sf01(spark, name):
     scale-dependent divergence (percentile interpolation, summation
     order) that sf0.01 can't. Excluded from the default run via addopts;
     invoke with ``pytest tests/test_oracle_parity.py -m sf01``."""
-    if name == "entity_resolution_customers":
-        pytest.skip(
-            "deliberately-naive quadratic DuckDB oracle cannot finish at "
-            "sf0.1 (documented since r4, BASELINE.md); Spark side is "
-            "benched at sf0.1 and oracled at sf0.001+sf0.01"
-        )
     _check_parity(spark, name, "/root/testdata/sf0.1")
 
 

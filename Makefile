@@ -30,3 +30,10 @@ bench-wide:
 
 plans:
 	$(PY) -m collimate_spark.plans
+
+# Quadratic-candidate screen (VERDICT r7 #8): pair-emitting dedup family
+# at 10x corpus on the MUTATED replication slice (true pair output grows
+# ~linearly there, so work growth is the signal). Rewrites the marked
+# scale-sweep section of BASELINE.md.
+scale-sweep:
+	$(PY) scripts/scale_sweep.py --update-baseline

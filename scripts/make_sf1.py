@@ -12,6 +12,21 @@ Output: /tmp/sf1/{table}.parquet — NOT committed, regenerate on demand:
     python scripts/make_sf1.py [src_sf_dir] [out_dir]
 Chain for higher scales (SF_COPIES defaults to 10):
     python scripts/make_sf1.py /tmp/sf1 /tmp/sf10   # 100x bench scale
+
+SF_MUTATE=1 (VERDICT r7 directive #2) perturbs every NON-base replica's
+document text so replicas are NOT near-dups of their source or of each
+other: every 4th token (phase i%4) gets a replica-specific suffix, so
+any cross-replica doc pair shares ≤ ~25% of its trigram shingles
+(Jaccard ≤ ~0.15, containment ≤ ~0.25 — below every operator threshold)
+while ~75% of tokens stay original, so SHARED-VOCABULARY shingle
+frequencies keep growing ~linearly with the corpus the way a real
+crawl's do (the growth that makes naive shared-shingle joins
+quadratic). WITHIN a replica the base corpus's near-dup pairs survive
+verbatim (aligned positions get identical suffixes), so the TRUE pair
+output grows ~linearly in the replication factor instead of the exact
+replication's quadratic artifact — pair-emitting ops can be swept for
+WORK growth:
+    SF_MUTATE=1 python scripts/make_sf1.py /root/testdata/sf0.1 /tmp/sf1m
 """
 
 from __future__ import annotations
@@ -23,6 +38,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 COPIES = int(os.environ.get("SF_COPIES", "10"))
+MUTATE = os.environ.get("SF_MUTATE", "") not in ("", "0")
 SCALED = {
     # table -> columns to shift by i * (max+1) per replica
     "lineitem": ["l_orderkey"],
@@ -63,6 +79,15 @@ def main() -> None:
             p = df
             for k, stride in strides.items():
                 p = p.withColumn(k, (F.col(k) + F.lit(i * stride)).cast(df.schema[k].dataType))
+            if MUTATE and t == "documents" and i > 0:
+                toks = F.split(F.col("text"), " ")
+                salted = F.transform(
+                    toks,
+                    lambda tok, j: F.when(
+                        j % 4 == F.lit(i % 4), F.concat(tok, F.lit(f"q{i}"))
+                    ).otherwise(tok),
+                )
+                p = p.withColumn("text", F.array_join(salted, " "))
             parts.append(p)
         un = parts[0]
         for p in parts[1:]:

@@ -416,9 +416,19 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality filters): duplicate-token fraction and duplicate 3-/5-gram
     fractions (1 − distinct/total). High values mark boilerplate, looped
     generation, and template spam — standard removal criteria for
-    training corpora. Pure JVM array expressions, zero shuffle."""
+    training corpora. Pure JVM array expressions, zero shuffle.
+
+    The token array is projected ONCE behind an alias before the n-gram
+    lambdas touch it: built inline, CollapseProject inlines the full
+    split(regexp_replace(...)) tree into the per-element slice lambda
+    and the tokenizer re-runs per n-gram per row (~2×|tokens| regexp
+    passes over the whole text — measured 40.6s at sf0.1; the winnow
+    kernel's documented pathology). The alias is referenced >1 time and
+    is not cheap, so CollapseProject keeps the projection boundary:
+    one tokenize per row, 40.6s → ~0.9s, same plan shape otherwise."""
     docs = load_table(spark, "documents", sf_dir)
-    toks = X.tokens(F.col("text"))
+    base = docs.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
 
     def dup_frac(arr):
         return F.when(
@@ -429,7 +439,7 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0.0))
 
     return (
-        docs.select(
+        base.select(
             "doc_id",
             F.size(toks).alias("n_tokens"),
             dup_frac(toks).alias("dup_token_frac"),

@@ -864,21 +864,36 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         else freq
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("freq").asc(), F.col("shingle").asc())
-    src_prefix = (
+    # ONE ranked-postings frame serves both join sides (cached: the rank
+    # window and freq join run once). Two further LOSSLESS prunes ride on
+    # the ranks: |A∩B| ≤ |B| forces sz_b ≥ ⌈τ·sz_a⌉, and the same
+    # pigeonhole that bounds s* (the globally-smallest shared shingle) to
+    # A's prefix bounds its rank WITHIN B: rank_B(s*) ≤ |B| − |A∩B| + 1
+    # ≤ sz_b − ⌈τ·sz_a⌉ + 1 — both depend on the pair, so they apply at
+    # join time, not in the index.
+    tau = F.lit(CONTAINMENT_THRESHOLD)
+    ranked = (
         exploded.join(freq_side, "shingle")
         .withColumn("rk", F.row_number().over(w))
         .join(shingled.select("doc_id", F.size("shingles").alias("sz")), "doc_id")
-        .filter(
-            F.col("rk")
-            <= F.col("sz") - F.ceil(F.col("sz") * F.lit(CONTAINMENT_THRESHOLD)) + 1
-        )
-        .select("shingle", F.col("doc_id").alias("src"))
+        .select("shingle", "doc_id", "rk", "sz")
+        .transform(scache)
     )
+    src_prefix = ranked.filter(
+        F.col("rk") <= F.col("sz") - F.ceil(F.col("sz") * tau) + 1
+    ).select("shingle", F.col("doc_id").alias("src"), F.col("sz").alias("sz_a"))
+    dst_postings = ranked.select(
+        "shingle",
+        F.col("doc_id").alias("dst"),
+        F.col("rk").alias("rk_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    min_overlap = F.ceil(F.col("sz_a") * tau)
     pairs = (
-        src_prefix.join(
-            exploded.select("shingle", F.col("doc_id").alias("dst")), "shingle"
-        )
+        src_prefix.join(dst_postings, "shingle")
         .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("sz_b") >= min_overlap)
+        .filter(F.col("rk_b") <= F.col("sz_b") - min_overlap + 1)
         .select("src", "dst")
         .distinct()
     )

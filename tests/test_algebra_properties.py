@@ -131,8 +131,11 @@ def test_range_frame_two_level_equals_single_level(spark, sf_dir):
     within-bucket-prefix(<=x), exact because every sum is DECIMAL
     (association-free recomposition)."""
     from collimate_spark.operators.windows import window_range_frame
+    from collimate_spark.plans import plan_features
 
     for sf in ("/root/testdata/sf0.001", sf_dir):
         single = window_range_frame(spark, sf).collect()
-        two = window_range_frame(spark, sf, two_level=True).collect()
-        assert single == two
+        two_df = window_range_frame(spark, sf, two_level=True)
+        assert single == two_df.collect()
+    f = plan_features(two_df)
+    assert not f["has_cartesian"]

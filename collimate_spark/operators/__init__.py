@@ -48,7 +48,11 @@ from pyspark.sql import DataFrame, SparkSession
 #   window_range_frame (two_level scale mode added behind a kwarg; the
 #   registered single-level plan is equivalence-pinned to it), and
 #   grouped_zscore_native (NEW, directive #6: the production JVM window
-#   twin of the applyInPandas demo — never driver-checked).
+#   twin of the applyInPandas demo — never driver-checked), and
+#   semdedup_prune (NEW mid-round: SemDeDup-style semantic pruning —
+#   cluster-blocked cosine pairs → CC groups → keep the
+#   lowest-centroid-cosine member; displaced bootstrap_mean_ci (r4) to
+#   the rotation queue behind bpe_merge_candidates).
 # Every entry has a DuckDB oracle and a bench row (invariant pinned by
 # tests/test_registration.py). bpe_merge_candidates (r4) was displaced by
 # window_range_frame and stays first in line for r9.
@@ -57,6 +61,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_containment",
     "window_range_frame",
     "grouped_zscore_native",
+    "semdedup_prune",
     # --- r2-vintage one-shots that missed the r7 cut ---
     "date_spine_fill",
     "grouped_zscore",
@@ -106,7 +111,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "benford_first_digit",
     "bfs_distances",
     "bloom_prefilter_join",
-    "bootstrap_mean_ci",
 )
 
 # Queries registered but outside the 50-slot window — the complement of
@@ -118,6 +122,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # ONLY here, so the exemption is explicit and reviewed. One entry per
 # line.
 ROTATION_CANDIDATES: tuple[str, ...] = (
+    "bootstrap_mean_ci",
     "countmin_word_frequencies",
     "entity_resolution_customers",
     "curate_corpus",

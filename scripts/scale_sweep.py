@@ -35,7 +35,9 @@ sys.path.insert(0, REPO)
 
 # The pair-emitting / candidate-join family. Multimodal pair ops are
 # excluded by construction: their asset universe is capped (asset_id <
-# 200) so corpus replication doesn't change their input.
+# 200) so corpus replication doesn't change their input; semdedup_prune
+# and the embedding dedups read the embeddings table, which the scaled
+# slice passes through unreplicated.
 OPS = [
     "dedup_exact",
     "dedup_ngram_jaccard",

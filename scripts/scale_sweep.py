@@ -15,7 +15,11 @@ output growth separately from work growth).
 
 Usage:
     python scripts/scale_sweep.py [--base DIR] [--scaled DIR]
-        [--update-baseline]
+        [--update-baseline] [--ops name1,name2,...]
+--ops sweeps an arbitrary registered query list instead of the default
+pair-emitting family (screen any new operator without editing OPS;
+--update-baseline is refused for a non-default list so the pinned
+BASELINE.md table always reflects the canonical family).
 Defaults: base=/root/testdata/sf0.1 (5k docs), scaled=/tmp/sf1m (50k
 docs, mutated replication — built automatically if missing).
 --update-baseline rewrites the marked section of BASELINE.md with the
@@ -159,10 +163,15 @@ def main() -> None:
         base = args[args.index("--base") + 1]
     if "--scaled" in args:
         scaled = args[args.index("--scaled") + 1]
+    ops = list(OPS)
+    if "--ops" in args:
+        ops = args[args.index("--ops") + 1].split(",")
+        if update:
+            sys.exit("--update-baseline requires the default op list")
     _ensure_scaled(scaled)
 
     rows = []
-    for name in OPS:
+    for name in ops:
         rec = {"query": name}
         rec["base"] = _cell(name, base)
         rec["scaled"] = _cell(name, scaled)

@@ -570,6 +570,9 @@ SCAN_CEILINGS = {
     "market_basket_rules": 1,
     "top_event_paths": 1,
     "block_dedup_stats": 1,
+    # round-8 addition: one embeddings scan (cached frame feeds centroid
+    # agg, both pair sides, and the member re-join)
+    "semdedup_prune": 1,
 }
 
 

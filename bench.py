@@ -254,8 +254,9 @@ EXTRA_QUERIES = [
     # for the same output — read the pair together (r7 VERDICT #6).
     "grouped_zscore",
     "grouped_zscore_native",
-    # round 8 mid-round addition (in the r8 driver window)
+    # round 8 mid-round additions (in the r8 driver window)
     "semdedup_prune",
+    "dup_span_coverage",
     "date_spine_fill",
     "pivot_event_counts",
     "window_range_frame",

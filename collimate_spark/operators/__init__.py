@@ -52,7 +52,10 @@ from pyspark.sql import DataFrame, SparkSession
 #   semdedup_prune (NEW mid-round: SemDeDup-style semantic pruning —
 #   cluster-blocked cosine pairs → CC groups → keep the
 #   lowest-centroid-cosine member; displaced bootstrap_mean_ci (r4) to
-#   the rotation queue behind bpe_merge_candidates).
+#   the rotation queue behind bpe_merge_candidates), and
+#   dup_span_coverage (NEW mid-round: Lee et al. 2022 unaligned
+#   repeated-substring coverage; displaced bloom_prefilter_join (r4),
+#   also queued for r9).
 # Every entry has a DuckDB oracle and a bench row (invariant pinned by
 # tests/test_registration.py). bpe_merge_candidates (r4) was displaced by
 # window_range_frame and stays first in line for r9.
@@ -62,6 +65,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_range_frame",
     "grouped_zscore_native",
     "semdedup_prune",
+    "dup_span_coverage",
     # --- r2-vintage one-shots that missed the r7 cut ---
     "date_spine_fill",
     "grouped_zscore",
@@ -110,7 +114,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- r4-vintage, oldest first-in ---
     "benford_first_digit",
     "bfs_distances",
-    "bloom_prefilter_join",
 )
 
 # Queries registered but outside the 50-slot window — the complement of
@@ -123,6 +126,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # line.
 ROTATION_CANDIDATES: tuple[str, ...] = (
     "bootstrap_mean_ci",
+    "bloom_prefilter_join",
     "countmin_word_frequencies",
     "entity_resolution_customers",
     "curate_corpus",

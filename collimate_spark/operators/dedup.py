@@ -1163,6 +1163,124 @@ ORDER BY b.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Unaligned repeated-substring coverage (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better": exact substring dedup)
+
+SPAN_L = 16  # window length in tokens — same grain as block_dedup_stats
+
+
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of token positions covered by a 16-token
+    window that occurs AT LEAST TWICE anywhere in the corpus (other docs
+    or elsewhere in the same doc) — the UNALIGNED repeated-substring
+    signal from Lee et al. 2022's exact-substring dedup, strictly
+    stronger than block_dedup_stats' aligned 16-word blocks (a duplicated
+    run straddling a block boundary is invisible there, caught here).
+
+    Scale shape: windows are a row-local HOF flatMap and travel as
+    64-bit xxhash64 keys from the first shuffle (collision odds
+    ≈ windows²/2⁶⁵); the occurrence count is one vocabulary-sized
+    groupBy; coverage is the classic interval-union-with-fixed-length
+    trick — sort duplicated window STARTS per doc, each start covers
+    min(L, next_start − start) new tokens (the sweep-line carry pattern,
+    cf. concurrent_sessions_timeline) — one partitioned window, no
+    pairwise interval join. The token array is aliased before the
+    per-window lambda (the repetition_metrics CollapseProject lesson)
+    and both multi-consumer frames are cached: ONE tokenize pass total.
+    dup_coverage is emitted as the UNROUNDED double quotient of two
+    integers — identical IEEE division in both engines; rounding an
+    integer ratio invites the k/2^m half-boundary flip."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select("doc_id", X.tokens(F.col("text")).alias("toks")).transform(
+        scache
+    )
+    t = F.col("toks")
+    wins_expr = F.when(
+        F.size(t) >= SPAN_L,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - SPAN_L),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i + 1, SPAN_L))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    wins = base.select("doc_id", F.posexplode(wins_expr).alias("pos", "h")).transform(
+        scache
+    )
+    freq = wins.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup_starts = (
+        wins.join(freq, "h").filter(F.col("n_occ") >= 2).select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    covered = (
+        dup_starts.withColumn("nxt", F.lead("pos").over(w))
+        .withColumn(
+            "contrib",
+            F.when(F.col("nxt").isNull(), F.lit(SPAN_L)).otherwise(
+                F.least(F.lit(SPAN_L), F.col("nxt") - F.col("pos"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.sum("contrib").alias("covered_tokens"),
+        )
+    )
+    return (
+        base.select("doc_id", F.size("toks").alias("n_tokens"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            (F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens")).alias(
+                "dup_coverage"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUP_SPAN_SQL = f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+wins AS MATERIALIZED (
+  SELECT doc_id, u.pos AS pos, u.w AS w
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(toks) - {SPAN_L} + 1),
+                  i -> {{'pos': i, 'w': array_to_string(toks[i+1 : i+{SPAN_L}], ' ')}})) AS u
+    FROM d
+  )
+),
+freq AS (SELECT w, COUNT(*) AS n_occ FROM wins GROUP BY w),
+dup AS (
+  SELECT doc_id, pos FROM wins JOIN freq USING (w) WHERE n_occ >= 2
+),
+cov AS (
+  SELECT doc_id, COUNT(*) AS n_dup_windows,
+         SUM(CASE WHEN nxt IS NULL THEN {SPAN_L}
+                  ELSE LEAST({SPAN_L}, nxt - pos) END) AS covered
+  FROM (SELECT doc_id, pos,
+               LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM dup)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       len(d.toks) AS n_tokens,
+       COALESCE(cov.n_dup_windows, 0) AS n_dup_windows,
+       CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens,
+       COALESCE(cov.covered, 0) * 1.0 / len(d.toks) AS dup_coverage
+FROM d LEFT JOIN cov USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "set_overlap_join_prefix": set_overlap_join_prefix,
@@ -1176,6 +1294,7 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "block_dedup_stats": block_dedup_stats,
     "semdedup_prune": semdedup_prune,
+    "dup_span_coverage": dup_span_coverage,
 }
 
 ORACLES = {
@@ -1191,4 +1310,5 @@ ORACLES = {
     # dedup_simhash: rows-only (engine-specific hash family)
     "dedup_embedding_cosine": DEDUP_EMB_SQL,
     "semdedup_prune": SEMDEDUP_SQL,
+    "dup_span_coverage": DUP_SPAN_SQL,
 }

@@ -51,6 +51,7 @@ OPS = [
     "set_overlap_join_prefix",
     "winnow_fingerprint_pairs",
     "block_dedup_stats",
+    "dup_span_coverage",
 ]
 N_RUNS = 2
 BASE_DEFAULT = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -570,9 +570,11 @@ SCAN_CEILINGS = {
     "market_basket_rules": 1,
     "top_event_paths": 1,
     "block_dedup_stats": 1,
-    # round-8 addition: one embeddings scan (cached frame feeds centroid
-    # agg, both pair sides, and the member re-join)
+    # round-8 additions: one embeddings scan (cached frame feeds centroid
+    # agg, both pair sides, and the member re-join); one documents scan
+    # (aliased token frame feeds windows and the n_tokens join-back)
     "semdedup_prune": 1,
+    "dup_span_coverage": 1,
 }
 
 

@@ -139,3 +139,76 @@ def test_range_frame_two_level_equals_single_level(spark, sf_dir):
         assert single == two_df.collect()
     f = plan_features(two_df)
     assert not f["has_cartesian"]
+
+
+starts_strategy = st.lists(
+    st.integers(min_value=0, max_value=400), min_size=1, max_size=40, unique=True
+)
+
+
+@given(starts_strategy)
+@SLOW
+def test_fixed_length_interval_union_formula(spark, starts):
+    """dup_span_coverage's coverage identity: for fixed window length L,
+    sum over SORTED starts of min(L, next−cur) (last start contributes L)
+    equals |union of [s, s+L−1]| — checked with the REAL Spark window
+    expression against a brute-force position set."""
+    import pyspark.sql.functions as F
+
+    L = 16
+    brute = len({p for s in starts for p in range(s, s + L)})
+    df = spark.createDataFrame([(s,) for s in starts], "pos: long")
+    w = Window.partitionBy(F.lit(1)).orderBy("pos")
+    got = (
+        df.withColumn("nxt", F.lead("pos").over(w))
+        .select(
+            F.when(F.col("nxt").isNull(), F.lit(L))
+            .otherwise(F.least(F.lit(L), F.col("nxt") - F.col("pos")))
+            .alias("contrib")
+        )
+        .agg(F.sum("contrib"))
+        .first()[0]
+    )
+    assert got == brute
+
+
+corpus_strategy = st.lists(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=12),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(corpus_strategy)
+@SLOW
+def test_containment_prune_bounds_are_lossless(spark, raw_sets):
+    """dedup_containment's three candidate prunes, verified jointly on
+    random corpora (pure math — the plan itself is oracle-tested): for
+    EVERY ordered pair with C(A→B) ≥ τ there must exist a shared element
+    s with rank_A(s) ≤ |A|−⌈τ|A|⌉+1 (src prefix), rank_B(s) ≤
+    |B|−⌈τ|A|⌉+1 (dst rank bound), and |B| ≥ ⌈τ|A|⌉ (size bound) — so
+    the pruned candidate join cannot drop a true pair."""
+    import math
+    from collections import Counter
+
+    tau = 0.6
+    sets = [frozenset(x) for x in raw_sets]
+    freq = Counter(e for s in sets for e in set(s))
+    order = lambda e: (freq[e], e)  # noqa: E731 — the global total order
+    for ia, A in enumerate(sets):
+        for ib, B in enumerate(sets):
+            if ia == ib:
+                continue
+            inter = A & B
+            need = math.ceil(tau * len(A))
+            if len(inter) < need or len(inter) / len(A) < tau:
+                continue  # not a true pair
+            assert len(B) >= need  # size bound can't reject it
+            ranked_a = sorted(A, key=order)
+            ranked_b = sorted(B, key=order)
+            ok = any(
+                ranked_a.index(s) + 1 <= len(A) - need + 1
+                and ranked_b.index(s) + 1 <= len(B) - need + 1
+                for s in inter
+            )
+            assert ok, (sorted(A), sorted(B))

@@ -17,7 +17,8 @@ SF_MUTATE=1 (VERDICT r7 directive #2) perturbs every NON-base replica's
 document text so replicas are NOT near-dups of their source or of each
 other: every 4th token (phase i%4) gets a replica-specific suffix, so
 any cross-replica doc pair shares ≤ ~25% of its trigram shingles
-(Jaccard ≤ ~0.15, containment ≤ ~0.25 — below every operator threshold)
+(Jaccard ≤ ~0.15, containment ≤ ~0.25 — below every operator threshold;
+chain with a DIFFERENT SF_SALT per level — see SALT below)
 while ~75% of tokens stay original, so SHARED-VOCABULARY shingle
 frequencies keep growing ~linearly with the corpus the way a real
 crawl's do (the growth that makes naive shared-shingle joins
@@ -39,6 +40,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 COPIES = int(os.environ.get("SF_COPIES", "10"))
 MUTATE = os.environ.get("SF_MUTATE", "") not in ("", "0")
+# Distinct salt per CHAINED invocation (SF_SALT=q, r, ...): composing two
+# mutation levels with the same salt is commutative — copy (j=1 then i=2)
+# equals copy (j=2 then i=1) — which mints cross-level EXACT duplicates
+# (~40% of a 100x slice, measured). A per-level salt letter breaks the
+# commutation, keeping chained slices linear-output too.
+SALT = os.environ.get("SF_SALT", "q")
 SCALED = {
     # table -> columns to shift by i * (max+1) per replica
     "lineitem": ["l_orderkey"],
@@ -84,7 +91,7 @@ def main() -> None:
                 salted = F.transform(
                     toks,
                     lambda tok, j: F.when(
-                        j % 4 == F.lit(i % 4), F.concat(tok, F.lit(f"q{i}"))
+                        j % 4 == F.lit(i % 4), F.concat(tok, F.lit(f"{SALT}{i}"))
                     ).otherwise(tok),
                 )
                 p = p.withColumn("text", F.array_join(salted, " "))

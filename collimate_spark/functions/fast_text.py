@@ -51,14 +51,27 @@ def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     )
 
 
+# Cap on total shingle hashes vectorized at once: the permutation buffer
+# is a dense (K_HASHES, total_shingles) uint64 array — 128 × 100k × 8 B
+# ≈ 100 MiB per Python worker at this cap. UNCHUNKED, a 10k-doc Arrow
+# batch (Spark's default maxRecordsPerBatch) at ~170 shingles/doc
+# allocates ~1.7 GiB per worker × every parallel worker — measured as a
+# 45× kernel blowup at 500k docs (allocator/page-cache thrash), invisible
+# at 5k docs where batches are tiny. Work is identical either way;
+# reduceat never crosses a doc boundary, so chunking at doc boundaries
+# changes nothing but the buffer size.
+_MINHASH_CHUNK_SHINGLES = 100_000
+
+
 def minhash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """(doc_id, text) batches → (doc_id, band, band_hash) rows.
 
-    Whole-batch vectorization: crc32 per distinct trigram shingle
-    (C-speed), all docs' hashes concatenated, the k=128 affine permutations
-    as ONE (k, total_shingles) broadcast multiply-add with natural uint64
-    wrap, per-doc minima via ``np.minimum.reduceat`` on the doc offsets,
-    banded crc32 of each 4-minima slice. Docs with <3 tokens emit nothing
+    Vectorized in doc-boundary CHUNKS of ≤ _MINHASH_CHUNK_SHINGLES total
+    shingles: crc32 per distinct trigram shingle (C-speed), the chunk's
+    hashes concatenated, the k=128 affine permutations as ONE
+    (k, chunk_shingles) broadcast multiply-add with natural uint64 wrap,
+    per-doc minima via ``np.minimum.reduceat`` on the doc offsets, banded
+    crc32 of each 4-minima slice. Docs with <3 tokens emit nothing
     (cannot near-dup by trigram shingles).
     """
     for pdf in batches:
@@ -73,27 +86,39 @@ def minhash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 }
             )
             continue
-        doc_ids = np.array([d for d, _ in per_doc], dtype=np.int64)
-        lengths = np.array([h.size for _, h in per_doc])
-        offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-        allh = np.concatenate([h for _, h in per_doc])
-        with np.errstate(over="ignore"):
-            perms = _A[:, None] * allh[None, :] + _B[:, None]
-        minima = np.minimum.reduceat(perms, offsets, axis=1)  # (k, ndocs)
-        bands = minima.reshape(LSH_BANDS, LSH_ROWS, len(per_doc))
-        n = len(per_doc)
-        out_hash = np.empty(n * LSH_BANDS, dtype=np.int64)
-        for b in range(LSH_BANDS):
-            col = np.ascontiguousarray(bands[b].T)  # (ndocs, LSH_ROWS)
-            for i in range(n):
-                out_hash[i * LSH_BANDS + b] = zlib.crc32(col[i].tobytes())
-        yield pd.DataFrame(
-            {
-                "doc_id": pd.Series(np.repeat(doc_ids, LSH_BANDS), dtype="int64"),
-                "band": pd.Series(np.tile(np.arange(LSH_BANDS, dtype=np.int32), n), dtype="int32"),
-                "band_hash": pd.Series(out_hash, dtype="int64"),
-            }
-        )
+        start = 0
+        while start < len(per_doc):
+            end, tot = start, 0
+            while end < len(per_doc) and (
+                tot == 0 or tot + per_doc[end][1].size <= _MINHASH_CHUNK_SHINGLES
+            ):
+                tot += per_doc[end][1].size
+                end += 1
+            chunk = per_doc[start:end]
+            start = end
+            doc_ids = np.array([d for d, _ in chunk], dtype=np.int64)
+            lengths = np.array([h.size for _, h in chunk])
+            offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+            allh = np.concatenate([h for _, h in chunk])
+            with np.errstate(over="ignore"):
+                perms = _A[:, None] * allh[None, :] + _B[:, None]
+            minima = np.minimum.reduceat(perms, offsets, axis=1)  # (k, ndocs)
+            bands = minima.reshape(LSH_BANDS, LSH_ROWS, len(chunk))
+            n = len(chunk)
+            out_hash = np.empty(n * LSH_BANDS, dtype=np.int64)
+            for b in range(LSH_BANDS):
+                col = np.ascontiguousarray(bands[b].T)  # (ndocs, LSH_ROWS)
+                for i in range(n):
+                    out_hash[i * LSH_BANDS + b] = zlib.crc32(col[i].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(np.repeat(doc_ids, LSH_BANDS), dtype="int64"),
+                    "band": pd.Series(
+                        np.tile(np.arange(LSH_BANDS, dtype=np.int32), n), dtype="int32"
+                    ),
+                    "band_hash": pd.Series(out_hash, dtype="int64"),
+                }
+            )
 
 
 SHINGLE_SET_SCHEMA = T.StructType(

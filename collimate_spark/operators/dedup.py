@@ -238,7 +238,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bucket_pairs(
-    banded: DataFrame, *bucket_cols: str, cap: int = BUCKET_CAP, payload: str | None = None
+    banded: DataFrame,
+    *bucket_cols: str,
+    cap: int = BUCKET_CAP,
+    payload: str | None = None,
+    pair_filter=None,
 ) -> DataFrame:
     """Candidate pairs from bucket membership, with bounded per-task work,
     in ONE pipeline (no plan branch re-executes the upstream kernel).
@@ -261,7 +265,18 @@ def _bucket_pairs(
     (<payload>_a, <payload>_b) columns, sparing the caller a re-join
     against a possibly expensive-to-recompute source relation (the
     verify data travels with the candidate).
-    """
+
+    ``pair_filter(payload_a, payload_b) -> Column`` (requires payload)
+    applies the caller's verification predicate BEFORE the final
+    distinct. When band buckets saturate — a corpus of densely
+    semi-similar docs collides most of every bucket — the candidate
+    multiset dwarfs the survivor set, and distinct-ing candidates first
+    shuffles the whole multiset (measured: 217M candidates → 24k
+    survivors at 500k docs, 134s mostly in that exchange). With the
+    predicate pushed into the emit stage the survivors alone reach the
+    shuffle; the check runs as codegen'd expressions in the same task
+    that produced the pair. Identical output (filter∘distinct ≡
+    distinct∘filter for a row-local predicate)."""
     from pyspark.sql import Window
 
     wb = Window.partitionBy(*bucket_cols)
@@ -358,8 +373,12 @@ def _bucket_pairs(
             F.explode(F.when(F.col("ci") == F.col("cj"), diag).otherwise(cross)).alias("p")
         )
         .select("p.*")
-        .distinct()
     )
+    if pair_filter is not None:
+        if not payload:
+            raise ValueError("pair_filter requires a payload column")
+        out = out.filter(pair_filter(F.col("__pa"), F.col("__pb")))
+    out = out.distinct()
     if payload:
         out = out.withColumnsRenamed({"__pa": f"{payload}_a", "__pb": f"{payload}_b"})
     return out
@@ -437,16 +456,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
-    # capped bucket pairing (identical docs share ALL bands — the
-    # adversarial hot bucket); fingerprints ride as pair payload so the
-    # mapInPandas kernel runs once, no re-join/recompute for the verify
-    candidates = _bucket_pairs(banded, "band", "band_val", payload="simhash")
+    # Candidate generation is a STREAMED self equi-join on the band key
+    # with the hamming predicate fused into the same whole-stage-codegen
+    # pass — not the collect_set/HOF chunk-pair machinery (_bucket_pairs,
+    # still the right shape when the caller needs the pair set
+    # materialized). On a densely semi-similar corpus the 16-bit bands
+    # saturate: at 500k docs the bands enumerate 217M candidate pairs for
+    # 24k survivors, and building 217M pair STRUCTS through interpreted
+    # higher-order functions measured 70s; the same enumeration streamed
+    # through codegen xor/bit_count costs ~6s, survivors alone reach the
+    # distinct's shuffle, and AQE's skew-join split bounds the hottest
+    # band bucket's task. The banded frame is cached: it feeds both join
+    # sides (one fingerprint kernel pass, not two).
+    # Residual scale note: 64-bit SimHash with d≤3 FORCES 4×16-bit bands
+    # (pigeonhole), so bucket occupancy grows as n/2^16 and enumerated
+    # candidates as Σ s² — corpus-bounded by design; beyond ~10M docs
+    # move to 128-bit signatures (4×32-bit bands, band space 2^32) — a
+    # kernel parameter change, same plan shape.
+    banded = banded.transform(scache)
+    a = banded.select(
+        "band", "band_val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+    )
+    b = banded.select(
+        "band", "band_val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")
+    )
     return (
-        candidates.withColumn(
-            "hamming", X.hamming64(F.col("simhash_a"), F.col("simhash_b"))
-        )
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", X.hamming64(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 

@@ -195,6 +195,60 @@ def simhash_fingerprints(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         )
 
 
+SIMHASH128_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sh_hi", T.LongType()),
+        T.StructField("sh_lo", T.LongType()),
+    ]
+)
+
+
+def simhash_fingerprints128(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, text) batches → (doc_id, sh_hi, sh_lo) 128-bit fingerprints
+    as two int64 halves.
+
+    blake2b(digest 16B) per token split into two uint64 words, the same
+    vectorized ±1 bit-count as the 64-bit kernel run once per half. 128
+    bits exist for the BAND INDEX, not for precision: 64-bit SimHash at
+    hamming ≤3 forces 4×16-bit bands (pigeonhole), whose 2^16 key space
+    saturates near ~10M docs (candidates grow Σ s² with bucket occupancy
+    s ≈ n/2^16). Doubling the signature lets the blocking key reach 32
+    bits (pairs of 16-bit blocks), pushing saturation out by 2^16×.
+    Empty docs emit (0, 0).
+    """
+    for pdf in batches:
+        out_doc, out_hi, out_lo = [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = text.lower().split()
+            if not toks:
+                out_doc.append(doc_id)
+                out_hi.append(0)
+                out_lo.append(0)
+                continue
+            buf = b"".join(blake2b(t.encode(), digest_size=16).digest() for t in toks)
+            # (n_tokens, 2) little-endian words: col 0 = bytes 0..8 (lo),
+            # col 1 = bytes 8..16 (hi)
+            words = np.frombuffer(buf, dtype="<u8").reshape(len(toks), 2)
+            halves = []
+            for col in (1, 0):  # hi first
+                arr = words[:, col]
+                bits = ((arr[:, None] >> _BIT_POS[None, :]) & np.uint64(1)).astype(np.int64)
+                counts = (2 * bits - 1).sum(axis=0)
+                sig = np.bitwise_or.reduce((counts > 0).astype(np.uint64) << _BIT_POS)
+                halves.append(int(sig.astype(np.int64)))
+            out_doc.append(doc_id)
+            out_hi.append(halves[0])
+            out_lo.append(halves[1])
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "sh_hi": pd.Series(out_hi, dtype="int64"),
+                "sh_lo": pd.Series(out_lo, dtype="int64"),
+            }
+        )
+
+
 NGRAM_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -242,7 +242,6 @@ def _bucket_pairs(
     *bucket_cols: str,
     cap: int = BUCKET_CAP,
     payload: str | None = None,
-    pair_filter=None,
 ) -> DataFrame:
     """Candidate pairs from bucket membership, with bounded per-task work,
     in ONE pipeline (no plan branch re-executes the upstream kernel).
@@ -266,17 +265,13 @@ def _bucket_pairs(
     against a possibly expensive-to-recompute source relation (the
     verify data travels with the candidate).
 
-    ``pair_filter(payload_a, payload_b) -> Column`` (requires payload)
-    applies the caller's verification predicate BEFORE the final
-    distinct. When band buckets saturate — a corpus of densely
-    semi-similar docs collides most of every bucket — the candidate
-    multiset dwarfs the survivor set, and distinct-ing candidates first
-    shuffles the whole multiset (measured: 217M candidates → 24k
-    survivors at 500k docs, 134s mostly in that exchange). With the
-    predicate pushed into the emit stage the survivors alone reach the
-    shuffle; the check runs as codegen'd expressions in the same task
-    that produced the pair. Identical output (filter∘distinct ≡
-    distinct∘filter for a row-local predicate)."""
+    Callers needing a verification predicate pushed before the final
+    distinct should fuse it as a streamed equi-join instead (the
+    dedup_simhash shape): when band buckets saturate the candidate
+    multiset dwarfs the survivor set (measured: 217M candidates → 24k
+    survivors at 500k docs, 134s mostly in the distinct's exchange), and
+    a streamed codegen join with the fused predicate measured ~10×
+    faster than filtering these interpreted HOF pair structs."""
     from pyspark.sql import Window
 
     wb = Window.partitionBy(*bucket_cols)
@@ -374,10 +369,6 @@ def _bucket_pairs(
         )
         .select("p.*")
     )
-    if pair_filter is not None:
-        if not payload:
-            raise ValueError("pair_filter requires a payload column")
-        out = out.filter(pair_filter(F.col("__pa"), F.col("__pb")))
     out = out.distinct()
     if payload:
         out = out.withColumnsRenamed({"__pa": f"{payload}_a", "__pb": f"{payload}_b"})
@@ -415,76 +406,98 @@ def dedup_minhash_lsh_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verified_jaccard_pairs(candidates, shingled)
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit fingerprint per doc (Arrow-batched
-    numpy kernel, functions/fast_text); pairs within Hamming distance ≤ 3
-    found via 4×16-bit band blocking (a pair within distance 3 must agree
-    exactly on ≥1 of 4 bands — pigeonhole), then exact Hamming
-    verification via bit_count. No DuckDB oracle (the hash family is
-    engine-specific) → driver records the rows-only check; determinism is
-    covered by tests/test_dedup.py.
+SIMHASH_BLOCKS = 8       # 16-bit blocks of the 128-bit fingerprint
+SIMHASH_MAX_HAM = 6      # detection guarantee: d ≤ BLOCKS − 2 (pair keys)
 
-    Perf (r4 profile at sf0.1, local[32]): fingerprint kernel 0.43s,
-    full query ~1.1s fully JIT-warmed, ~1.5-1.8s on a min-of-8 cold-ish
-    session with ±0.3s host swings. The delta vs BENCH_r01's 0.917s is
-    the r2-directed hot-bucket cap machinery (window count + chunk
-    routing in ``_bucket_pairs``) — the price of the no-OOM path — plus
-    JIT warmup; the r4 changes (literal (0,0) emit for under-cap
-    buckets, hoisted side-filters, no array_sort) shave the interpreted
-    HOF overhead but the query is stage-overhead dominated at this sf.
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at 100TB-safe blocking: 128-bit fingerprint
+    per doc (two int64 halves, Arrow-batched numpy kernel in
+    functions/fast_text), pairs within Hamming distance ≤ 6 found via
+    PAIR-OF-BLOCKS blocking (Manku et al., WWW'07 block-permuted tables):
+    the 128 bits split into 8×16-bit blocks; the join key is the
+    CONCATENATION of two blocks (C(8,2)=28 band tables, 32-bit key
+    space). Pigeonhole: d ≤ 6 errors dirty ≤ 6 blocks → ≥ 2 blocks
+    clean → that clean pair's table produces the candidate — exhaustive,
+    no recall loss. Exact Hamming verify via xor + bit_count, fused into
+    the same whole-stage-codegen pass. No DuckDB oracle (the hash family
+    is engine-specific) → driver records the rows-only check; planted
+    near-dup recall and determinism are covered by tests/test_dedup.py.
+
+    Why 128/pairs replaced the r8 64-bit 4×16-band design: 16-bit keys
+    saturate — bucket occupancy grows as n/2^16 and enumerated candidates
+    as Σ s² (measured 217M candidates for 24k survivors at 500k docs on a
+    semi-similar corpus; degenerate at 10^8-10^9 LLM-corpus scale). The
+    32-bit pair key pushes average occupancy to n·28/2^32 — at 10^9 docs
+    ≈ 6.5 docs/bucket, so candidates stay ~linear in n. The trade is a
+    7× wider explode (28 rows/doc vs 4) of narrow rows — linear shuffle
+    vs quadratic enumeration, the correct 100TB trade. Threshold moves
+    3→6 of 128 bits (same similarity tolerance: planted-pair hammings
+    double with signature width — measured 64-bit d≤3 recall 20/28
+    planted pairs, 128-bit d≤6 the same 20/28, 128-bit d≤3 only 9/28).
+    A hot bucket now requires a large EXACT-dup cluster (identical
+    32-bit block pair); AQE's skew-join split bounds that task
+    (defaults asserted in test_plans.py), and exact dups should be
+    removed by dedup_exact upstream of any simhash pass.
     """
     docs = _spread(spark, load_table(spark, "documents", sf_dir))
     fp = docs.select("doc_id", "text").mapInPandas(
-        fast_text.simhash_fingerprints, fast_text.SIMHASH_SCHEMA
+        fast_text.simhash_fingerprints128, fast_text.SIMHASH128_SCHEMA
     )
-    # band b = bits [16b, 16b+16) of the fingerprint (shift amounts must be
-    # Python ints → build the 4 band structs explicitly and explode)
-    banded = fp.select(
+    # block k = bits [16k, 16k+16): k 0-3 from sh_lo, 4-7 from sh_hi
+    # (shift amounts must be Python ints → explicit per-block exprs)
+    def _block(k: int):
+        half = F.col("sh_lo") if k < 4 else F.col("sh_hi")
+        return F.shiftrightunsigned(half, 16 * (k % 4)).bitwiseAND(F.lit(0xFFFF))
+
+    blocks = fp.select(
+        "doc_id", "sh_hi", "sh_lo", *[_block(k).alias(f"_b{k}") for k in range(SIMHASH_BLOCKS)]
+    )
+    pair_keys = [
+        (i, j) for i in range(SIMHASH_BLOCKS) for j in range(i + 1, SIMHASH_BLOCKS)
+    ]
+    banded = blocks.select(
         "doc_id",
-        "simhash",
+        "sh_hi",
+        "sh_lo",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("band_val"),
+                        F.lit(n).alias("band"),
+                        (F.shiftleft(F.col(f"_b{i}"), 16) + F.col(f"_b{j}")).alias("band_val"),
                     )
-                    for b in range(4)
+                    for n, (i, j) in enumerate(pair_keys)
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"))
-    # Candidate generation is a STREAMED self equi-join on the band key
-    # with the hamming predicate fused into the same whole-stage-codegen
-    # pass — not the collect_set/HOF chunk-pair machinery (_bucket_pairs,
-    # still the right shape when the caller needs the pair set
-    # materialized). On a densely semi-similar corpus the 16-bit bands
-    # saturate: at 500k docs the bands enumerate 217M candidate pairs for
-    # 24k survivors, and building 217M pair STRUCTS through interpreted
-    # higher-order functions measured 70s; the same enumeration streamed
-    # through codegen xor/bit_count costs ~6s, survivors alone reach the
-    # distinct's shuffle, and AQE's skew-join split bounds the hottest
-    # band bucket's task. The banded frame is cached: it feeds both join
+    ).select(
+        "doc_id", "sh_hi", "sh_lo",
+        F.col("bk.band").alias("band"), F.col("bk.band_val").alias("band_val"),
+    )
+    # Candidate generation is a STREAMED self equi-join on (band, key)
+    # with the hamming predicate fused into whole-stage codegen — r8
+    # measured this shape at ~10× the interpreted HOF pair-struct path
+    # (_bucket_pairs remains the right shape only when the pair set must
+    # be materialized). The banded frame is cached: it feeds both join
     # sides (one fingerprint kernel pass, not two).
-    # Residual scale note: 64-bit SimHash with d≤3 FORCES 4×16-bit bands
-    # (pigeonhole), so bucket occupancy grows as n/2^16 and enumerated
-    # candidates as Σ s² — corpus-bounded by design; beyond ~10M docs
-    # move to 128-bit signatures (4×32-bit bands, band space 2^32) — a
-    # kernel parameter change, same plan shape.
     banded = banded.transform(scache)
     a = banded.select(
-        "band", "band_val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+        "band", "band_val", F.col("doc_id").alias("doc_a"),
+        F.col("sh_hi").alias("hi_a"), F.col("sh_lo").alias("lo_a"),
     )
     b = banded.select(
-        "band", "band_val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")
+        "band", "band_val", F.col("doc_id").alias("doc_b"),
+        F.col("sh_hi").alias("hi_b"), F.col("sh_lo").alias("lo_b"),
+    )
+    hamming = X.hamming64(F.col("hi_a"), F.col("hi_b")) + X.hamming64(
+        F.col("lo_a"), F.col("lo_b")
     )
     return (
         a.join(b, ["band", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", X.hamming64(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("hamming") <= 3)
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAM)
         .select("doc_a", "doc_b", "hamming")
         .distinct()
         .orderBy("doc_a", "doc_b")
@@ -629,9 +642,16 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("group_id", "label", "vec_id", "cos_c")
     )
+    # rank on the 6dp-ROUNDED cosine (the same SEMDEDUP_TAU 6dp parity
+    # contract as the pair threshold): the centroid mean sums in
+    # different orders in Spark's partial aggs vs DuckDB's AVG, so two
+    # members with near-equal raw cos_c can flip the argmin between
+    # engines; at 6dp both engines agree and vec_id breaks exact ties
+    # deterministically. The RAW cos_c rides along for the 4dp output
+    # (round∘round ≠ round at 4dp boundaries).
     kept = member_cos.groupBy("group_id", "label").agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.min(F.struct("cos_c", "vec_id")).alias("k"),
+        F.min(F.struct(F.round("cos_c", 6).alias("cos_r"), "vec_id", "cos_c")).alias("k"),
     )
     return kept.select(
         "label",
@@ -688,7 +708,7 @@ scored AS (
 ),
 ranked AS (
   SELECT group_id, label, vec_id, cos_c,
-         ROW_NUMBER() OVER (PARTITION BY group_id ORDER BY cos_c ASC, vec_id ASC) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY group_id ORDER BY ROUND(cos_c, 6) ASC, vec_id ASC) AS rn,
          COUNT(*) OVER (PARTITION BY group_id) AS n_members
   FROM scored
 )

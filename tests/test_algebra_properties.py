@@ -137,8 +137,7 @@ def test_range_frame_two_level_equals_single_level(spark, sf_dir):
         single = window_range_frame(spark, sf).collect()
         two_df = window_range_frame(spark, sf, two_level=True)
         assert single == two_df.collect()
-    f = plan_features(two_df)
-    assert not f["has_cartesian"]
+        assert not plan_features(two_df)["has_cartesian"]
 
 
 starts_strategy = st.lists(

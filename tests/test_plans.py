@@ -265,6 +265,12 @@ def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
     plan = _plan(df)
     assert "isFinalPlan=true" in plan
     assert "AQEShuffleRead coalesced" in plan
+    # dedup_simhash's residual hot-bucket bound (a large exact-dup
+    # cluster collides on one 32-bit block-pair key) relies on AQE's
+    # skew-join split to keep that bucket off a single straggler task —
+    # pin the default so a config regression is loud, not a silent
+    # single-task stall at scale.
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
 
 
 def test_heavy_hitters_broadcasts_candidates(spark, sf_dir):

@@ -173,6 +173,7 @@ EXTRA_QUERIES = [
     "concurrent_sessions_timeline",
     "new_vs_returning_daily",
     "mutual_information_value",
+    "ingest_typed_profile",
     "dedup_containment",
     "block_dedup_stats",
     "hll_intersection_users",

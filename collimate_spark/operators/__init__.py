@@ -295,6 +295,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "mad_outliers",
     "approx_percentile_error",
     "mutual_information_value",
+    "ingest_typed_profile",
 )
 
 def _modules():
@@ -317,8 +318,10 @@ def _modules():
         graph,
         stats,
     )
+    from collimate_spark import ingest
 
     return (
+        ingest,
         relational,
         tpch_ext,
         windows,

@@ -131,8 +131,40 @@ ORDER BY l_returnflag, qty_rank, l_orderkey
 """
 
 
+# Auto-select thresholds for the two-level range-frame mode (VERDICT r8
+# directive #4). Crossover measured on the r8 second-decade screen:
+# single-level and two-level tie at ~1.5M rows/partition and two-level
+# wins 1.6× at 5M rows/partition (15M orders, local[32]); below that the
+# extra shuffle + union-carry overhead loses. The BYTES floor short-
+# circuits the decision with driver-side file metadata only (no job):
+# 5M rows × 3 partitions × ~25 B/row parquet ≈ 375 MB, so anything under
+# 256 MiB cannot be near the crossover and the registered bench-scale
+# query pays zero extra jobs. Above the floor, one cheap groupBy-count
+# (the generalized r5 size-gate pattern: measure, then pick the plan)
+# reads the true max partition size.
+_TWO_LEVEL_MIN_BYTES = 256 << 20
+_TWO_LEVEL_ROWS_PER_PARTITION = 5_000_000
+
+
+def _auto_two_level(orders: DataFrame) -> bool:
+    from collimate_spark.ingest import _local_input_bytes
+
+    nbytes = _local_input_bytes(orders)
+    # unknowable sizes (non-file source) fall through to the measured
+    # count — never guess single-level blind at a 100 TB input
+    if 0 < nbytes < _TWO_LEVEL_MIN_BYTES:
+        return False
+    mx = (
+        orders.groupBy("o_orderstatus")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    return (mx or 0) > _TWO_LEVEL_ROWS_PER_PARTITION
+
+
 def window_range_frame(
-    spark: SparkSession, sf_dir: str, *, two_level: bool = False
+    spark: SparkSession, sf_dir: str, *, two_level: bool | None = None
 ) -> DataFrame:
     """RANGE frame: for each order, sum/count of orders within ±5000 in
     totalprice among the same status (value-based frame, not row-based).
@@ -158,15 +190,18 @@ def window_range_frame(
     sf0.1, same rows, hash-identical to the unchanged DuckDB oracle.
 
     Scale note: parallelism is bounded by the partition key's
-    cardinality (3 statuses) like any window over few groups; at 100 TB
-    pass ``two_level=True`` for the per-(status, price-bucket)
-    composition of the same prefix-difference identity — window
-    parallelism becomes #statuses × #price-buckets instead of
-    #statuses, exact-equivalent (decimal arithmetic throughout, proven
-    by tests/test_algebra_properties.py at two SFs)."""
+    cardinality (3 statuses) like any window over few groups; at scale
+    the per-(status, price-bucket) two-level composition of the same
+    prefix-difference identity lifts window parallelism to #statuses ×
+    #price-buckets, exact-equivalent (decimal arithmetic throughout,
+    proven by tests/test_algebra_properties.py at two SFs). The default
+    ``two_level=None`` AUTO-SELECTS it by measured partition size (see
+    ``_auto_two_level``); pass True/False to force a mode."""
+    orders = load_table(spark, "orders", sf_dir)
+    if two_level is None:
+        two_level = _auto_two_level(orders)
     if two_level:
         return _window_range_frame_two_level(spark, sf_dir)
-    orders = load_table(spark, "orders", sf_dir)
     # SQL-expression windows: the Python Window.rangeBetween API accepts
     # only integral offsets, and the fractional 0.005 slack is the whole
     # point — the frames themselves are plain UnboundedPreceding specs.

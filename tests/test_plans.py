@@ -962,3 +962,23 @@ def test_window_range_frame_uses_incremental_frames(spark, sf_dir):
     frames = re.findall(r"specifiedwindowframe\(RangeFrame, ([a-z$()]+)", plan)
     assert frames, "no RangeFrame found — operator shape changed?"
     assert all(f.startswith("unboundedpreceding") for f in frames), frames
+
+
+def test_window_range_frame_auto_gate(spark, sf_dir, monkeypatch):
+    """The two-level auto-select (VERDICT r8 directive #4): at bench scale
+    the gate must short-circuit on file-size metadata (single-level, no
+    extra job); with the thresholds forced down, the SAME call must take
+    the two-level path and produce the identical result."""
+    from collimate_spark.operators import windows as W
+
+    auto_df = W.window_range_frame(spark, sf_dir)
+    single = W.window_range_frame(spark, sf_dir, two_level=False)
+    # bench-scale auto = single-level: plans match feature-for-feature
+    assert auto_df.schema == single.schema
+    assert "unionbyname" not in auto_df._jdf.queryExecution().analyzed().toString().lower()
+
+    monkeypatch.setattr(W, "_TWO_LEVEL_MIN_BYTES", 1)
+    monkeypatch.setattr(W, "_TWO_LEVEL_ROWS_PER_PARTITION", 10)
+    forced = W.window_range_frame(spark, sf_dir)
+    assert "Union" in forced._jdf.queryExecution().analyzed().toString()
+    assert forced.collect() == single.collect()

@@ -205,16 +205,21 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scalable pattern (no nested loop): tag both sides, union, window
     `last(value, ignorenulls=True)` ordered by time. The window partition
-    key is COMPOSITE — (bucket, month) — so parallelism is
-    n_buckets × n_months (~hundreds of keys ≥ any shuffle-partition
-    setting) instead of n_buckets(10), and per-partition row counts stay
-    bounded as data grows: a bucket-only key is the classic as-of
-    scale-killer (10-way max parallelism, unbounded partitions at 100×).
-    Cross-month correctness comes from a carry-over table: the last order
-    timestamp of every PRIOR month per bucket (a tiny per-(bucket, month)
-    aggregate + window, broadcast back), coalesced in wherever the
-    within-month window saw no earlier order. This is how a trades/quotes
-    as-of join runs at 100 TB.
+    key is COMPOSITE — (bucket, DAY) — so parallelism is
+    n_buckets × n_days instead of n_buckets(10), and per-partition row
+    counts stay bounded as data grows: a bucket-only key is the classic
+    as-of scale-killer (10-way max parallelism, unbounded partitions at
+    100×). Day, not month (the r8 sweep find): this dataset's events all
+    land in ONE month, so a (bucket, month) key collapsed the whole
+    event side into 10 partitions and the per-partition sort grew
+    superlinearly (5.5× work at 10× data); (bucket, day) splits the hot
+    month 31× while the carry spine stays tiny (buckets × distinct days
+    ≈ 24k rows — aggregate + window + broadcast, unchanged identity).
+    Cross-day correctness comes from that carry-over table: the last
+    order timestamp strictly before each day per bucket, coalesced in
+    wherever the within-day window saw no earlier order. This is how a
+    trades/quotes as-of join runs at 100 TB; for intraday-dense feeds
+    drop the key one more level (hour) — same carry construction.
     """
     events = load_table(spark, "events", sf_dir).select(
         (F.col("user_id") % 10).alias("bucket"),
@@ -228,38 +233,38 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = orders.select("bucket", "ts", F.lit(None).cast("long").alias("event_id"),
                           F.col("ts").alias("order_ts"))
     left = events.select("bucket", "ts", "event_id", F.lit(None).cast("timestamp").alias("order_ts"))
-    unioned = right.unionByName(left).withColumn("month", F.trunc("ts", "month"))
+    unioned = right.unionByName(left).withColumn("day", F.to_date("ts"))
     # event_id nulls-first sorts order rows first at identical ts →
     # "at-or-before" ties resolve to include the simultaneous order.
     w = (
-        Window.partitionBy("bucket", "month")
+        Window.partitionBy("bucket", "day")
         .orderBy(F.col("ts").asc(), F.col("event_id").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     within = unioned.withColumn(
         "asof_within", F.last("order_ts", ignorenulls=True).over(w)
     )
-    # carry-over: last order ts strictly before each month, per bucket —
-    # computed on the (bucket, month) spine (~buckets × months rows)
-    month_last = (
+    # carry-over: last order ts strictly before each day, per bucket —
+    # computed on the (bucket, day) spine (~buckets × distinct days rows)
+    day_last = (
         unioned.filter(F.col("order_ts").isNotNull())
-        .groupBy("bucket", "month")
-        .agg(F.max("order_ts").alias("mlast"))
+        .groupBy("bucket", "day")
+        .agg(F.max("order_ts").alias("dlast"))
     )
-    spine = unioned.select("bucket", "month").distinct()
+    spine = unioned.select("bucket", "day").distinct()
     carry_w = (
         Window.partitionBy("bucket")
-        .orderBy("month")
+        .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = (
-        spine.join(month_last, ["bucket", "month"], "left")
-        .withColumn("carry_ts", F.max("mlast").over(carry_w))
-        .select("bucket", "month", "carry_ts")
+        spine.join(day_last, ["bucket", "day"], "left")
+        .withColumn("carry_ts", F.max("dlast").over(carry_w))
+        .select("bucket", "day", "carry_ts")
     )
     return (
         within.filter(F.col("event_id").isNotNull())
-        .join(F.broadcast(carry), ["bucket", "month"], "left")
+        .join(F.broadcast(carry), ["bucket", "day"], "left")
         .select(
             "event_id",
             F.coalesce(F.col("asof_within"), F.col("carry_ts")).alias("asof_order_ts"),

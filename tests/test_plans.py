@@ -74,13 +74,15 @@ def test_q8_star_join_all_broadcast(spark, sf_dir):
 
 
 def test_asof_join_partitions_on_composite_key(spark, sf_dir):
-    """The as-of window must shuffle on (bucket, month) — a bucket-only
+    """The as-of window must shuffle on (bucket, day) — a bucket-only
     key caps parallelism at 10 and lets partitions grow unboundedly with
-    data volume. hashpartitioning on both columns is the scale contract."""
+    data volume; month granularity collapsed this dataset's one-month
+    event stream back to 10 partitions (the r8 sweep's 5.5× slope).
+    hashpartitioning on both columns is the scale contract."""
     from collimate_spark.operators.joins import asof_join_events_orders
 
     plan = _plan(asof_join_events_orders(spark, sf_dir))
-    assert "hashpartitioning(bucket" in plan and "month" in plan.split("hashpartitioning(bucket", 1)[1][:80]
+    assert "hashpartitioning(bucket" in plan and "day" in plan.split("hashpartitioning(bucket", 1)[1][:80]
 
 
 def test_range_join_partitions_on_composite_key(spark, sf_dir):

@@ -434,8 +434,9 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise-distance distortion (JL lemma — measured empirically in
     tests/test_similarity.py: max relative distortion ≤ 0.5 at 16 dims,
     mean ≪). Output: per-vector norms before/after + the leading
-    projected coordinates. Rows-only (numpy matmul association is
-    engine-specific)."""
+    projected coordinates. Oracled: the fixed-seed matrix is enumerable
+    as a DuckDB literal (see _jl_oracle_sql); 4dp rounding absorbs the
+    engines' last-ulp matmul association differences."""
     emb = load_table(spark, "embeddings", sf_dir)
     planes = fast_vec.jl_planes(_EMB_DIM)
 
@@ -634,10 +635,12 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast k x d centroid matrix; the update step re-averages per
     (cluster, dimension) with ONE hash aggregation and collects only the
     k x d centroid grid to the driver (bounded, FAISS-style). Init is
-    deterministic: the k lowest vec_ids. Rows-only by construction
-    (iterative float refinement has no SQL twin); pytest asserts inertia
-    decreases monotonically and the final assignment is self-consistent
-    with the final centroids."""
+    deterministic: the k lowest vec_ids — which, with the fixed
+    iteration count, makes the whole refinement deterministic and
+    SQL-expressible after all (_kmeans_oracle_sql unrolls the 5
+    assign/update rounds as CTE pairs); pytest additionally asserts
+    inertia decreases monotonically and the final assignment is
+    self-consistent with the final centroids."""
     k, iters = 8, 5
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding").transform(scache)
     cents = np.stack(
@@ -725,6 +728,83 @@ ORDER BY pos
 """
 
 
+def _jl_oracle_sql() -> str:
+    """DuckDB twin of embedding_jl_projection: the fixed-seed projection
+    matrix is data-independent and enumerable, so it rides into the SQL
+    as a 16×64 DOUBLE[][] literal (shortest-roundtrip reprs parse back
+    to the identical doubles). Engine association differences in the
+    64-term dot products live at the last ulp; the 4dp output rounding
+    sits ~12 orders of magnitude above them (values are continuous, not
+    grid-valued — no half-boundary hazard)."""
+    planes = fast_vec.jl_planes(_EMB_DIM)
+    mat = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in planes
+    )
+    return f"""
+WITH m AS (SELECT [{mat}]::DOUBLE[][] AS mm),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id,
+       ROUND(sqrt(list_sum(list_transform(v, x -> x*x))), 4) AS norm_in,
+       ROUND(sqrt(list_sum(list_transform(mm, r -> pow(list_dot_product(r, v), 2)))), 4) AS norm_out,
+       ROUND(list_dot_product(mm[1], v), 4) AS p0,
+       ROUND(list_dot_product(mm[2], v), 4) AS p1
+FROM e, m
+ORDER BY vec_id
+"""
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 5) -> str:
+    """DuckDB twin of kmeans_lloyd_clusters: the fixed init (k lowest
+    vec_ids) + fixed iteration count make Lloyd's deterministic, so the
+    5 rounds unroll into assign/update CTE pairs. Tie-break mirrors
+    numpy argmin (lowest cluster index); an emptied cluster keeps its
+    previous centroid (COALESCE over the prior round) exactly like the
+    Spark grid update, which only overwrites clusters that aggregated
+    members."""
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v AS c
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT vec_id, cluster, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) AS rn
+    FROM (
+      SELECT e.vec_id, c.cluster,
+             list_sum(list_transform(list_zip(e.v, c.c), s -> (s[1]-s[2])*(s[1]-s[2]))) AS d2
+      FROM e CROSS JOIN c{i - 1} c
+    )
+  ) WHERE rn = 1
+)""")
+        if i < iters:
+            parts.append(f"""c{i} AS (
+  SELECT p.cluster, COALESCE(n.c, p.c) AS c
+  FROM c{i - 1} p LEFT JOIN (
+    SELECT cluster, list(m ORDER BY pos) AS c FROM (
+      SELECT cluster, u.pos AS pos, AVG(u.x) AS m FROM (
+        SELECT a.cluster,
+               unnest(list_transform(range(1, len(e.v) + 1),
+                                     j -> {{'pos': j, 'x': e.v[j]}})) AS u
+        FROM a{i} a JOIN e USING (vec_id)
+      )
+      GROUP BY cluster, u.pos
+    )
+    GROUP BY cluster
+  ) n USING (cluster)
+)""")
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT cluster, COUNT(*) AS n_members, ROUND(SUM(d2), 2) AS inertia
+FROM a{iters}
+GROUP BY cluster
+ORDER BY cluster
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_range_search": ann_range_search,
@@ -747,8 +827,8 @@ ORACLES = {
     "embedding_quantize_int8": QUANTIZE_SQL,
     "embedding_gram_matrix": GRAM_SQL,
     "embedding_dim_stats": DIM_STATS_SQL,
-    # kmeans_lloyd_clusters: rows-only (iterative float refinement;
-    # monotone-inertia + self-consistency asserted in test_similarity.py)
+    "embedding_jl_projection": _jl_oracle_sql(),
+    "kmeans_lloyd_clusters": _kmeans_oracle_sql(),
     # ann_ivf_topk / ann_lsh_topk / ann_pq_topk / ann_ivfpq_topk: rows-only
     # (approximate by construction; recall vs brute force asserted in
     # tests/test_similarity.py)

@@ -279,14 +279,46 @@ ORDER BY vec_id
 
 
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct counts — deterministic (register-max
-    merge is order-independent) but engine-specific, so rows-only; the
-    companion test bounds it against the exact count."""
+    """HLL++ approximate distinct counts, paired with their exact twins
+    and a deterministic error-bound audit. The raw HLL estimates are
+    engine-specific (never hash-comparable), but |approx−exact|/exact ≤
+    3·rsd IS deterministic for Spark's HLL++ (register-max merge is
+    order-independent), so the audited output is DuckDB-oracle-able:
+    the oracle computes the exact counts and predicts the audit bits as
+    1 — an out-of-bound sketch hash-mismatches loudly. At 100 TB the
+    approx side is the point (no distinct shuffle per group at rsd
+    precision); the exact twin here doubles as the audit baseline."""
     li = load_table(spark, "lineitem", sf_dir)
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders_1pct"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("__ap"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("__ao"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    def within(approx, exact, rsd):
+        return (
+            (F.abs(approx - F.col(exact)) / F.col(exact) <= 3 * rsd)
+            .cast("long")
+        )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        within(F.col("__ap"), "exact_parts", 0.05).alias("parts_within_3rsd"),
+        within(F.col("__ao"), "exact_orders", 0.01).alias("orders_within_3rsd"),
     ).orderBy("l_returnflag")
+
+
+AGG_APPROX_DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       CAST(1 AS BIGINT) AS parts_within_3rsd,
+       CAST(1 AS BIGINT) AS orders_within_3rsd
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
 
 
 def hll_sketch_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,7 +702,7 @@ ORACLES = {
     # approx_top_k_words: rows-only (approximate by contract)
     "map_functions": MAP_FUNCTIONS_SQL,
     "array_functions": ARRAY_FUNCTIONS_SQL,
-    # agg_approx_distinct: rows-only (engine-specific HLL implementation)
+    "agg_approx_distinct": AGG_APPROX_DISTINCT_SQL,
     # hll_sketch_partitioned: rows-only (Datasketches binary sketches;
     # estimate-vs-exact tolerance asserted in tests/test_similarity.py)
 }

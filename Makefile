@@ -33,7 +33,9 @@ plans:
 
 # Quadratic-candidate screen (VERDICT r7 #8): pair-emitting dedup family
 # at 10x corpus on the MUTATED replication slice (true pair output grows
-# ~linearly there, so work growth is the signal). Rewrites the marked
-# scale-sweep section of BASELINE.md.
+# ~linearly there, so work growth is the signal), PLUS the heavy
+# non-dedup surface screen at the second decade (VERDICT r8 #8).
+# Rewrites both marked sweep sections of BASELINE.md.
 scale-sweep:
 	$(PY) scripts/scale_sweep.py --update-baseline
+	$(PY) scripts/scale_sweep.py --surface --update-baseline

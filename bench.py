@@ -174,6 +174,11 @@ EXTRA_QUERIES = [
     "new_vs_returning_daily",
     "mutual_information_value",
     "ingest_typed_profile",
+    "agg_approx_distinct",
+    "ann_lsh_topk",
+    "multimodal_features",
+    "multimodal_image_features",
+    "winnow_fingerprint_pairs",
     "dedup_containment",
     "block_dedup_stats",
     "hll_intersection_users",

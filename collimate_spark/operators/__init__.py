@@ -39,263 +39,256 @@ from pyspark.sql import DataFrame, SparkSession
 # The 50 queries the driver verifies, in order. Keep this list at exactly
 # 50 entries; tests/test_registration.py enforces the invariant.
 #
-# Round-8 window (VERDICT r7 directive #3): second consecutive all-oracled
-# window, rotated to the queries whose last vanilla-driver contact is
-# OLDEST — the r2-vintage one-shots that missed the r7 cut, the full
-# r3-vintage dedup/text/curation/TPC-H wave, and the oldest r4 entries —
-# plus rule (c), every query whose code changed this round:
-#   dedup_containment (src-side prefix-filtered candidates, directive #1),
-#   window_range_frame (two_level scale mode added behind a kwarg; the
-#   registered single-level plan is equivalence-pinned to it), and
-#   grouped_zscore_native (NEW, directive #6: the production JVM window
-#   twin of the applyInPandas demo — never driver-checked), and
-#   semdedup_prune (NEW mid-round: SemDeDup-style semantic pruning —
-#   cluster-blocked cosine pairs → CC groups → keep the
-#   lowest-centroid-cosine member; displaced bootstrap_mean_ci (r4) to
-#   the rotation queue behind bpe_merge_candidates), and
-#   dup_span_coverage (NEW mid-round: Lee et al. 2022 unaligned
-#   repeated-substring coverage; displaced bloom_prefilter_join (r4),
-#   also queued for r9).
-# Every entry has a DuckDB oracle and a bench row (invariant pinned by
-# tests/test_registration.py). bpe_merge_candidates (r4) was displaced by
-# window_range_frame and stays first in line for r9.
+# Round-9 window (VERDICT r8 directive #5): rotated to the STALEST
+# last-driver-contact queries — the full r3-vintage tranche (including
+# the rows-only dedup_simhash/ann/multimodal set whose last driver
+# execution was round 3; a rows-only driver row still proves execution
+# health at the driver's scale), all 24 r4-vintage entries, and the
+# oldest r5 tranche — plus rule (c), every query whose code changed or
+# gained an oracle this round:
+#   ingest_typed_profile (NEW, r8 directive #3: the ingest core's first
+#   driver-oracled entry), dedup_simhash (128-bit signatures,
+#   pair-of-blocks banding), agg_approx_distinct (redesigned: exact
+#   twins + deterministic 3-rsd audit bits, now oracled),
+#   embedding_jl_projection + kmeans_lloyd_clusters (newly oracled,
+#   r8 directive #7), semdedup_prune (6dp-rounded keep-member rank),
+#   window_range_frame (two-level auto-select gate), and
+#   asof_join_events_orders (day-granularity window key).
+# After this window lands, every registered query\'s last driver
+# contact is round 5 or newer.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- changed this round: re-verify ---
-    "dedup_containment",
-    "window_range_frame",
-    "grouped_zscore_native",
+    "ingest_typed_profile",
+    "dedup_simhash",
+    "agg_approx_distinct",
+    "embedding_jl_projection",
+    "kmeans_lloyd_clusters",
     "semdedup_prune",
-    "dup_span_coverage",
-    # --- r2-vintage one-shots that missed the r7 cut ---
-    "date_spine_fill",
-    "grouped_zscore",
-    "join_anti",
-    "join_cross",
-    "join_semi",
-    "pivot_event_counts",
-    "sliding_window_agg",
-    "window_lag_lead",
-    "window_running_sum",
-    # --- r3-vintage wave: dedup/text/curation/TPC-H ---
-    "array_agg_sorted",
-    "array_functions",
-    "data_quality_report",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh_expr",
-    "dedup_ngram_jaccard",
-    "doc_fingerprint",
-    "embedding_quantize_int8",
-    "funnel_conversion",
-    "fuzzy_name_match",
-    "hypertable_rollup",
-    "interpolate_missing_values",
-    "lang_id_heuristic",
-    "map_functions",
-    "multimodal_metadata",
-    "pandas_udf_scalar",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "quality_filter_pipeline",
-    "repetition_metrics",
-    "shard_export_assignment",
-    "snapshot_diff",
-    "stratified_sample_documents",
-    "text_length_histogram",
-    "text_pii_scrub",
-    "text_quality_metrics",
-    "tfidf_top_terms",
-    "udtf_tokenize",
-    # --- r4-vintage, oldest first-in ---
-    "benford_first_digit",
-    "bfs_distances",
+    "window_range_frame",
+    "asof_join_events_orders",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "multimodal_audio_features",
+    "multimodal_features",
+    "multimodal_image_features",
+    "winnow_fingerprint_pairs",
+    "ann_ivfpq_topk",
+    "bloom_prefilter_join",
+    "bootstrap_mean_ci",
+    "bpe_merge_candidates",
+    "geo_radius_join_grid",
+    "grouped_agg_gini",
+    "grouped_arrow_profile",
+    "join_null_safe",
+    "join_skew_diagnostics",
+    "k_anonymity_report",
+    "lang_id_confusion",
+    "multimodal_video_features",
+    "pareto_revenue_share",
+    "price_histogram",
+    "quantile_sketch_value",
+    "regr_price_trend",
+    "sessionization_gap",
+    "set_ops_all",
+    "sliding_distinct_users",
+    "table_profile_lineitem",
+    "train_val_test_split",
+    "triangle_participation",
+    "udtf_parse_props",
+    "zorder_cluster_stats",
+    "ab_test_welch",
+    "acf_daily_events",
+    "agg_boolean_counting",
+    "agg_mode_deterministic",
+    "ann_range_search",
+    "anomaly_zscore",
+    "asof_join_forward",
+    "bitmap_distinct_counts",
+    "block_dedup_stats",
+    "bottomk_sample_per_group",
+    "char_entropy",
+    "chi2_event_value",
 )
 
 # Queries registered but outside the 50-slot window — the complement of
-# DRIVER_PRIORITY over the full 218-query surface. Every entry here has
-# been driver-checked green at least once (rounds 1-7) and stays covered
-# by the parity suite at sf0.001 + sf0.01 (tests/test_oracle_parity.py)
+# DRIVER_PRIORITY over the full registered surface. Every entry here has
+# been driver-checked at least once (rounds 1-8) and stays covered by
+# the parity suite at sf0.001 + sf0.01 (tests/test_oracle_parity.py)
 # and the sf0.1 mirror (pytest -m sf01). tests/test_registration.py
 # accepts a north-star query being here instead of in the window — but
 # ONLY here, so the exemption is explicit and reviewed. One entry per
 # line.
 ROTATION_CANDIDATES: tuple[str, ...] = (
-    "bootstrap_mean_ci",
-    "bloom_prefilter_join",
+    "agg_argmax",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "agg_percentile_disc",
+    "agg_rollup",
+    "agg_stats",
+    "ann_bruteforce_topk",
+    "ann_pq_topk",
+    "approx_percentile_error",
+    "approx_top_k_words",
+    "array_agg_sorted",
+    "array_functions",
+    "asof_join_nearest",
+    "attribution_multitouch",
+    "benford_first_digit",
+    "bfs_distances",
+    "bm25_search",
+    "chunk_documents",
+    "cohort_retention",
+    "collated_group_count",
+    "collocation_pmi",
+    "concurrent_sessions_timeline",
+    "conversion_time_quantiles",
+    "corpus_pipeline_funnel",
+    "corr_matrix_lineitem",
     "countmin_word_frequencies",
-    "entity_resolution_customers",
     "curate_corpus",
-    "pit_join_scd2",
+    "cusum_changepoints",
+    "data_quality_report",
+    "date_spine_fill",
+    "decontaminate_ngram",
+    "dedup_connected_components",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_expr",
+    "dedup_ngram_jaccard",
+    "dedup_survivor_best_quality",
+    "degree_assortativity",
+    "doc_fingerprint",
+    "domain_mix_temperature",
+    "dow_seasonality",
+    "dup_span_coverage",
+    "embedding_cluster_cohesion",
+    "embedding_dim_stats",
+    "embedding_gram_matrix",
+    "embedding_quantize_int8",
+    "encoding_advisor_lineitem",
+    "entity_resolution_customers",
+    "ewma_value",
+    "fifo_allocation",
+    "funnel_conversion",
+    "fuzzy_name_match",
+    "gdpr_erasure_audit",
+    "grouped_zscore",
+    "grouped_zscore_native",
+    "heavy_hitters_words",
+    "hll_intersection_users",
+    "hll_native_distinct",
+    "hll_sketch_partitioned",
+    "hypertable_rollup",
+    "interpolate_missing_values",
+    "inverted_index_postings",
+    "ivm_incremental_agg",
+    "join_anti",
+    "join_cross",
+    "join_full_outer",
+    "join_left_outer",
+    "join_semi",
+    "join_theta_inequality",
+    "json_extract_events",
+    "kaplan_meier_retention",
+    "kcore_membership",
+    "lang_id_heuristic",
+    "listagg_supplier_names",
+    "lm_perplexity_score",
+    "longest_daily_streak",
+    "mad_outliers",
+    "map_functions",
+    "map_hof_functions",
+    "market_basket_rules",
+    "markov_transitions",
+    "merge_upsert_orders",
+    "multimodal_audio_fingerprint_pairs",
+    "multimodal_frame_sample",
+    "multimodal_image_dhash_pairs",
+    "multimodal_image_resize",
+    "multimodal_metadata",
+    "multimodal_video_scene_cuts",
+    "mutual_information_value",
+    "new_vs_returning_daily",
+    "ohlc_bars",
+    "order_total_reconciliation",
+    "pack_sequences",
     "pagerank_copurchase",
+    "pandas_udf_scalar",
+    "partition_advisor_orders",
+    "pit_join_scd2",
+    "pivot_event_counts",
+    "psi_price_drift",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_shipmode_priority",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
     "q1_pricing_summary",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
     "q2_cheapest_supplier",
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_nation_volume",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_shipmode_priority",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q22_idle_rich_customers",
-    "agg_argmax",
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_rollup",
-    "agg_stats",
-    "agg_percentile",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "quality_filter_pipeline",
+    "range_join_events_orders",
+    "referential_integrity_report",
+    "repetition_metrics",
+    "rfm_segmentation",
+    "rolling_median_value",
+    "rollup_grouping_id",
+    "salted_join_hot_key",
     "scalar_conditional",
     "scalar_date_funcs",
     "scalar_math_funcs",
     "scalar_string_funcs",
-    "set_ops",
-    "sort_topk",
-    "subquery_exists",
-    "unpivot_lineitem",
-    "asof_join_events_orders",
-    "range_join_events_orders",
-    "join_left_outer",
-    "join_full_outer",
-    "join_theta_inequality",
-    "json_extract_events",
-    "pack_sequences",
-    "decontaminate_ngram",
-    "asof_join_nearest",
-    "time_weighted_average",
-    "embedding_gram_matrix",
-    "tumbling_window_agg",
-    "window_rank_dense_ntile",
-    "window_topk_per_group",
-    "agg_boolean_counting",
-    "set_ops_all",
-    "union_by_name_evolution",
-    "rollup_grouping_id",
-    "yoy_revenue_growth",
-    "window_distribution_ranks",
-    "salted_join_hot_key",
-    "asof_join_forward",
-    "join_null_safe",
-    "geo_radius_join_grid",
-    "join_skew_diagnostics",
-    "sessionization_gap",
-    "cohort_retention",
-    "ohlc_bars",
-    "top_event_paths",
-    "session_window_agg",
-    "sliding_distinct_users",
-    "variant_props_stats",
-    "conversion_time_quantiles",
-    "session_window_dynamic_gap",
-    "attribution_multitouch",
-    "longest_daily_streak",
-    "concurrent_sessions_timeline",
-    "new_vs_returning_daily",
-    "grouped_arrow_profile",
-    "agg_percentile_disc",
-    "agg_mode_deterministic",
-    "chi2_event_value",
-    "corr_matrix_lineitem",
-    "hll_intersection_users",
-    "udtf_parse_props",
-    "grouped_agg_gini",
-    "xml_roundtrip_stats",
-    "collated_group_count",
-    "listagg_supplier_names",
-    "approx_top_k_words",
-    "try_functions_safety",
-    "map_hof_functions",
-    "bitmap_distinct_counts",
-    "hll_native_distinct",
-    "agg_approx_distinct",
-    "hll_sketch_partitioned",
-    "set_overlap_join_prefix",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_connected_components",
-    "dedup_survivor_best_quality",
-    "block_dedup_stats",
-    "ann_bruteforce_topk",
-    "ann_range_search",
-    "embedding_jl_projection",
-    "embedding_cluster_cohesion",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "kmeans_lloyd_clusters",
-    "embedding_dim_stats",
-    "winnow_fingerprint_pairs",
-    "bm25_search",
-    "lm_perplexity_score",
-    "collocation_pmi",
-    "zipf_slope",
-    "char_entropy",
-    "inverted_index_postings",
-    "bpe_merge_candidates",
-    "lang_id_confusion",
-    "multimodal_features",
-    "multimodal_image_features",
-    "multimodal_audio_features",
-    "multimodal_video_features",
-    "multimodal_image_resize",
-    "multimodal_frame_sample",
-    "multimodal_image_dhash_pairs",
-    "multimodal_audio_fingerprint_pairs",
-    "multimodal_video_scene_cuts",
-    "weighted_sample_documents",
-    "chunk_documents",
-    "domain_mix_temperature",
-    "bottomk_sample_per_group",
-    "train_val_test_split",
-    "corpus_pipeline_funnel",
-    "k_anonymity_report",
-    "table_profile_lineitem",
-    "psi_price_drift",
-    "referential_integrity_report",
-    "gdpr_erasure_audit",
-    "order_total_reconciliation",
-    "rolling_median_value",
-    "ewma_value",
-    "anomaly_zscore",
-    "markov_transitions",
-    "dow_seasonality",
-    "acf_daily_events",
     "scd2_user_segments",
-    "merge_upsert_orders",
-    "winsorize_stats",
+    "session_window_agg",
+    "session_window_dynamic_gap",
+    "set_ops",
+    "set_overlap_join_prefix",
+    "shard_export_assignment",
     "skyline_suppliers",
-    "ivm_incremental_agg",
-    "zorder_cluster_stats",
-    "fifo_allocation",
-    "partition_advisor_orders",
-    "encoding_advisor_lineitem",
-    "triangle_participation",
-    "market_basket_rules",
-    "kcore_membership",
-    "degree_assortativity",
-    "regr_price_trend",
-    "rfm_segmentation",
-    "pareto_revenue_share",
-    "heavy_hitters_words",
-    "cusum_changepoints",
-    "quantile_sketch_value",
-    "price_histogram",
-    "kaplan_meier_retention",
-    "ab_test_welch",
-    "mad_outliers",
-    "approx_percentile_error",
-    "mutual_information_value",
-    "ingest_typed_profile",
+    "sliding_window_agg",
+    "snapshot_diff",
+    "sort_topk",
+    "stratified_sample_documents",
+    "subquery_exists",
+    "text_length_histogram",
+    "text_pii_scrub",
+    "text_quality_metrics",
+    "tfidf_top_terms",
+    "time_weighted_average",
+    "top_event_paths",
+    "try_functions_safety",
+    "tumbling_window_agg",
+    "udtf_tokenize",
+    "union_by_name_evolution",
+    "unpivot_lineitem",
+    "variant_props_stats",
+    "weighted_sample_documents",
+    "window_distribution_ranks",
+    "window_lag_lead",
+    "window_rank_dense_ntile",
+    "window_running_sum",
+    "window_topk_per_group",
+    "winsorize_stats",
+    "xml_roundtrip_stats",
+    "yoy_revenue_growth",
+    "zipf_slope",
 )
 
 def _modules():

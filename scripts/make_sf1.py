@@ -46,6 +46,12 @@ MUTATE = os.environ.get("SF_MUTATE", "") not in ("", "0")
 # (~40% of a 100x slice, measured). A per-level salt letter breaks the
 # commutation, keeping chained slices linear-output too.
 SALT = os.environ.get("SF_SALT", "q")
+# SF_TABLES=documents,orders,events limits which fact tables the slice
+# replicates (third-decade slices don't need a 600M-row lineitem when no
+# swept op reads it). Omitted tables are ABSENT from the slice — an op
+# that needs one fails loudly instead of silently reading the wrong
+# scale.
+TABLES_LIMIT = [t for t in os.environ.get("SF_TABLES", "").split(",") if t]
 SCALED = {
     # table -> columns to shift by i * (max+1) per replica
     "lineitem": ["l_orderkey"],
@@ -77,6 +83,9 @@ def main() -> None:
         os.symlink(srcp, dst)
 
     for t, keys in SCALED.items():
+        if TABLES_LIMIT and t not in TABLES_LIMIT:
+            print(f"{t}: skipped (SF_TABLES)", file=sys.stderr)
+            continue
         df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
         strides = {
             k: r[0] + 1 for k, r in zip(keys, [df.agg(F.max(k)).first() for k in keys])

@@ -15,15 +15,26 @@ output growth separately from work growth).
 
 Usage:
     python scripts/scale_sweep.py [--base DIR] [--scaled DIR]
-        [--update-baseline] [--ops name1,name2,...]
+        [--update-baseline] [--ops name1,name2,...] [--surface]
 --ops sweeps an arbitrary registered query list instead of the default
 pair-emitting family (screen any new operator without editing OPS;
 --update-baseline is refused for a non-default list so the pinned
-BASELINE.md table always reflects the canonical family).
+BASELINE.md tables always reflect the canonical families).
+--surface sweeps the heavy NON-dedup surface screen (SURFACE_OPS, the
+r8 12-shape screen promoted from ad-hoc prose to a pinned table, VERDICT
+r8 directive #8) at the SECOND decade (/tmp/sf1m → /tmp/sf10m) and,
+with --update-baseline, rewrites the surface-sweep marker section.
 Defaults: base=/root/testdata/sf0.1 (5k docs), scaled=/tmp/sf1m (50k
-docs, mutated replication — built automatically if missing).
+docs, mutated replication — built automatically if missing, as is the
+chained /tmp/sf10m with its per-level salt).
 --update-baseline rewrites the marked section of BASELINE.md with the
-fresh table. `make scale-sweep` = both.
+fresh table. `make scale-sweep` = the dedup family AND the surface
+screen, both tables.
+
+`ingest_csv_to_columnar` is accepted as an op name even though it is a
+bench special-case rather than a registered query: the cell exports the
+slice's lineitem to CSV (untimed, cached) and times
+profile+apply+parquet-write end-to-end via bench.bench_ingest.
 """
 
 from __future__ import annotations
@@ -53,11 +64,43 @@ OPS = [
     "block_dedup_stats",
     "dup_span_coverage",
 ]
+# Heavy non-dedup surface screen (the r8 12-shape ad-hoc list, pinned):
+# the most expensive registered shapes per family — TPC-H aggs, the
+# as-of union+window carry, the range-frame window, sessionization,
+# iterative graph ops, curation, text scoring — plus the ingest
+# pipeline itself (never swept before r9 despite being the most
+# expensive headline query).
+SURFACE_OPS = [
+    "q1_pricing_summary",
+    "q9_profit_by_nation_year",
+    "asof_join_events_orders",
+    "window_range_frame",
+    "sessionization_gap",
+    "pagerank_copurchase",
+    "dedup_connected_components",
+    "curate_corpus",
+    "countmin_word_frequencies",
+    "tfidf_top_terms",
+    "bm25_search",
+    "rfm_segmentation",
+    "ingest_csv_to_columnar",
+]
 N_RUNS = 2
 BASE_DEFAULT = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALED_DEFAULT = "/tmp/sf1m"
+SURFACE_BASE_DEFAULT = "/tmp/sf1m"
+SURFACE_SCALED_DEFAULT = "/tmp/sf10m"
 MARK_BEGIN = "<!-- scale-sweep:begin -->"
 MARK_END = "<!-- scale-sweep:end -->"
+SURFACE_MARK_BEGIN = "<!-- surface-sweep:begin -->"
+SURFACE_MARK_END = "<!-- surface-sweep:end -->"
+# chained mutated slices: each level gets its own salt (same-salt
+# composition is commutative -> bogus cross-level exact dups)
+SLICE_CHAIN = {
+    "/tmp/sf1m": ("/root/testdata/sf0.1", "q"),
+    "/tmp/sf10m": ("/tmp/sf1m", "r"),
+    "/tmp/sf100m": ("/tmp/sf10m", "s"),
+}
 
 
 def run_single(name: str, sf_dir: str) -> None:
@@ -66,6 +109,18 @@ def run_single(name: str, sf_dir: str) -> None:
     from collimate_spark.operators import all_queries
     from collimate_spark.scratch import clear_scratch
     from collimate_spark.session import get_session
+
+    if name == "ingest_csv_to_columnar":
+        import bench
+
+        bench.SF_DIR = sf_dir
+        spark = get_session("scale-sweep")
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        t = bench.bench_ingest(spark)  # min-of-2 internally
+        rows = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+        print(json.dumps({"t": round(t, 2), "rows": rows}))
+        spark.stop()
+        return
 
     fn = all_queries()[name]
     spark = get_session("scale-sweep")
@@ -89,11 +144,14 @@ def run_single(name: str, sf_dir: str) -> None:
 def _ensure_scaled(scaled: str) -> None:
     if os.path.isdir(scaled):
         return
-    print(f"building mutated 10x slice at {scaled} ...", file=sys.stderr)
-    env = dict(os.environ, SF_MUTATE="1")
+    if scaled not in SLICE_CHAIN:
+        sys.exit(f"{scaled} missing and not a known chained slice {list(SLICE_CHAIN)}")
+    src, salt = SLICE_CHAIN[scaled]
+    _ensure_scaled(src) if src in SLICE_CHAIN else None
+    print(f"building mutated 10x slice at {scaled} (salt {salt}) ...", file=sys.stderr)
+    env = dict(os.environ, SF_MUTATE="1", SF_SALT=salt)
     subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "make_sf1.py"),
-         BASE_DEFAULT, scaled],
+        [sys.executable, os.path.join(REPO, "scripts", "make_sf1.py"), src, scaled],
         check=True,
         env=env,
     )
@@ -129,26 +187,33 @@ def _table(rows: list[dict]) -> str:
     return "\n".join(md)
 
 
-def _update_baseline(table_md: str, base: str, scaled: str) -> None:
+def _update_baseline(table_md: str, base: str, scaled: str, surface: bool = False) -> None:
     path = os.path.join(REPO, "BASELINE.md")
     src = open(path).read()
-    if MARK_BEGIN not in src:
-        sys.exit(f"BASELINE.md missing {MARK_BEGIN} marker")
-    head, rest = src.split(MARK_BEGIN, 1)
-    _, tail = rest.split(MARK_END, 1)
-    body = (
-        f"{MARK_BEGIN}\n"
-        f"Sweep of the pair-emitting dedup family at 10× corpus on the\n"
-        f"MUTATED replication slice (`make scale-sweep`; base={base},\n"
-        f"scaled={scaled} — replicas are not near-dups of their source, so\n"
-        f"true pair output grows ~linearly and the work-growth column is\n"
-        f"the quadratic-candidate screen; fresh JVM per cell, min of\n"
-        f"{N_RUNS} noop-sink runs):\n\n"
-        f"{table_md}\n"
-        f"{MARK_END}"
-    )
-    open(path, "w").write(head + body + tail)
-    print(f"BASELINE.md section updated", file=sys.stderr)
+    mb, me = (SURFACE_MARK_BEGIN, SURFACE_MARK_END) if surface else (MARK_BEGIN, MARK_END)
+    if mb not in src:
+        sys.exit(f"BASELINE.md missing {mb} marker")
+    head, rest = src.split(mb, 1)
+    _, tail = rest.split(me, 1)
+    if surface:
+        desc = (
+            f"Heavy non-dedup surface screen at the second decade\n"
+            f"(`make scale-sweep`; base={base}, scaled={scaled} — 10× and 100×\n"
+            f"the bench scale on the chained mutated slices; fresh JVM per\n"
+            f"cell, min of {N_RUNS} noop-sink runs; the ingest row times the\n"
+            f"full CSV→typed-parquet pipeline on the slice's lineitem):\n\n"
+        )
+    else:
+        desc = (
+            f"Sweep of the pair-emitting dedup family at 10× corpus on the\n"
+            f"MUTATED replication slice (`make scale-sweep`; base={base},\n"
+            f"scaled={scaled} — replicas are not near-dups of their source, so\n"
+            f"true pair output grows ~linearly and the work-growth column is\n"
+            f"the quadratic-candidate screen; fresh JVM per cell, min of\n"
+            f"{N_RUNS} noop-sink runs):\n\n"
+        )
+    open(path, "w").write(head + mb + "\n" + desc + table_md + "\n" + me + tail)
+    print("BASELINE.md section updated", file=sys.stderr)
 
 
 def main() -> None:
@@ -157,18 +222,20 @@ def main() -> None:
         return
 
     args = sys.argv[1:]
-    base = BASE_DEFAULT
-    scaled = SCALED_DEFAULT
+    surface = "--surface" in args
+    base = SURFACE_BASE_DEFAULT if surface else BASE_DEFAULT
+    scaled = SURFACE_SCALED_DEFAULT if surface else SCALED_DEFAULT
     update = "--update-baseline" in args
     if "--base" in args:
         base = args[args.index("--base") + 1]
     if "--scaled" in args:
         scaled = args[args.index("--scaled") + 1]
-    ops = list(OPS)
+    ops = list(SURFACE_OPS) if surface else list(OPS)
     if "--ops" in args:
         ops = args[args.index("--ops") + 1].split(",")
         if update:
             sys.exit("--update-baseline requires the default op list")
+    _ensure_scaled(base) if base in SLICE_CHAIN else None
     _ensure_scaled(scaled)
 
     rows = []
@@ -182,7 +249,7 @@ def main() -> None:
     table_md = _table(rows)
     print("\n" + table_md)
     if update:
-        _update_baseline(table_md, base, scaled)
+        _update_baseline(table_md, base, scaled, surface=surface)
 
 
 if __name__ == "__main__":

@@ -136,13 +136,17 @@ ORDER BY l_returnflag, qty_rank, l_orderkey
 # single-level and two-level tie at ~1.5M rows/partition and two-level
 # wins 1.6× at 5M rows/partition (15M orders, local[32]); below that the
 # extra shuffle + union-carry overhead loses. The BYTES floor short-
-# circuits the decision with driver-side file metadata only (no job):
-# 5M rows × 3 partitions × ~25 B/row parquet ≈ 375 MB, so anything under
-# 256 MiB cannot be near the crossover and the registered bench-scale
-# query pays zero extra jobs. Above the floor, one cheap groupBy-count
-# (the generalized r5 size-gate pattern: measure, then pick the plan)
-# reads the true max partition size.
-_TWO_LEVEL_MIN_BYTES = 256 << 20
+# circuits the decision with driver-side file metadata only (no job).
+# Floor calibration matters: this orders layout compresses to ~15 B/row
+# (measured 216 MB at 15M rows — where two-level already wins 1.6×), so
+# the floor sits at 64 MiB ≈ 4.5M rows, safely below the ~15M-row
+# crossover while still zero-job at bench scale (2.6 MB). The first cut
+# used 256 MiB from a 25 B/row guess and silently stayed single-level
+# at 15M rows — the r9 surface sweep caught it (11.1× growth row).
+# Above the floor, one cheap groupBy-count (the generalized r5
+# size-gate pattern: measure, then pick the plan) reads the true max
+# partition size.
+_TWO_LEVEL_MIN_BYTES = 64 << 20
 _TWO_LEVEL_ROWS_PER_PARTITION = 5_000_000
 
 

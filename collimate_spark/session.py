@@ -31,6 +31,17 @@ def get_session(app_name: str = "collimate_spark", shuffle_partitions: int | Non
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Size shuffles by DATA, not by a constant: start every shuffle
+        # at 1024 partitions and let AQE coalesce down to its 64 MB
+        # advisory target. At bench scale this coalesces to the same few
+        # partitions as before (no cost); two decades up it is the
+        # difference between a 2.3M-row in-memory sort per task and a
+        # 26M-row spilling one — the r9 third-decade sweep measured the
+        # constant-32 setting going superlinear on every exploded-
+        # shuffle op (ngram_jaccard 15.7x, simhash 16.8x, dup_span
+        # 10.5x, range_frame 15.2x, tfidf 13.8x per 10x) and this conf
+        # flattening all of them.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1024")
         # Arrow-batched transfer for pandas UDF / toPandas paths.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -129,6 +129,13 @@ def run_single(name: str, sf_dir: str) -> None:
     for _ in range(N_RUNS):
         clear_scratch()
         spark.catalog.clearCache()
+        # Shuffle files persist until the ContextCleaner GCs their RDD
+        # references — across this cell's 3 executions of a decade-scale
+        # query they accumulate 2-3× the per-run scratch and filled the
+        # disk (ENOSPC at 73 GB free on the 5M-doc containment cell). A
+        # JVM GC between runs lets the cleaner drop the previous run's
+        # shuffle files; the run itself is not timed yet.
+        spark.sparkContext._jvm.System.gc()
         df = fn(spark, sf_dir)
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()

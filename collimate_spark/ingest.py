@@ -38,6 +38,7 @@ import json
 import math
 import os
 import re
+import shutil
 import sys
 import time
 from dataclasses import dataclass, field
@@ -779,6 +780,25 @@ def ingest_typed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(path)
     )
     typed, manifest = ingest(spark, path, parse_dates=True, sample_fraction=0)
+    # Calibration guard: the categorical flag compares Spark's HLL
+    # distinct estimate against the same threshold the oracle applies to
+    # an EXACT distinct. That is only hash-safe while every column's
+    # estimate sits well clear of the threshold (measured ≥40% margin at
+    # sf0.001/0.01/0.1). If a future SF or dataset collapses the margin,
+    # fail HERE with the measured ratio — a named calibration drift —
+    # instead of surfacing as an undiagnosable oracle hash mismatch.
+    thr = manifest.categorical_threshold
+    for p in manifest.columns:
+        ratio = p.distinct_estimate / thr if thr else 0.0
+        if 0.8 < ratio < 1.25:
+            raise RuntimeError(
+                "ingest_typed_profile categorical margin collapsed: column "
+                f"{p.sane_name!r} distinct_estimate={p.distinct_estimate} is "
+                f"within 25% of threshold {thr:.0f} (ratio {ratio:.3f}); the "
+                "HLL-vs-exact parity contract needs >=25% headroom — "
+                "recalibrate the slice or the threshold before trusting the "
+                "oracle hash"
+            )
     aggs = []
     for p in manifest.columns:
         c = p.sane_name
@@ -789,6 +809,11 @@ def ingest_typed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__dist"))
     stats = typed.agg(*aggs).collect()[0].asDict()
+    # The CSV export exists only to feed the round-trip; everything the
+    # query returns is collected by here, so reclaim the scratch path —
+    # the pid suffix otherwise accretes one directory per bench/driver/
+    # pytest process.
+    shutil.rmtree(path, ignore_errors=True)
     rows = [
         (
             p.sane_name,

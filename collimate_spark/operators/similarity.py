@@ -652,6 +652,16 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             for pdf in it:
                 mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
                 d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                # 6dp half-up quantization BEFORE the argmin: cross-engine
+                # centroid means differ at the last ulp (partial-agg sum
+                # order), so an unrounded near-tie assignment could flip
+                # between Spark and the DuckDB oracle and cascade through
+                # later iterations — the same hazard class semdedup_prune's
+                # keep-rank fixed with the identical 6dp contract. floor(x·1e6
+                # + 0.5) matches DuckDB ROUND on the binary value for
+                # non-negative inputs (d2 ≥ 0); true 1e-6 half-boundaries
+                # have measure zero on continuous distances.
+                d2 = np.floor(d2 * 1e6 + 0.5) / 1e6
                 lab = d2.argmin(axis=1)
                 yield pd.DataFrame(
                     {
@@ -756,11 +766,13 @@ ORDER BY vec_id
 def _kmeans_oracle_sql(k: int = 8, iters: int = 5) -> str:
     """DuckDB twin of kmeans_lloyd_clusters: the fixed init (k lowest
     vec_ids) + fixed iteration count make Lloyd's deterministic, so the
-    5 rounds unroll into assign/update CTE pairs. Tie-break mirrors
-    numpy argmin (lowest cluster index); an emptied cluster keeps its
-    previous centroid (COALESCE over the prior round) exactly like the
-    Spark grid update, which only overwrites clusters that aggregated
-    members."""
+    5 rounds unroll into assign/update CTE pairs. d2 is ROUND(…, 6)ed on
+    both sides before the argmin so near-tie assignments quantize to an
+    exact equality and the lowest-cluster-index tie-break resolves
+    identically in both engines (the semdedup 6dp parity contract);
+    an emptied cluster keeps its previous centroid (COALESCE over the
+    prior round) exactly like the Spark grid update, which only
+    overwrites clusters that aggregated members."""
     parts = [
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         f"""c0 AS (
@@ -775,7 +787,7 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 5) -> str:
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) AS rn
     FROM (
       SELECT e.vec_id, c.cluster,
-             list_sum(list_transform(list_zip(e.v, c.c), s -> (s[1]-s[2])*(s[1]-s[2]))) AS d2
+             ROUND(list_sum(list_transform(list_zip(e.v, c.c), s -> (s[1]-s[2])*(s[1]-s[2]))), 6) AS d2
       FROM e CROSS JOIN c{i - 1} c
     )
   ) WHERE rn = 1

@@ -282,7 +282,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct counts, paired with their exact twins
     and a deterministic error-bound audit. The raw HLL estimates are
     engine-specific (never hash-comparable), but |approx−exact|/exact ≤
-    3·rsd IS deterministic for Spark's HLL++ (register-max merge is
+    4·rsd IS deterministic for Spark's HLL++ (register-max merge is
     order-independent), so the audited output is DuckDB-oracle-able:
     the oracle computes the exact counts and predicts the audit bits as
     1 — an out-of-bound sketch hash-mismatches loudly. At 100 TB the
@@ -295,17 +295,25 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.count_distinct("l_orderkey").alias("exact_orders"),
     )
+    # Audit bound: 4·rsd, not 3 — 3·rsd is a ~99% probabilistic HLL++
+    # envelope, not a guarantee, and the oracle hardcodes the bit to 1,
+    # so the bound needs measured headroom against THIS deterministic
+    # estimate rather than the distributional tail. Measured max
+    # |approx−exact|/(exact·rsd) on this data: 0.54 (parts, rsd=0.05)
+    # and 0.86 (orders, rsd=0.01) across sf0.001/0.01/0.1 — ≥4.6×
+    # headroom at 4·rsd. If the bit ever flips at a new SF, diagnose as
+    # calibration (re-measure the ratio) before suspecting a regression.
     def within(approx, exact, rsd):
         return (
-            (F.abs(approx - F.col(exact)) / F.col(exact) <= 3 * rsd)
+            (F.abs(approx - F.col(exact)) / F.col(exact) <= 4 * rsd)
             .cast("long")
         )
     return agg.select(
         "l_returnflag",
         "exact_parts",
         "exact_orders",
-        within(F.col("__ap"), "exact_parts", 0.05).alias("parts_within_3rsd"),
-        within(F.col("__ao"), "exact_orders", 0.01).alias("orders_within_3rsd"),
+        within(F.col("__ap"), "exact_parts", 0.05).alias("parts_within_4rsd"),
+        within(F.col("__ao"), "exact_orders", 0.01).alias("orders_within_4rsd"),
     ).orderBy("l_returnflag")
 
 
@@ -313,8 +321,8 @@ AGG_APPROX_DISTINCT_SQL = """
 SELECT l_returnflag,
        COUNT(DISTINCT l_partkey) AS exact_parts,
        COUNT(DISTINCT l_orderkey) AS exact_orders,
-       CAST(1 AS BIGINT) AS parts_within_3rsd,
-       CAST(1 AS BIGINT) AS orders_within_3rsd
+       CAST(1 AS BIGINT) AS parts_within_4rsd,
+       CAST(1 AS BIGINT) AS orders_within_4rsd
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag

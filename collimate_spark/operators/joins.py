@@ -199,29 +199,82 @@ ORDER BY k
 """
 
 
-def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Auto-select thresholds for the as-of window-key granularity (VERDICT
+# r9 directive #1 — the _auto_two_level pattern from windows.py applied
+# to the join's partition key). Day granularity is the 100 TB shape
+# (bounded per-partition sorts even when all activity lands in one hot
+# month), but its carry spine + extra grain column cost ~+0.4s at bench
+# scale where a month key's 10 partitions of ~10k rows sort instantly.
+# The BYTES floor decides with driver-side file metadata only (no job):
+# this events layout measures ~20 B/row compressed (2.0 MB at 100k
+# rows), so 8 MiB ≈ 420k events — below the 500k/key crossover even in
+# the worst case of EVERY event landing in one (bucket, month) — and
+# the floor stays zero-job at every bench SF (sf0.1 = 2.0 MB).
+# tests/test_plans.py re-measures bytes/row on the fixture and asserts
+# this worst-case arithmetic, so a codec or schema change that shrinks
+# bytes/row re-breaks the floor LOUDLY instead of silently staying
+# month-grain at a day-grain scale (the windows.py 256 MiB lesson).
+# Above the floor, one cheap groupBy-count reads the true max
+# (bucket, month) occupancy: the r8 sweep measured a month key going
+# 5.5× superlinear at ~1M rows/key (10M one-month events), while ≤500k
+# rows sort comfortably inside one task; tests force both paths and
+# assert identical results.
+_ASOF_DAY_MIN_BYTES = 8 << 20
+_ASOF_ROWS_PER_KEY = 500_000
+
+
+def _auto_asof_day_grain(events: DataFrame) -> bool:
+    from collimate_spark.ingest import _local_input_bytes
+
+    nbytes = _local_input_bytes(events)
+    # unknowable sizes (non-file source) fall through to the measured
+    # count — never guess month-grain blind at a 100 TB input
+    if 0 < nbytes < _ASOF_DAY_MIN_BYTES:
+        return False
+    mx = (
+        events.groupBy(
+            (F.col("user_id") % 10).alias("bucket"),
+            F.date_trunc("month", "ts").alias("m"),
+        )
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    return (mx or 0) > _ASOF_ROWS_PER_KEY
+
+
+def asof_join_events_orders(
+    spark: SparkSession, sf_dir: str, *, day_grain: bool | None = None
+) -> DataFrame:
     """As-of join: for each event, the latest order date at-or-before the
     event's timestamp, matched on a shared bucket key.
 
     Scalable pattern (no nested loop): tag both sides, union, window
     `last(value, ignorenulls=True)` ordered by time. The window partition
-    key is COMPOSITE — (bucket, DAY) — so parallelism is
-    n_buckets × n_days instead of n_buckets(10), and per-partition row
+    key is COMPOSITE — (bucket, time-grain) — so parallelism is
+    n_buckets × n_grains instead of n_buckets(10), and per-partition row
     counts stay bounded as data grows: a bucket-only key is the classic
     as-of scale-killer (10-way max parallelism, unbounded partitions at
-    100×). Day, not month (the r8 sweep find): this dataset's events all
-    land in ONE month, so a (bucket, month) key collapsed the whole
-    event side into 10 partitions and the per-partition sort grew
-    superlinearly (5.5× work at 10× data); (bucket, day) splits the hot
-    month 31× while the carry spine stays tiny (buckets × distinct days
-    ≈ 24k rows — aggregate + window + broadcast, unchanged identity).
-    Cross-day correctness comes from that carry-over table: the last
-    order timestamp strictly before each day per bucket, coalesced in
-    wherever the within-day window saw no earlier order. This is how a
-    trades/quotes as-of join runs at 100 TB; for intraday-dense feeds
+    100×). The grain AUTO-SELECTS by measured (bucket, month) occupancy
+    (``_auto_asof_day_grain``): month below the crossover (this
+    dataset's bench SFs — 10k rows/key sort instantly and skip the
+    day-spine constant), DAY above it (the r8 sweep find: with all
+    events in ONE hot month, a month key collapsed 10M events into 10
+    partitions and the per-partition sort grew 5.5× superlinear; day
+    splits the hot month 31× while the carry spine stays tiny —
+    buckets × distinct grains rows, aggregate + window + broadcast).
+    Cross-grain correctness comes from that carry-over table: the last
+    order timestamp strictly before each grain per bucket, coalesced in
+    wherever the within-grain window saw no earlier order. Both paths
+    are hash-identical by construction (tests force each). This is how
+    a trades/quotes as-of join runs at 100 TB; for intraday-dense feeds
     drop the key one more level (hour) — same carry construction.
     """
-    events = load_table(spark, "events", sf_dir).select(
+    events_raw = load_table(spark, "events", sf_dir)
+    if day_grain is None:
+        day_grain = _auto_asof_day_grain(events_raw)
+    grain = "day" if day_grain else "month"
+    events = events_raw.select(
         (F.col("user_id") % 10).alias("bucket"),
         F.col("ts"),
         F.col("event_id"),
@@ -233,38 +286,40 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = orders.select("bucket", "ts", F.lit(None).cast("long").alias("event_id"),
                           F.col("ts").alias("order_ts"))
     left = events.select("bucket", "ts", "event_id", F.lit(None).cast("timestamp").alias("order_ts"))
-    unioned = right.unionByName(left).withColumn("day", F.to_date("ts"))
+    unioned = right.unionByName(left).withColumn(
+        "gkey", F.date_trunc(grain, "ts").cast("date")
+    )
     # event_id nulls-first sorts order rows first at identical ts →
     # "at-or-before" ties resolve to include the simultaneous order.
     w = (
-        Window.partitionBy("bucket", "day")
+        Window.partitionBy("bucket", "gkey")
         .orderBy(F.col("ts").asc(), F.col("event_id").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     within = unioned.withColumn(
         "asof_within", F.last("order_ts", ignorenulls=True).over(w)
     )
-    # carry-over: last order ts strictly before each day, per bucket —
-    # computed on the (bucket, day) spine (~buckets × distinct days rows)
-    day_last = (
+    # carry-over: last order ts strictly before each grain, per bucket —
+    # computed on the (bucket, gkey) spine (buckets × distinct grains rows)
+    grain_last = (
         unioned.filter(F.col("order_ts").isNotNull())
-        .groupBy("bucket", "day")
-        .agg(F.max("order_ts").alias("dlast"))
+        .groupBy("bucket", "gkey")
+        .agg(F.max("order_ts").alias("glast"))
     )
-    spine = unioned.select("bucket", "day").distinct()
+    spine = unioned.select("bucket", "gkey").distinct()
     carry_w = (
         Window.partitionBy("bucket")
-        .orderBy("day")
+        .orderBy("gkey")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = (
-        spine.join(day_last, ["bucket", "day"], "left")
-        .withColumn("carry_ts", F.max("dlast").over(carry_w))
-        .select("bucket", "day", "carry_ts")
+        spine.join(grain_last, ["bucket", "gkey"], "left")
+        .withColumn("carry_ts", F.max("glast").over(carry_w))
+        .select("bucket", "gkey", "carry_ts")
     )
     return (
         within.filter(F.col("event_id").isNotNull())
-        .join(F.broadcast(carry), ["bucket", "day"], "left")
+        .join(F.broadcast(carry), ["bucket", "gkey"], "left")
         .select(
             "event_id",
             F.coalesce(F.col("asof_within"), F.col("carry_ts")).alias("asof_order_ts"),

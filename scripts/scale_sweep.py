@@ -170,6 +170,10 @@ def _cell(name: str, sf_dir: str) -> dict:
         capture_output=True,
         text=True,
         timeout=1800,
+        # Decade cells get the scale confs (wide initial shuffles + zstd)
+        # that session.py deliberately keeps OFF at bench scale — the
+        # sweep is exactly the workload they exist for.
+        env=dict(os.environ, SPARK_GRAFT_SCALE_MODE="1"),
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:

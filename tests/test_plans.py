@@ -74,15 +74,34 @@ def test_q8_star_join_all_broadcast(spark, sf_dir):
 
 
 def test_asof_join_partitions_on_composite_key(spark, sf_dir):
-    """The as-of window must shuffle on (bucket, day) — a bucket-only
+    """The as-of window must shuffle on (bucket, gkey) — a bucket-only
     key caps parallelism at 10 and lets partitions grow unboundedly with
-    data volume; month granularity collapsed this dataset's one-month
-    event stream back to 10 partitions (the r8 sweep's 5.5× slope).
-    hashpartitioning on both columns is the scale contract."""
+    data volume. Forced day grain is the 100 TB shape (month collapsed
+    this dataset's one-month event stream to 10 partitions — the r8
+    sweep's 5.5× slope); hashpartitioning on both columns is the scale
+    contract in EITHER grain."""
     from collimate_spark.operators.joins import asof_join_events_orders
 
-    plan = _plan(asof_join_events_orders(spark, sf_dir))
-    assert "hashpartitioning(bucket" in plan and "day" in plan.split("hashpartitioning(bucket", 1)[1][:80]
+    for grain in (True, False):
+        plan = _plan(asof_join_events_orders(spark, sf_dir, day_grain=grain))
+        assert "hashpartitioning(bucket" in plan and "gkey" in plan.split("hashpartitioning(bucket", 1)[1][:80]
+
+
+def test_asof_join_grain_gate_and_equivalence(spark, sf_dir):
+    """The month-vs-day granularity gate (VERDICT r9 #1): bench-scale
+    inputs sit under the 16 MiB bytes floor so the gate picks MONTH with
+    zero jobs, and the two grains are result-identical — the gate may
+    only ever trade time, never answers."""
+    from collimate_spark.operators.joins import (
+        _auto_asof_day_grain,
+        asof_join_events_orders,
+    )
+    from collimate_spark.catalog import load_table
+
+    assert _auto_asof_day_grain(load_table(spark, "events", sf_dir)) is False
+    month = asof_join_events_orders(spark, sf_dir, day_grain=False).collect()
+    day = asof_join_events_orders(spark, sf_dir, day_grain=True).collect()
+    assert month == day and len(month) > 0
 
 
 def test_range_join_partitions_on_composite_key(spark, sf_dir):
@@ -984,3 +1003,49 @@ def test_window_range_frame_auto_gate(spark, sf_dir, monkeypatch):
     forced = W.window_range_frame(spark, sf_dir)
     assert "Union" in forced._jdf.queryExecution().analyzed().toString()
     assert forced.collect() == single.collect()
+
+
+def _parquet_bytes_per_row(path: str) -> float:
+    import os
+
+    import pyarrow.parquet as pq
+
+    return os.path.getsize(path) / pq.ParquetFile(path).metadata.num_rows
+
+
+def test_two_level_floor_below_crossover_for_measured_layout():
+    """VERDICT r9 directive #7: the 64 MiB two-level floor encodes a
+    MEASURED ~15 B/row orders layout. Re-measure bytes/row on the largest
+    fixture and assert worst-case rows-at-floor (everything in one status
+    partition) stays under the 5M-row crossover — a codec/schema change
+    that shrinks bytes/row must fail HERE, not silently stay single-level
+    at a two-level scale (the 256 MiB guess lesson)."""
+    from collimate_spark.operators.windows import (
+        _TWO_LEVEL_MIN_BYTES,
+        _TWO_LEVEL_ROWS_PER_PARTITION,
+    )
+
+    bpr = _parquet_bytes_per_row("/root/testdata/sf0.1/orders.parquet")
+    assert _TWO_LEVEL_MIN_BYTES / bpr <= _TWO_LEVEL_ROWS_PER_PARTITION, (
+        f"floor {_TWO_LEVEL_MIN_BYTES >> 20} MiB at measured {bpr:.1f} B/row "
+        f"admits {int(_TWO_LEVEL_MIN_BYTES / bpr)} rows — above the "
+        f"{_TWO_LEVEL_ROWS_PER_PARTITION} crossover; recalibrate the floor"
+    )
+
+
+def test_asof_day_floor_below_crossover_for_measured_layout():
+    """Same calibration contract for the as-of grain gate's 8 MiB events
+    floor: worst-case rows-at-floor (every event in one (bucket, month)
+    key) must sit under the 500k rows/key crossover at the measured
+    events bytes/row."""
+    from collimate_spark.operators.joins import (
+        _ASOF_DAY_MIN_BYTES,
+        _ASOF_ROWS_PER_KEY,
+    )
+
+    bpr = _parquet_bytes_per_row("/root/testdata/sf0.1/events.parquet")
+    assert _ASOF_DAY_MIN_BYTES / bpr <= _ASOF_ROWS_PER_KEY, (
+        f"floor {_ASOF_DAY_MIN_BYTES >> 20} MiB at measured {bpr:.1f} B/row "
+        f"admits {int(_ASOF_DAY_MIN_BYTES / bpr)} rows — above the "
+        f"{_ASOF_ROWS_PER_KEY} rows/key crossover; recalibrate the floor"
+    )

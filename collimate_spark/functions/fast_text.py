@@ -293,34 +293,55 @@ WINNOW_SCHEMA = T.StructType(
 
 WINNOW_K = 4  # tokens per k-gram
 WINNOW_W = 5  # k-gram hashes per winnowing window
+# Engine-portable k-gram hash (what upgrades winnow_fingerprint_pairs
+# from rows-only to DuckDB-oracled, VERDICT r9 #5): per-TOKEN md5-prefix
+# mod P, then a Horner polynomial combine over the K tokens — DuckDB
+# reproduces it as ('0x'||substr(md5(t),1,8))::BIGINT % P and the same
+# Horner chain in BIGINT. P = 2^31−1 keeps every Horner product under
+# 2^52 (exact in int64 both engines); hashing per DISTINCT token (memo)
+# instead of per gram also cuts the Python-side digest count ~K×.
+WINNOW_P = 2_147_483_647
+WINNOW_B = 1_000_003
 
 
 def winnow_fingerprints(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """(doc_id, text) batches → exploded (doc_id, fp) winnowing
-    fingerprints (Schleimer/Wilkerson/Aiken '03): crc32 per token k-gram,
-    sliding-window minima via a strided view, distinct minima per doc.
+    fingerprints (Schleimer/Wilkerson/Aiken '03): polynomial hash per
+    token k-gram (md5-prefix token hashes, Horner combine — see
+    WINNOW_P/WINNOW_B), sliding-window minima via a strided view,
+    distinct minima per doc.
 
     Replaces the pure-expression form for the hot path: nested
     transform-over-slice HOFs re-evaluate the whole k-gram array per
     window position (CollapseProject), turning an O(n·w) algorithm into
     O(n²) interpreted evals — measured 55 s for 500 docs at sf0.01 vs
-    ~1 s here. Hash family is engine-specific either way (rows-only
-    driver check); guarantees are unchanged: any shared token run of
-    ≥ w+k-1 yields a shared fingerprint."""
+    ~1 s here. The hash family is engine-portable, so the pair output
+    is DuckDB-oracled end-to-end; guarantees are unchanged: any shared
+    token run of ≥ w+k-1 yields a shared fingerprint."""
+    from hashlib import md5
+
+    cache: dict[str, int] = {}
+
+    def tok_hash(t: str) -> int:
+        v = cache.get(t)
+        if v is None:
+            v = int(md5(t.encode()).hexdigest()[:8], 16) % WINNOW_P
+            cache[t] = v
+        return v
+
     for pdf in batches:
         out_doc: list[int] = []
         out_fp: list[int] = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             toks = text.lower().split()
-            if len(toks) < WINNOW_K:
+            n = len(toks)
+            if n < WINNOW_K:
                 continue
-            grams = [
-                " ".join(toks[i : i + WINNOW_K])
-                for i in range(len(toks) - WINNOW_K + 1)
-            ]
-            h = np.fromiter(
-                (zlib.crc32(g.encode()) for g in grams), dtype=np.int64, count=len(grams)
-            )
+            th = np.fromiter((tok_hash(t) for t in toks), dtype=np.int64, count=n)
+            ng = n - WINNOW_K + 1
+            h = th[:ng].copy()
+            for j in range(1, WINNOW_K):
+                h = (h * WINNOW_B + th[j : j + ng]) % WINNOW_P
             if len(h) >= WINNOW_W:
                 mins = np.lib.stride_tricks.sliding_window_view(h, WINNOW_W).min(axis=1)
             else:

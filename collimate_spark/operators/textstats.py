@@ -285,8 +285,11 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/fast_text.winnow_fingerprints — the expression form in
     functions/text.py re-evaluates its k-gram array per window under
     CollapseProject, ~50× slower; it remains the zero-Python fallback).
-    Rows-only correctness (hash family is engine-specific); determinism
-    via the standard rows-only double-run check."""
+    Fully DuckDB-oracled (VERDICT r9 #5): the k-gram hash is an
+    engine-portable md5-prefix + Horner polynomial (fast_text.WINNOW_P/
+    WINNOW_B), so the oracle replays tokenize → gram-hash → sliding
+    window minima → distinct → pair join in SQL and the driver hashes
+    the identical pair set."""
     from collimate_spark.functions import fast_text
 
     docs = load_table(spark, "documents", sf_dir)
@@ -302,6 +305,60 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared_fps") >= 10)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _winnow_oracle_sql() -> str:
+    """DuckDB twin of winnow_fingerprint_pairs: replays the kernel —
+    whitespace tokenize, md5-prefix token hash mod P, Horner K-gram
+    combine, W-wide sliding minima (full windows only once ≥ W grams
+    exist, every gram otherwise), distinct minima per doc, pair join
+    with the ≥10 shared-fingerprint gate. All Horner intermediates stay
+    under 2^52, exact in BIGINT."""
+    from collimate_spark.functions.fast_text import (
+        WINNOW_B,
+        WINNOW_K,
+        WINNOW_P,
+        WINNOW_W,
+    )
+
+    g = f"h[r.i]"
+    for j in range(1, WINNOW_K):
+        g = f"(({g} * {WINNOW_B} + h[r.i + {j}]) % {WINNOW_P})"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+),
+th AS (
+  SELECT doc_id,
+         list_transform(tk, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % {WINNOW_P}) AS h,
+         len(tk) AS n
+  FROM toks WHERE len(tk) >= {WINNOW_K}
+),
+grams AS (
+  SELECT doc_id, r.i AS pos, {g} AS g, n - {WINNOW_K - 1} AS ng
+  FROM th, UNNEST(range(1, n - {WINNOW_K - 2})) AS r(i)
+),
+mins AS (
+  SELECT doc_id, pos, ng,
+         MIN(g) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS m,
+         g
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT doc_id, CASE WHEN ng >= {WINNOW_W} THEN m ELSE g END AS fp
+  FROM mins
+  WHERE ng < {WINNOW_W} OR pos >= {WINNOW_W}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+FROM fps a JOIN fps b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 10
+ORDER BY doc_a, doc_b
+"""
 
 
 def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1119,4 +1176,5 @@ ORACLES = {
     "text_length_histogram": TEXT_LEN_HIST_SQL,
     "text_pii_scrub": PII_SCRUB_SQL,
     "inverted_index_postings": INVERTED_INDEX_SQL,
+    "winnow_fingerprint_pairs": _winnow_oracle_sql(),
 }

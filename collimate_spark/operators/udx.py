@@ -334,25 +334,66 @@ def hll_sketch_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB distinct counting incremental: build one HLL sketch per day
     partition (``hll_sketch_agg``), persist/merge them WITHOUT rescanning
     the data (``hll_union_agg``), estimate at any rollup grain. Here:
-    daily user sketches → weekly distinct-user estimates. The weekly
-    union touches |days| sketch blobs (KBs), not the fact table. Rows-
-    only by construction (Datasketches binary format is engine-specific);
-    accuracy vs exact is asserted in tests."""
+    daily user sketches → weekly distinct-user estimates.  The weekly
+    union touches |days| sketch blobs (KBs), not the fact table.
+
+    Output contract (the agg_approx_distinct audit-bits pattern, VERDICT
+    r9 #5): the Datasketches estimate itself is engine-specific, so the
+    hashed output carries the EXACT weekly distinct count plus a bit
+    asserting the merged-union estimate lands within 4·rse of it
+    (lgConfigK=12 → rse = 1.04/√4096 ≈ 1.63%, audit bound ~6.5%).
+    Measured margins on this data: exact at sf0.001/0.01 (coupon-list
+    mode), 0.49·rse at sf0.1 (~1500 distincts/week), and a 100k-distinct
+    synthetic union probe measured 1.77·rse — ≥2.2× headroom at the
+    worst measured point. If the bit ever flips at a new SF, diagnose as
+    calibration (re-measure the ratio) before suspecting a regression;
+    the exact twin here doubles as the audit baseline."""
     ev = load_table(spark, "events", sf_dir)
     daily = (
         ev.withColumn("day", F.col("ts").cast("date"))
         .groupBy("day")
         .agg(F.hll_sketch_agg("user_id").alias("sk"))
     )
-    return (
+    weekly = (
         daily.withColumn("week", F.date_trunc("week", "day").cast("date"))
         .groupBy("week")
         .agg(
             F.count(F.lit(1)).alias("n_days"),
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__approx"),
+        )
+    )
+    exact = (
+        ev.withColumn("week", F.date_trunc("week", F.col("ts").cast("date")).cast("date"))
+        .groupBy("week")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return (
+        weekly.join(exact, "week")
+        .select(
+            "week",
+            "n_days",
+            "exact_users",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 4 * 1.04 / (4096 ** 0.5)
+            )
+            .cast("long")
+            .alias("union_within_4rse"),
         )
         .orderBy("week")
     )
+
+
+HLL_SKETCH_PARTITIONED_SQL = """
+SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+       COUNT(DISTINCT user_id) AS exact_users,
+       CAST(1 AS BIGINT) AS union_within_4rse
+FROM events
+GROUP BY 1
+ORDER BY week
+"""
 
 
 def xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,6 +752,5 @@ ORACLES = {
     "map_functions": MAP_FUNCTIONS_SQL,
     "array_functions": ARRAY_FUNCTIONS_SQL,
     "agg_approx_distinct": AGG_APPROX_DISTINCT_SQL,
-    # hll_sketch_partitioned: rows-only (Datasketches binary sketches;
-    # estimate-vs-exact tolerance asserted in tests/test_similarity.py)
+    "hll_sketch_partitioned": HLL_SKETCH_PARTITIONED_SQL,
 }

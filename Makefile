@@ -39,3 +39,11 @@ plans:
 scale-sweep:
 	$(PY) scripts/scale_sweep.py --update-baseline
 	$(PY) scripts/scale_sweep.py --surface --update-baseline
+
+# Third-decade follow-up (VERDICT r9 #4): the heavies without a
+# post-partition-fix 1000x number — ingest (first-ever 600M-row CSV
+# cell, size-gated .gz export), asof post-grain-gate, curate_corpus,
+# bm25_search, block_dedup_stats — at /tmp/sf10m -> /tmp/sf100m.
+# Rewrites the decade3-sweep marker section of BASELINE.md.
+scale-sweep-d3:
+	SPARK_GRAFT_DRIVER_MEM=48g $(PY) scripts/scale_sweep.py --decade 3 --update-baseline

@@ -39,74 +39,67 @@ from pyspark.sql import DataFrame, SparkSession
 # The 50 queries the driver verifies, in order. Keep this list at exactly
 # 50 entries; tests/test_registration.py enforces the invariant.
 #
-# Round-9 window (VERDICT r8 directive #5): rotated to the STALEST
-# last-driver-contact queries — the full r3-vintage tranche (including
-# the rows-only dedup_simhash/ann/multimodal set whose last driver
-# execution was round 3; a rows-only driver row still proves execution
-# health at the driver's scale), all 24 r4-vintage entries, and the
-# oldest r5 tranche — plus rule (c), every query whose code changed or
-# gained an oracle this round:
-#   ingest_typed_profile (NEW, r8 directive #3: the ingest core's first
-#   driver-oracled entry), dedup_simhash (128-bit signatures,
-#   pair-of-blocks banding), agg_approx_distinct (redesigned: exact
-#   twins + deterministic 3-rsd audit bits, now oracled),
-#   embedding_jl_projection + kmeans_lloyd_clusters (newly oracled,
-#   r8 directive #7), semdedup_prune (6dp-rounded keep-member rank),
-#   window_range_frame (two-level auto-select gate), and
-#   asof_join_events_orders (day-granularity window key).
-# After this window lands, every registered query\'s last driver
-# contact is round 5 or newer.
+# Round-10 window (VERDICT r9 directive #2): rule (c) first — the nine
+# queries whose code or oracle changed this round (asof grain gate,
+# containment scratch diet, kmeans 6dp d2, agg_approx 4-rsd rename,
+# ingest margin guard, and the four newly-oracled audit-bit queries:
+# quantile_sketch_value, approx_percentile_error, hll_sketch_partitioned,
+# winnow_fingerprint_pairs) — then ALL 32 r05-stale queries, then the
+# oldest r06-stale tranche (rows-only ANN/multimodal pairs + the two
+# heaviest dedups). Rule (c)'s nine slots displace nine of the verdict's
+# "18 oldest r06" — changed code outranks stale-but-unchanged signal;
+# the remaining 32 r06-vintage queries rotate in r11.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "ingest_typed_profile",
-    "dedup_simhash",
-    "agg_approx_distinct",
-    "embedding_jl_projection",
-    "kmeans_lloyd_clusters",
-    "semdedup_prune",
-    "window_range_frame",
     "asof_join_events_orders",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "multimodal_audio_features",
-    "multimodal_features",
-    "multimodal_image_features",
-    "winnow_fingerprint_pairs",
-    "ann_ivfpq_topk",
-    "bloom_prefilter_join",
-    "bootstrap_mean_ci",
-    "bpe_merge_candidates",
-    "geo_radius_join_grid",
-    "grouped_agg_gini",
-    "grouped_arrow_profile",
-    "join_null_safe",
-    "join_skew_diagnostics",
-    "k_anonymity_report",
-    "lang_id_confusion",
-    "multimodal_video_features",
-    "pareto_revenue_share",
-    "price_histogram",
+    "dedup_containment",
+    "kmeans_lloyd_clusters",
+    "agg_approx_distinct",
+    "ingest_typed_profile",
     "quantile_sketch_value",
-    "regr_price_trend",
-    "sessionization_gap",
-    "set_ops_all",
-    "sliding_distinct_users",
-    "table_profile_lineitem",
-    "train_val_test_split",
-    "triangle_participation",
-    "udtf_parse_props",
-    "zorder_cluster_stats",
-    "ab_test_welch",
-    "acf_daily_events",
-    "agg_boolean_counting",
-    "agg_mode_deterministic",
-    "ann_range_search",
-    "anomaly_zscore",
-    "asof_join_forward",
-    "bitmap_distinct_counts",
-    "block_dedup_stats",
-    "bottomk_sample_per_group",
-    "char_entropy",
-    "chi2_event_value",
+    "approx_percentile_error",
+    "hll_sketch_partitioned",
+    "winnow_fingerprint_pairs",
+    "collocation_pmi",
+    "conversion_time_quantiles",
+    "corr_matrix_lineitem",
+    "degree_assortativity",
+    "dow_seasonality",
+    "embedding_cluster_cohesion",
+    "embedding_dim_stats",
+    "encoding_advisor_lineitem",
+    "ewma_value",
+    "listagg_supplier_names",
+    "lm_perplexity_score",
+    "longest_daily_streak",
+    "mad_outliers",
+    "markov_transitions",
+    "mutual_information_value",
+    "new_vs_returning_daily",
+    "ohlc_bars",
+    "order_total_reconciliation",
+    "partition_advisor_orders",
+    "referential_integrity_report",
+    "rolling_median_value",
+    "rollup_grouping_id",
+    "salted_join_hot_key",
+    "session_window_agg",
+    "session_window_dynamic_gap",
+    "skyline_suppliers",
+    "top_event_paths",
+    "weighted_sample_documents",
+    "window_distribution_ranks",
+    "winsorize_stats",
+    "yoy_revenue_growth",
+    "zipf_slope",
+    "ann_bruteforce_topk",
+    "ann_pq_topk",
+    "multimodal_audio_fingerprint_pairs",
+    "multimodal_image_dhash_pairs",
+    "multimodal_frame_sample",
+    "multimodal_image_resize",
+    "multimodal_video_scene_cuts",
+    "dedup_minhash_lsh",
+    "set_overlap_join_prefix",
 )
 
 # Queries registered but outside the 50-slot window — the complement of
@@ -118,33 +111,45 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # ONLY here, so the exemption is explicit and reviewed. One entry per
 # line.
 ROTATION_CANDIDATES: tuple[str, ...] = (
+    "ab_test_welch",
+    "acf_daily_events",
     "agg_argmax",
+    "agg_boolean_counting",
     "agg_cube",
     "agg_distinct",
     "agg_grouping_sets",
+    "agg_mode_deterministic",
     "agg_percentile",
     "agg_percentile_disc",
     "agg_rollup",
     "agg_stats",
-    "ann_bruteforce_topk",
-    "ann_pq_topk",
-    "approx_percentile_error",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_lsh_topk",
+    "ann_range_search",
+    "anomaly_zscore",
     "approx_top_k_words",
     "array_agg_sorted",
     "array_functions",
+    "asof_join_forward",
     "asof_join_nearest",
     "attribution_multitouch",
     "benford_first_digit",
     "bfs_distances",
+    "bitmap_distinct_counts",
+    "block_dedup_stats",
+    "bloom_prefilter_join",
     "bm25_search",
+    "bootstrap_mean_ci",
+    "bottomk_sample_per_group",
+    "bpe_merge_candidates",
+    "char_entropy",
+    "chi2_event_value",
     "chunk_documents",
     "cohort_retention",
     "collated_group_count",
-    "collocation_pmi",
     "concurrent_sessions_timeline",
-    "conversion_time_quantiles",
     "corpus_pipeline_funnel",
-    "corr_matrix_lineitem",
     "countmin_word_frequencies",
     "curate_corpus",
     "cusum_changepoints",
@@ -152,35 +157,31 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "date_spine_fill",
     "decontaminate_ngram",
     "dedup_connected_components",
-    "dedup_containment",
     "dedup_embedding_cosine",
     "dedup_exact",
-    "dedup_minhash_lsh",
     "dedup_minhash_lsh_expr",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "dedup_survivor_best_quality",
-    "degree_assortativity",
     "doc_fingerprint",
     "domain_mix_temperature",
-    "dow_seasonality",
     "dup_span_coverage",
-    "embedding_cluster_cohesion",
-    "embedding_dim_stats",
     "embedding_gram_matrix",
+    "embedding_jl_projection",
     "embedding_quantize_int8",
-    "encoding_advisor_lineitem",
     "entity_resolution_customers",
-    "ewma_value",
     "fifo_allocation",
     "funnel_conversion",
     "fuzzy_name_match",
     "gdpr_erasure_audit",
+    "geo_radius_join_grid",
+    "grouped_agg_gini",
+    "grouped_arrow_profile",
     "grouped_zscore",
     "grouped_zscore_native",
     "heavy_hitters_words",
     "hll_intersection_users",
     "hll_native_distinct",
-    "hll_sketch_partitioned",
     "hypertable_rollup",
     "interpolate_missing_values",
     "inverted_index_postings",
@@ -189,37 +190,32 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "join_cross",
     "join_full_outer",
     "join_left_outer",
+    "join_null_safe",
     "join_semi",
+    "join_skew_diagnostics",
     "join_theta_inequality",
     "json_extract_events",
+    "k_anonymity_report",
     "kaplan_meier_retention",
     "kcore_membership",
+    "lang_id_confusion",
     "lang_id_heuristic",
-    "listagg_supplier_names",
-    "lm_perplexity_score",
-    "longest_daily_streak",
-    "mad_outliers",
     "map_functions",
     "map_hof_functions",
     "market_basket_rules",
-    "markov_transitions",
     "merge_upsert_orders",
-    "multimodal_audio_fingerprint_pairs",
-    "multimodal_frame_sample",
-    "multimodal_image_dhash_pairs",
-    "multimodal_image_resize",
+    "multimodal_audio_features",
+    "multimodal_features",
+    "multimodal_image_features",
     "multimodal_metadata",
-    "multimodal_video_scene_cuts",
-    "mutual_information_value",
-    "new_vs_returning_daily",
-    "ohlc_bars",
-    "order_total_reconciliation",
+    "multimodal_video_features",
     "pack_sequences",
     "pagerank_copurchase",
     "pandas_udf_scalar",
-    "partition_advisor_orders",
+    "pareto_revenue_share",
     "pit_join_scd2",
     "pivot_event_counts",
+    "price_histogram",
     "psi_price_drift",
     "q10_returned_items",
     "q11_important_parts",
@@ -245,50 +241,47 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q9_profit_by_nation_year",
     "quality_filter_pipeline",
     "range_join_events_orders",
-    "referential_integrity_report",
+    "regr_price_trend",
     "repetition_metrics",
     "rfm_segmentation",
-    "rolling_median_value",
-    "rollup_grouping_id",
-    "salted_join_hot_key",
     "scalar_conditional",
     "scalar_date_funcs",
     "scalar_math_funcs",
     "scalar_string_funcs",
     "scd2_user_segments",
-    "session_window_agg",
-    "session_window_dynamic_gap",
+    "semdedup_prune",
+    "sessionization_gap",
     "set_ops",
-    "set_overlap_join_prefix",
+    "set_ops_all",
     "shard_export_assignment",
-    "skyline_suppliers",
+    "sliding_distinct_users",
     "sliding_window_agg",
     "snapshot_diff",
     "sort_topk",
     "stratified_sample_documents",
     "subquery_exists",
+    "table_profile_lineitem",
     "text_length_histogram",
     "text_pii_scrub",
     "text_quality_metrics",
     "tfidf_top_terms",
     "time_weighted_average",
-    "top_event_paths",
+    "train_val_test_split",
+    "triangle_participation",
     "try_functions_safety",
     "tumbling_window_agg",
+    "udtf_parse_props",
     "udtf_tokenize",
     "union_by_name_evolution",
     "unpivot_lineitem",
     "variant_props_stats",
-    "weighted_sample_documents",
-    "window_distribution_ranks",
     "window_lag_lead",
+    "window_range_frame",
     "window_rank_dense_ntile",
     "window_running_sum",
     "window_topk_per_group",
-    "winsorize_stats",
     "xml_roundtrip_stats",
-    "yoy_revenue_growth",
-    "zipf_slope",
+    "zorder_cluster_stats",
 )
 
 def _modules():

@@ -1061,7 +1061,25 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_plans.py). ``freq`` is deliberately NOT cached (caching it
     breaks cache substitution on sibling branches — the ngram-twin
     lesson, 1 → 3 corpus scans); its broadcast is size-gated via the
-    cached frame's cheap re-agg count."""
+    cached frame's cheap re-agg count.
+
+    Scratch diet (VERDICT r9 #3 — the 5M-doc cell ENOSPC'd at >80 GB):
+    (rk, sz) travel PACKED into one long through the cache and the
+    candidate join (UnsafeRow shuffle cost is per FIELD — 8 B each plus
+    header — so 4→3 fields cuts the billion-row postings shuffle ~25%),
+    and dst-side prunes unpack them with two codegen'd bitwise ops.
+    For boxes where even the slimmed single-pass spill exceeds the disk
+    quota, ``SPARK_GRAFT_CONTAINMENT_BATCHES=N`` (sweep knob, default 1
+    = today's single lazy plan) processes the SRC side in N salted
+    sub-batches, eagerly materializing each batch's verified pairs
+    (output-sized, KBs–MBs) and System.gc()-ing between batches so the
+    ContextCleaner releases the previous batch's shuffle files — peak
+    scratch drops to the shared postings shuffle + 1/N of the
+    candidate/verify stages, provably the same pair set (salting
+    partitions src, every (src, dst) lands in exactly one batch)."""
+    import os
+    import tempfile
+
     from pyspark.sql import Window
 
     from collimate_spark.operators.graph import _broadcast_threshold_bytes
@@ -1088,38 +1106,69 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         exploded.join(freq_side, "shingle")
         .withColumn("rk", F.row_number().over(w))
         .join(shingled.select("doc_id", F.size("shingles").alias("sz")), "doc_id")
-        .select("shingle", "doc_id", "rk", "sz")
+        .select(
+            "shingle",
+            "doc_id",
+            (F.shiftleft(F.col("rk").cast("long"), 32) + F.col("sz")).alias("meta"),
+        )
         .transform(scache)
     )
+    rk_of = F.shiftright(F.col("meta"), 32)
+    sz_of = F.col("meta").bitwiseAND(F.lit(0xFFFFFFFF))
     src_prefix = ranked.filter(
-        F.col("rk") <= F.col("sz") - F.ceil(F.col("sz") * tau) + 1
-    ).select("shingle", F.col("doc_id").alias("src"), F.col("sz").alias("sz_a"))
-    dst_postings = ranked.select(
+        rk_of <= sz_of - F.ceil(sz_of * tau) + 1
+    ).select(
         "shingle",
-        F.col("doc_id").alias("dst"),
-        F.col("rk").alias("rk_b"),
-        F.col("sz").alias("sz_b"),
+        F.col("doc_id").alias("src"),
+        F.ceil(sz_of * tau).cast("int").alias("mo"),
     )
-    min_overlap = F.ceil(F.col("sz_a") * tau)
-    pairs = (
-        src_prefix.join(dst_postings, "shingle")
-        .filter(F.col("src") != F.col("dst"))
-        .filter(F.col("sz_b") >= min_overlap)
-        .filter(F.col("rk_b") <= F.col("sz_b") - min_overlap + 1)
-        .select("src", "dst")
-        .distinct()
+    dst_postings = ranked.select(
+        "shingle", F.col("doc_id").alias("dst"), F.col("meta").alias("meta_b")
     )
+    rk_b = F.shiftright(F.col("meta_b"), 32)
+    sz_b = F.col("meta_b").bitwiseAND(F.lit(0xFFFFFFFF))
+
+    def candidate_pairs(prefix_side: DataFrame) -> DataFrame:
+        return (
+            prefix_side.join(dst_postings, "shingle")
+            .filter(F.col("src") != F.col("dst"))
+            .filter(sz_b >= F.col("mo"))
+            .filter(rk_b <= sz_b - F.col("mo") + 1)
+            .select("src", "dst")
+            .distinct()
+        )
+
     a = shingled.select(F.col("doc_id").alias("src"), F.col("shingles").alias("sh_a"))
     b = shingled.select(F.col("doc_id").alias("dst"), F.col("shingles").alias("sh_b"))
     contain = F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a")
-    return (
-        pairs.join(a, "src")
-        .join(b, "dst")
-        .withColumn("c_raw", contain)
-        .filter(F.col("c_raw") >= CONTAINMENT_THRESHOLD)
-        .select("src", "dst", F.round("c_raw", 4).alias("containment"))
-        .orderBy("src", "dst")
-    )
+
+    def verified(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(a, "src")
+            .join(b, "dst")
+            .withColumn("c_raw", contain)
+            .filter(F.col("c_raw") >= CONTAINMENT_THRESHOLD)
+            .select("src", "dst", F.round("c_raw", 4).alias("containment"))
+        )
+
+    n_batches = int(os.environ.get("SPARK_GRAFT_CONTAINMENT_BATCHES", "1"))
+    if n_batches > 1:
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"collimate_containment_{os.getpid()}"
+        )
+        for i in range(n_batches):
+            batch = verified(
+                candidate_pairs(src_prefix.filter(F.col("src") % n_batches == i))
+            )
+            batch.write.mode("overwrite").parquet(os.path.join(out_dir, f"b={i}"))
+            # let the ContextCleaner drop this batch's shuffle files
+            # before the next batch starts (the scale_sweep lesson:
+            # shuffle scratch only frees when the JVM GCs the RDD refs)
+            spark.sparkContext._jvm.System.gc()
+        return spark.read.parquet(out_dir).select(
+            "src", "dst", "containment"
+        ).orderBy("src", "dst")
+    return verified(candidate_pairs(src_prefix)).orderBy("src", "dst")
 
 
 CONTAINMENT_SQL = f"""

@@ -24,6 +24,12 @@ BASELINE.md tables always reflect the canonical families).
 r8 12-shape screen promoted from ad-hoc prose to a pinned table, VERDICT
 r8 directive #8) at the SECOND decade (/tmp/sf1m → /tmp/sf10m) and,
 with --update-baseline, rewrites the surface-sweep marker section.
+--decade 3 sweeps D3_OPS (the heavies without a post-partition-fix
+third-decade number, VERDICT r9 #4) at /tmp/sf10m → /tmp/sf100m and
+rewrites the decade3-sweep marker section; the ingest cell auto-builds
+lineitem into the slice (SF_TABLES=lineitem) and uses bench.py's
+size-gated .gz export recipe. `make scale-sweep-d3` wires the env
+(scale-mode confs ride every cell via the _cell subprocess env).
 Defaults: base=/root/testdata/sf0.1 (5k docs), scaled=/tmp/sf1m (50k
 docs, mutated replication — built automatically if missing, as is the
 chained /tmp/sf10m with its per-level salt).
@@ -85,15 +91,31 @@ SURFACE_OPS = [
     "rfm_segmentation",
     "ingest_csv_to_columnar",
 ]
+# Third-decade follow-up for the heavies the r9 re-measure table missed
+# (VERDICT r9 #4): ingest (never swept past the second decade — the
+# 600M-row CSV cell needs the gzip export recipe bench.py now gates on
+# size), the as-of join AFTER its grain gate, and the three ops whose
+# only third-decade numbers predate the AQE partition fix.
+D3_OPS = [
+    "ingest_csv_to_columnar",
+    "asof_join_events_orders",
+    "curate_corpus",
+    "bm25_search",
+    "block_dedup_stats",
+]
 N_RUNS = 2
 BASE_DEFAULT = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALED_DEFAULT = "/tmp/sf1m"
 SURFACE_BASE_DEFAULT = "/tmp/sf1m"
 SURFACE_SCALED_DEFAULT = "/tmp/sf10m"
+D3_BASE_DEFAULT = "/tmp/sf10m"
+D3_SCALED_DEFAULT = "/tmp/sf100m"
 MARK_BEGIN = "<!-- scale-sweep:begin -->"
 MARK_END = "<!-- scale-sweep:end -->"
 SURFACE_MARK_BEGIN = "<!-- surface-sweep:begin -->"
 SURFACE_MARK_END = "<!-- surface-sweep:end -->"
+D3_MARK_BEGIN = "<!-- decade3-sweep:begin -->"
+D3_MARK_END = "<!-- decade3-sweep:end -->"
 # chained mutated slices: each level gets its own salt (same-salt
 # composition is commutative -> bogus cross-level exact dups)
 SLICE_CHAIN = {
@@ -198,15 +220,31 @@ def _table(rows: list[dict]) -> str:
     return "\n".join(md)
 
 
-def _update_baseline(table_md: str, base: str, scaled: str, surface: bool = False) -> None:
+def _update_baseline(
+    table_md: str, base: str, scaled: str, surface: bool = False, decade3: bool = False
+) -> None:
     path = os.path.join(REPO, "BASELINE.md")
     src = open(path).read()
-    mb, me = (SURFACE_MARK_BEGIN, SURFACE_MARK_END) if surface else (MARK_BEGIN, MARK_END)
+    if decade3:
+        mb, me = D3_MARK_BEGIN, D3_MARK_END
+    elif surface:
+        mb, me = SURFACE_MARK_BEGIN, SURFACE_MARK_END
+    else:
+        mb, me = MARK_BEGIN, MARK_END
     if mb not in src:
         sys.exit(f"BASELINE.md missing {mb} marker")
     head, rest = src.split(mb, 1)
     _, tail = rest.split(me, 1)
-    if surface:
+    if decade3:
+        desc = (
+            f"Third-decade follow-up for the never-reswept heavies\n"
+            f"(`make scale-sweep-d3`; base={base}, scaled={scaled} — 100× and\n"
+            f"1000× bench scale; fresh JVM per cell with the scale confs\n"
+            f"(SPARK_GRAFT_SCALE_MODE=1, 48 GiB heap), min of {N_RUNS} noop-sink\n"
+            f"runs; the ingest row times CSV→typed-parquet on the slice's\n"
+            f"lineitem via the size-gated 64-part .gz export recipe):\n\n"
+        )
+    elif surface:
         desc = (
             f"Heavy non-dedup surface screen at the second decade\n"
             f"(`make scale-sweep`; base={base}, scaled={scaled} — 10× and 100×\n"
@@ -234,20 +272,37 @@ def main() -> None:
 
     args = sys.argv[1:]
     surface = "--surface" in args
-    base = SURFACE_BASE_DEFAULT if surface else BASE_DEFAULT
-    scaled = SURFACE_SCALED_DEFAULT if surface else SCALED_DEFAULT
+    decade3 = "--decade" in args and args[args.index("--decade") + 1] == "3"
+    if decade3:
+        base, scaled, ops = D3_BASE_DEFAULT, D3_SCALED_DEFAULT, list(D3_OPS)
+    elif surface:
+        base, scaled, ops = SURFACE_BASE_DEFAULT, SURFACE_SCALED_DEFAULT, list(SURFACE_OPS)
+    else:
+        base, scaled, ops = BASE_DEFAULT, SCALED_DEFAULT, list(OPS)
     update = "--update-baseline" in args
     if "--base" in args:
         base = args[args.index("--base") + 1]
     if "--scaled" in args:
         scaled = args[args.index("--scaled") + 1]
-    ops = list(SURFACE_OPS) if surface else list(OPS)
     if "--ops" in args:
         ops = args[args.index("--ops") + 1].split(",")
         if update:
             sys.exit("--update-baseline requires the default op list")
     _ensure_scaled(base) if base in SLICE_CHAIN else None
     _ensure_scaled(scaled)
+    if "ingest_csv_to_columnar" in ops:
+        # third-decade slices skip lineitem by default (SF_TABLES); the
+        # ingest cell needs it — build just that table into the slice
+        for d in (base, scaled):
+            if d in SLICE_CHAIN and not os.path.isdir(os.path.join(d, "lineitem.parquet")):
+                src, salt = SLICE_CHAIN[d]
+                print(f"building lineitem into {d} (salt {salt}) ...", file=sys.stderr)
+                env = dict(os.environ, SF_MUTATE="1", SF_SALT=salt, SF_TABLES="lineitem")
+                subprocess.run(
+                    [sys.executable, os.path.join(REPO, "scripts", "make_sf1.py"), src, d],
+                    check=True,
+                    env=env,
+                )
 
     rows = []
     for name in ops:
@@ -260,7 +315,7 @@ def main() -> None:
     table_md = _table(rows)
     print("\n" + table_md)
     if update:
-        _update_baseline(table_md, base, scaled, surface=surface)
+        _update_baseline(table_md, base, scaled, surface=surface, decade3=decade3)
 
 
 if __name__ == "__main__":

@@ -1073,10 +1073,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     = today's single lazy plan) processes the candidate join in N
     SHINGLE-salted sub-batches — each batch joins 1/N of the prefix
     side against 1/N of the postings side (the join key partitions both
-    sides, so NOTHING is re-shuffled across batches and total join work
-    stays ≈ the single pass, unlike src-salting which repeats the full
-    postings shuffle per batch: measured 797.8 s → the shingle-salted
-    rewrite at the same 5M-doc cell) — eagerly materializing each
+    sides, so no shuffle input repeats across batches and total join
+    work stays ≈ the single pass; src-salting would re-shuffle the full
+    postings side per batch). Measured at the 5M-doc cell the two
+    saltings tie (789.0 s shingle vs 797.8 s src at N=3) because the
+    batch stages are NOT the bottleneck there — the shared ranked-index
+    build (billion-row freq join + per-doc rank window, built once
+    under the cache either way) dominates — but shingle-salting is
+    strictly less work and is the shape that wins when the candidate
+    join grows relative to the index build — eagerly materializing each
     batch's verified pairs (output-sized, KBs–MBs) and System.gc()-ing
     between batches so the ContextCleaner releases the previous batch's
     shuffle files. Peak scratch drops to the shared cache + 1/N of the

@@ -313,13 +313,15 @@ def bench_ingest(spark) -> float:
         open(marker, "w").close()
     # Spark's csv() writes part files without .csv extension handling via
     # read_raw's extension dispatch — point ingest at the directory with
-    # explicit csv part files. Min of 2 full passes, same steady-state
-    # methodology as the queries (run 1 pays whole-stage-codegen compile
-    # of the ~140-expression profile aggregate).
+    # explicit csv part files. Min of 3 full passes, the SAME min-of-3
+    # methodology as the headline queries (run 1 pays whole-stage-codegen
+    # compile of the ~140-expression profile aggregate; r10 fresh-JVM
+    # re-measures spread 2.3-3.3 s at min-of-2 — this row needs the same
+    # host-noise robustness as the rest of the headline set).
     from collimate_spark.ingest import apply_manifest, profile
 
     times = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         raw = (
             spark.read.option("header", True)

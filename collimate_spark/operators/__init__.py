@@ -39,17 +39,18 @@ from pyspark.sql import DataFrame, SparkSession
 # The 50 queries the driver verifies, in order. Keep this list at exactly
 # 50 entries; tests/test_registration.py enforces the invariant.
 #
-# Round-10 window (VERDICT r9 directive #2): rule (c) first — the nine
+# Round-10 window (VERDICT r9 directive #2): rule (c) first — the
 # queries whose code or oracle changed this round (asof grain gate,
 # containment scratch diet, kmeans 6dp d2, agg_approx 4-rsd rename,
-# ingest margin guard, and the four newly-oracled audit-bit queries:
+# ingest margin guard, and the newly-oracled audit-bit queries:
 # quantile_sketch_value, approx_percentile_error, hll_sketch_partitioned,
-# winnow_fingerprint_pairs) — then ALL 32 r05-stale queries, then the
-# oldest r06-stale tranche (rows-only ANN/multimodal pairs + the two
-# HLL queries upgraded to audit-bit oracles late in the round — rule (c)
-# again). Rule (c)'s slots displace part of the verdict's
-# "18 oldest r06" — changed code outranks stale-but-unchanged signal;
-# the remaining 32 r06-vintage queries rotate in r11.
+# winnow_fingerprint_pairs, plus late-round rule-(c) swaps for
+# dedup_simhash (md5 kernel + full SQL oracle), hll_native_distinct and
+# hll_intersection_users) — then ALL 32 r05-stale queries, then the
+# oldest r06-stale tranche (rows-only ANN/multimodal pairs). Rule (c)'s
+# slots displace part of the verdict's "18 oldest r06" — changed code
+# outranks stale-but-unchanged signal; the remaining 32 r06-vintage
+# queries rotate in r11.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "asof_join_events_orders",
     "dedup_containment",
@@ -92,7 +93,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "winsorize_stats",
     "yoy_revenue_growth",
     "zipf_slope",
-    "ann_bruteforce_topk",
+    "dedup_simhash",
     "ann_pq_topk",
     "multimodal_audio_fingerprint_pairs",
     "multimodal_image_dhash_pairs",
@@ -124,6 +125,7 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "agg_percentile_disc",
     "agg_rollup",
     "agg_stats",
+    "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
     "ann_lsh_topk",
@@ -159,11 +161,10 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "decontaminate_ngram",
     "dedup_connected_components",
     "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
     "dedup_exact",
+    "dedup_minhash_lsh",
     "dedup_minhash_lsh_expr",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "dedup_survivor_best_quality",
     "doc_fingerprint",
     "domain_mix_temperature",

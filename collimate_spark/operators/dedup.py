@@ -420,9 +420,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     space). Pigeonhole: d ≤ 6 errors dirty ≤ 6 blocks → ≥ 2 blocks
     clean → that clean pair's table produces the candidate — exhaustive,
     no recall loss. Exact Hamming verify via xor + bit_count, fused into
-    the same whole-stage-codegen pass. No DuckDB oracle (the hash family
-    is engine-specific) → driver records the rows-only check; planted
-    near-dup recall and determinism are covered by tests/test_dedup.py.
+    the same whole-stage-codegen pass. Driver-oracled since r10: the
+    per-token hash is md5 (exactly the 128-bit signature width), so
+    _simhash_oracle_sql replays the ENTIRE pipeline in DuckDB —
+    tokenize, per-token md5 bytes, signed per-bit sums, byte-wise
+    signature assembly, the 28 pair-block band tables, and the
+    xor+bit_count hamming verify; planted near-dup recall and
+    determinism remain covered by tests/test_dedup.py.
 
     Why 128/pairs replaced the r8 64-bit 4×16-band design: 16-bit keys
     saturate — bucket occupancy grows as n/2^16 and enumerated candidates
@@ -502,6 +506,67 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of dedup_simhash: rebuilds the identical md5 token
+    bytes, replays the signed bit sums at BYTE granularity (16 small-int
+    bytes per signature — no 64-bit shift/sign hazards in either
+    engine), assembles the same C(8,2)=28 pair-of-blocks band keys
+    (block k = by[2k] + 256·by[2k+1], band_val = block_i·2^16 +
+    block_j — the little-endian layout the numpy kernel uses), and
+    verifies hamming ≤ 6 via per-byte xor + bit_count. Whitespace-only
+    docs get the kernel's (0,0) signature via the zero-list fallback."""
+    pairs = [
+        (i, j) for i in range(SIMHASH_BLOCKS) for j in range(i + 1, SIMHASH_BLOCKS)
+    ]
+    band_structs = ", ".join(
+        f"{{'band': {n}, 'v': (by[{2 * i + 1}] + 256 * by[{2 * i + 2}]) * 65536 "
+        f"+ (by[{2 * j + 1}] + 256 * by[{2 * j + 2}])}}"
+        for n, (i, j) in enumerate(pairs)
+    )
+    ham = "list_sum(list_transform(range(1, 17), k -> bit_count(xor(ba[k], bb[k]))))"
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+  FROM documents
+),
+tw AS (SELECT doc_id, t, COUNT(*) AS w FROM tok WHERE t <> '' GROUP BY 1, 2),
+th AS (
+  SELECT t, list_transform(range(0, 16), b -> ('0x' || substr(md5(t), 2*b + 1, 2))::INT) AS hb
+  FROM (SELECT DISTINCT t FROM tw)
+),
+bitsum AS (
+  SELECT w.doc_id, p.i AS pos,
+         SUM(w.w * (2 * ((hb[(p.i // 8) + 1] >> (p.i % 8)) & 1) - 1)) AS s
+  FROM tw w JOIN th USING (t), UNNEST(range(0, 128)) AS p(i)
+  GROUP BY 1, 2
+),
+sigb AS (
+  SELECT doc_id, (pos // 8) AS b,
+         SUM(CASE WHEN s > 0 THEN 1 << (pos % 8) ELSE 0 END) AS byte
+  FROM bitsum GROUP BY 1, 2
+),
+sigs0 AS (SELECT doc_id, list(byte ORDER BY b) AS by FROM sigb GROUP BY 1),
+sigs AS (
+  SELECT d.doc_id, COALESCE(s.by, list_transform(range(0, 16), x -> 0)) AS by
+  FROM documents d LEFT JOIN sigs0 s USING (doc_id)
+),
+bands AS (
+  SELECT doc_id, by, u.bk['band'] AS band, u.bk['v'] AS band_val
+  FROM sigs, UNNEST([{band_structs}]) AS u(bk)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.by AS ba, b.by AS bb
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST({ham} AS INT) AS hamming
+FROM cand
+WHERE {ham} <= {SIMHASH_MAX_HAM}
+ORDER BY doc_a, doc_b
+"""
 
 
 EMB_COSINE_THRESHOLD = 0.4
@@ -1432,7 +1497,7 @@ ORACLES = {
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh_expr": NGRAM_JACCARD_SQL,
-    # dedup_simhash: rows-only (engine-specific hash family)
+    "dedup_simhash": _simhash_oracle_sql(),
     "dedup_embedding_cosine": DEDUP_EMB_SQL,
     "semdedup_prune": SEMDEDUP_SQL,
     "dup_span_coverage": DUP_SPAN_SQL,

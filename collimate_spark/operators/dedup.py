@@ -1128,11 +1128,29 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     lesson, 1 → 3 corpus scans); its broadcast is size-gated via the
     cached frame's cheap re-agg count.
 
+    Ranked-index build (VERDICT r10 #2 — the former per-doc
+    ``row_number()`` window forced a partition-WIDE SortExec over every
+    posting row, ~31M rows/task at the 5M-doc cell, and that external
+    sort was the box's spill center): per-doc rarest-first order is a
+    property of ONE doc's shingle list, so it is computed ROW-LOCALLY —
+    hash-aggregate the freq-joined postings back to doc grain
+    (``collect_list(struct(freq, shingle))``) and ``sort_array`` inside
+    the row. The aggregation buffer is one doc's shingle list (docs are
+    bounded; no salting needed — this is the degenerate-k case of the
+    ``bottomk_sample_per_group`` two-stage pattern where the group IS
+    the doc), partial buffers merge map-side, and no task ever sorts
+    anything larger than one document. The cached index shrinks from
+    billion-ROW ranked postings to doc-grained ARRAYS (no 16 B UnsafeRow
+    header per posting), and the former third shuffle (the sz join-back)
+    disappears: sz = size(ordered). Src prefixes slice the array to the
+    ⌈(1−τ)|A|⌉+1 rarest; dst postings posexplode it, so the lossless
+    rank_B prune keeps its exact ranks.
+
     Scratch diet (VERDICT r9 #3 — the 5M-doc cell ENOSPC'd at >80 GB):
-    (rk, sz) travel PACKED into one long through the cache and the
-    candidate join (UnsafeRow shuffle cost is per FIELD — 8 B each plus
-    header — so 4→3 fields cuts the billion-row postings shuffle ~25%),
-    and dst-side prunes unpack them with two codegen'd bitwise ops.
+    (rk, sz) travel PACKED into one long through the candidate join
+    (UnsafeRow shuffle cost is per FIELD — 8 B each plus header — so
+    4→3 fields cuts the billion-row postings shuffle ~25%), and
+    dst-side prunes unpack them with two codegen'd bitwise ops.
     For boxes where even the slimmed single-pass spill exceeds the disk
     quota, ``SPARK_GRAFT_CONTAINMENT_BATCHES=N`` (sweep knob, default 1
     = today's single lazy plan) processes the candidate join in N
@@ -1154,10 +1172,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted (and re-verified, with the identical exact containment) up
     to k times, so the read-back applies one OUTPUT-SIZED distinct —
     the result is provably the same pair set as the single pass."""
+    import hashlib
     import os
+    import shutil
     import tempfile
-
-    from pyspark.sql import Window
 
     from collimate_spark.operators.graph import _broadcast_threshold_bytes
 
@@ -1170,37 +1188,48 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         if freq.count() * 48 <= _broadcast_threshold_bytes(spark)
         else freq
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("freq").asc(), F.col("shingle").asc())
-    # ONE ranked-postings frame serves both join sides (cached: the rank
-    # window and freq join run once). Two further LOSSLESS prunes ride on
-    # the ranks: |A∩B| ≤ |B| forces sz_b ≥ ⌈τ·sz_a⌉, and the same
-    # pigeonhole that bounds s* (the globally-smallest shared shingle) to
-    # A's prefix bounds its rank WITHIN B: rank_B(s*) ≤ |B| − |A∩B| + 1
-    # ≤ sz_b − ⌈τ·sz_a⌉ + 1 — both depend on the pair, so they apply at
-    # join time, not in the index.
+    # ONE doc-grained ranked index serves both join sides (cached: the
+    # freq join and per-doc ordering run once). The rarest-first order is
+    # computed row-locally — sort_array over one doc's (freq, shingle)
+    # structs after a hash re-agg to doc grain — never by a
+    # partition-wide SortExec (see docstring). Two further LOSSLESS
+    # prunes ride on the ranks: |A∩B| ≤ |B| forces sz_b ≥ ⌈τ·sz_a⌉, and
+    # the same pigeonhole that bounds s* (the globally-smallest shared
+    # shingle) to A's prefix bounds its rank WITHIN B: rank_B(s*) ≤
+    # |B| − |A∩B| + 1 ≤ sz_b − ⌈τ·sz_a⌉ + 1 — both depend on the pair,
+    # so they apply at join time, not in the index.
     tau = F.lit(CONTAINMENT_THRESHOLD)
-    ranked = (
+    per_doc = (
         exploded.join(freq_side, "shingle")
-        .withColumn("rk", F.row_number().over(w))
-        .join(shingled.select("doc_id", F.size("shingles").alias("sz")), "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("freq"), F.col("shingle")))
+            ).alias("by_rarity")
+        )
         .select(
-            "shingle",
             "doc_id",
-            (F.shiftleft(F.col("rk").cast("long"), 32) + F.col("sz")).alias("meta"),
+            F.col("by_rarity.shingle").alias("ordered"),
+            F.size("by_rarity").alias("sz"),
         )
         .transform(scache)
     )
-    rk_of = F.shiftright(F.col("meta"), 32)
-    sz_of = F.col("meta").bitwiseAND(F.lit(0xFFFFFFFF))
-    src_prefix = ranked.filter(
-        rk_of <= sz_of - F.ceil(sz_of * tau) + 1
+    sz_a = F.col("sz")
+    src_prefix = per_doc.select(
+        F.explode(
+            F.slice("ordered", F.lit(1), (sz_a - F.ceil(sz_a * tau) + 1).cast("int"))
+        ).alias("shingle"),
+        F.col("doc_id").alias("src"),
+        F.ceil(sz_a * tau).cast("int").alias("mo"),
+    )
+    dst_postings = per_doc.select(
+        F.col("doc_id").alias("dst"),
+        F.col("sz"),
+        F.posexplode("ordered").alias("pos", "shingle"),
     ).select(
         "shingle",
-        F.col("doc_id").alias("src"),
-        F.ceil(sz_of * tau).cast("int").alias("mo"),
-    )
-    dst_postings = ranked.select(
-        "shingle", F.col("doc_id").alias("dst"), F.col("meta").alias("meta_b")
+        "dst",
+        (F.shiftleft((F.col("pos") + 1).cast("long"), 32) + F.col("sz")).alias("meta_b"),
     )
     rk_b = F.shiftright(F.col("meta_b"), 32)
     sz_b = F.col("meta_b").bitwiseAND(F.lit(0xFFFFFFFF))
@@ -1230,9 +1259,21 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_batches = int(os.environ.get("SPARK_GRAFT_CONTAINMENT_BATCHES", "1"))
     if n_batches > 1:
+        # Scratch dir keyed by (pid, sf_dir, n_batches) and cleared up
+        # front (ADVICE r10): a long-lived process (pytest, bench,
+        # notebook) that calls this twice with a different dataset or a
+        # smaller batch count must not read back stale b=i partitions —
+        # mode('overwrite') only replaces the subdirs the new run
+        # writes. NOTE the returned DataFrame reads this dir LAZILY:
+        # callers must not delete it until the result is materialized,
+        # which is also why there is no eager cleanup after read-back.
+        key = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}|{n_batches}".encode()
+        ).hexdigest()[:12]
         out_dir = os.path.join(
-            tempfile.gettempdir(), f"collimate_containment_{os.getpid()}"
+            tempfile.gettempdir(), f"collimate_containment_{os.getpid()}_{key}"
         )
+        shutil.rmtree(out_dir, ignore_errors=True)
         for i in range(n_batches):
             sl = F.pmod(F.col("shingle"), F.lit(n_batches)) == i
             batch = verified(

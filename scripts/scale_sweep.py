@@ -187,15 +187,22 @@ def _ensure_scaled(scaled: str) -> None:
 
 
 def _cell(name: str, sf_dir: str) -> dict:
+    # Only DECADE cells (the chained /tmp/sf* mutated slices) get the
+    # scale confs (wide initial shuffles + zstd) that session.py
+    # deliberately keeps OFF at bench scale — the r10 A/B measured them
+    # net-negative at sf0.1 (asof 0.92→1.13s, doc_fingerprint
+    # 0.58→0.74s), so injecting them into the default sweep's bench-
+    # scale base cell would inflate base times and flatten decade
+    # ratios (ADVICE r10).
+    env = dict(os.environ)
+    if sf_dir in SLICE_CHAIN:
+        env["SPARK_GRAFT_SCALE_MODE"] = "1"
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--single", name, sf_dir],
         capture_output=True,
         text=True,
         timeout=1800,
-        # Decade cells get the scale confs (wide initial shuffles + zstd)
-        # that session.py deliberately keeps OFF at bench scale — the
-        # sweep is exactly the workload they exist for.
-        env=dict(os.environ, SPARK_GRAFT_SCALE_MODE="1"),
+        env=env,
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
@@ -272,7 +279,12 @@ def main() -> None:
 
     args = sys.argv[1:]
     surface = "--surface" in args
-    decade3 = "--decade" in args and args[args.index("--decade") + 1] == "3"
+    decade3 = False
+    if "--decade" in args:
+        idx = args.index("--decade")
+        if idx + 1 >= len(args):
+            sys.exit("usage: scale_sweep.py --decade 3 (missing decade value)")
+        decade3 = args[idx + 1] == "3"
     if decade3:
         base, scaled, ops = D3_BASE_DEFAULT, D3_SCALED_DEFAULT, list(D3_OPS)
     elif surface:

@@ -89,9 +89,10 @@ def test_asof_join_partitions_on_composite_key(spark, sf_dir):
 
 def test_asof_join_grain_gate_and_equivalence(spark, sf_dir):
     """The month-vs-day granularity gate (VERDICT r9 #1): bench-scale
-    inputs sit under the 16 MiB bytes floor so the gate picks MONTH with
-    zero jobs, and the two grains are result-identical — the gate may
-    only ever trade time, never answers."""
+    inputs sit under the ``_ASOF_DAY_MIN_BYTES`` (8 MiB) bytes floor so
+    the gate picks MONTH with zero jobs, and the two grains are
+    result-identical — the gate may only ever trade time, never
+    answers."""
     from collimate_spark.operators.joins import (
         _auto_asof_day_grain,
         asof_join_events_orders,

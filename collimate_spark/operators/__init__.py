@@ -39,69 +39,66 @@ from pyspark.sql import DataFrame, SparkSession
 # The 50 queries the driver verifies, in order. Keep this list at exactly
 # 50 entries; tests/test_registration.py enforces the invariant.
 #
-# Round-10 window (VERDICT r9 directive #2): rule (c) first — the
-# queries whose code or oracle changed this round (asof grain gate,
-# containment scratch diet, kmeans 6dp d2, agg_approx 4-rsd rename,
-# ingest margin guard, and the newly-oracled audit-bit queries:
-# quantile_sketch_value, approx_percentile_error, hll_sketch_partitioned,
-# winnow_fingerprint_pairs, plus late-round rule-(c) swaps for
-# dedup_simhash (md5 kernel + full SQL oracle), hll_native_distinct and
-# hll_intersection_users) — then ALL 32 r05-stale queries, then the
-# oldest r06-stale tranche (rows-only ANN/multimodal pairs). Rule (c)'s
-# slots displace part of the verdict's "18 oldest r06" — changed code
-# outranks stale-but-unchanged signal; the remaining 32 r06-vintage
-# queries rotate in r11.
+# Round-11 window (VERDICT r10 directive #1): rule (c) first —
+# dedup_containment (ranked-index rewrite: row-local array sort replaces
+# the partition-wide rank window) and approx_top_k_words (newly oracled
+# via MG-superset audit bits; it is inside the r06-stale tranche anyway)
+# — then ALL 33 queries whose last driver contact is r06 (the verdict's
+# exact list), then the 16 alphabetically-first of the 48-query
+# r07-vintage tranche. After this window lands, no registered query's
+# last driver contact is older than r07; the remaining 32 r07-vintage
+# queries rotate in r12.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "asof_join_events_orders",
     "dedup_containment",
-    "kmeans_lloyd_clusters",
-    "agg_approx_distinct",
-    "ingest_typed_profile",
-    "quantile_sketch_value",
-    "approx_percentile_error",
-    "hll_sketch_partitioned",
-    "winnow_fingerprint_pairs",
-    "collocation_pmi",
-    "conversion_time_quantiles",
-    "corr_matrix_lineitem",
-    "degree_assortativity",
-    "dow_seasonality",
-    "embedding_cluster_cohesion",
-    "embedding_dim_stats",
-    "encoding_advisor_lineitem",
-    "ewma_value",
-    "listagg_supplier_names",
-    "lm_perplexity_score",
-    "longest_daily_streak",
-    "mad_outliers",
-    "markov_transitions",
-    "mutual_information_value",
-    "new_vs_returning_daily",
-    "ohlc_bars",
-    "order_total_reconciliation",
-    "partition_advisor_orders",
-    "referential_integrity_report",
-    "rolling_median_value",
-    "rollup_grouping_id",
-    "salted_join_hot_key",
-    "session_window_agg",
-    "session_window_dynamic_gap",
-    "skyline_suppliers",
-    "top_event_paths",
-    "weighted_sample_documents",
-    "window_distribution_ranks",
-    "winsorize_stats",
-    "yoy_revenue_growth",
-    "zipf_slope",
-    "dedup_simhash",
-    "ann_pq_topk",
-    "multimodal_audio_fingerprint_pairs",
-    "multimodal_image_dhash_pairs",
-    "multimodal_frame_sample",
-    "multimodal_image_resize",
-    "multimodal_video_scene_cuts",
-    "hll_native_distinct",
-    "hll_intersection_users",
+    "agg_percentile_disc",
+    "ann_bruteforce_topk",
+    "approx_top_k_words",
+    "attribution_multitouch",
+    "bm25_search",
+    "chunk_documents",
+    "cohort_retention",
+    "collated_group_count",
+    "concurrent_sessions_timeline",
+    "corpus_pipeline_funnel",
+    "cusum_changepoints",
+    "dedup_connected_components",
+    "dedup_minhash_lsh",
+    "dedup_survivor_best_quality",
+    "domain_mix_temperature",
+    "fifo_allocation",
+    "gdpr_erasure_audit",
+    "heavy_hitters_words",
+    "inverted_index_postings",
+    "ivm_incremental_agg",
+    "kaplan_meier_retention",
+    "kcore_membership",
+    "map_hof_functions",
+    "market_basket_rules",
+    "merge_upsert_orders",
+    "psi_price_drift",
+    "rfm_segmentation",
+    "scd2_user_segments",
+    "set_overlap_join_prefix",
+    "try_functions_safety",
+    "union_by_name_evolution",
+    "variant_props_stats",
+    "xml_roundtrip_stats",
+    "agg_argmax",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "agg_rollup",
+    "agg_stats",
+    "asof_join_nearest",
+    "countmin_word_frequencies",
+    "curate_corpus",
+    "decontaminate_ngram",
+    "embedding_gram_matrix",
+    "entity_resolution_customers",
+    "join_full_outer",
+    "join_left_outer",
+    "join_theta_inequality",
 )
 
 # Queries registered but outside the 50-slot window — the complement of
@@ -115,109 +112,101 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 ROTATION_CANDIDATES: tuple[str, ...] = (
     "ab_test_welch",
     "acf_daily_events",
-    "agg_argmax",
+    "agg_approx_distinct",
     "agg_boolean_counting",
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
     "agg_mode_deterministic",
-    "agg_percentile",
-    "agg_percentile_disc",
-    "agg_rollup",
-    "agg_stats",
-    "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
     "ann_lsh_topk",
+    "ann_pq_topk",
     "ann_range_search",
     "anomaly_zscore",
-    "approx_top_k_words",
+    "approx_percentile_error",
     "array_agg_sorted",
     "array_functions",
+    "asof_join_events_orders",
     "asof_join_forward",
-    "asof_join_nearest",
-    "attribution_multitouch",
     "benford_first_digit",
     "bfs_distances",
     "bitmap_distinct_counts",
     "block_dedup_stats",
     "bloom_prefilter_join",
-    "bm25_search",
     "bootstrap_mean_ci",
     "bottomk_sample_per_group",
     "bpe_merge_candidates",
     "char_entropy",
     "chi2_event_value",
-    "chunk_documents",
-    "cohort_retention",
-    "collated_group_count",
-    "concurrent_sessions_timeline",
-    "corpus_pipeline_funnel",
-    "countmin_word_frequencies",
-    "curate_corpus",
-    "cusum_changepoints",
+    "collocation_pmi",
+    "conversion_time_quantiles",
+    "corr_matrix_lineitem",
     "data_quality_report",
     "date_spine_fill",
-    "decontaminate_ngram",
-    "dedup_connected_components",
     "dedup_embedding_cosine",
     "dedup_exact",
-    "dedup_minhash_lsh",
     "dedup_minhash_lsh_expr",
     "dedup_ngram_jaccard",
-    "dedup_survivor_best_quality",
+    "dedup_simhash",
+    "degree_assortativity",
     "doc_fingerprint",
-    "domain_mix_temperature",
+    "dow_seasonality",
     "dup_span_coverage",
-    "embedding_gram_matrix",
+    "embedding_cluster_cohesion",
+    "embedding_dim_stats",
     "embedding_jl_projection",
     "embedding_quantize_int8",
-    "entity_resolution_customers",
-    "fifo_allocation",
+    "encoding_advisor_lineitem",
+    "ewma_value",
     "funnel_conversion",
     "fuzzy_name_match",
-    "gdpr_erasure_audit",
     "geo_radius_join_grid",
     "grouped_agg_gini",
     "grouped_arrow_profile",
     "grouped_zscore",
     "grouped_zscore_native",
-    "heavy_hitters_words",
+    "hll_intersection_users",
+    "hll_native_distinct",
+    "hll_sketch_partitioned",
     "hypertable_rollup",
+    "ingest_typed_profile",
     "interpolate_missing_values",
-    "inverted_index_postings",
-    "ivm_incremental_agg",
     "join_anti",
     "join_cross",
-    "join_full_outer",
-    "join_left_outer",
     "join_null_safe",
     "join_semi",
     "join_skew_diagnostics",
-    "join_theta_inequality",
     "json_extract_events",
     "k_anonymity_report",
-    "kaplan_meier_retention",
-    "kcore_membership",
+    "kmeans_lloyd_clusters",
     "lang_id_confusion",
     "lang_id_heuristic",
+    "listagg_supplier_names",
+    "lm_perplexity_score",
+    "longest_daily_streak",
+    "mad_outliers",
     "map_functions",
-    "map_hof_functions",
-    "market_basket_rules",
-    "merge_upsert_orders",
+    "markov_transitions",
     "multimodal_audio_features",
+    "multimodal_audio_fingerprint_pairs",
     "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_image_dhash_pairs",
     "multimodal_image_features",
+    "multimodal_image_resize",
     "multimodal_metadata",
     "multimodal_video_features",
+    "multimodal_video_scene_cuts",
+    "mutual_information_value",
+    "new_vs_returning_daily",
+    "ohlc_bars",
+    "order_total_reconciliation",
     "pack_sequences",
     "pagerank_copurchase",
     "pandas_udf_scalar",
     "pareto_revenue_share",
+    "partition_advisor_orders",
     "pit_join_scd2",
     "pivot_event_counts",
     "price_histogram",
-    "psi_price_drift",
     "q10_returned_items",
     "q11_important_parts",
     "q12_shipmode_priority",
@@ -241,21 +230,26 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q8_market_share",
     "q9_profit_by_nation_year",
     "quality_filter_pipeline",
+    "quantile_sketch_value",
     "range_join_events_orders",
+    "referential_integrity_report",
     "regr_price_trend",
     "repetition_metrics",
-    "rfm_segmentation",
+    "rolling_median_value",
+    "rollup_grouping_id",
+    "salted_join_hot_key",
     "scalar_conditional",
     "scalar_date_funcs",
     "scalar_math_funcs",
     "scalar_string_funcs",
-    "scd2_user_segments",
     "semdedup_prune",
+    "session_window_agg",
+    "session_window_dynamic_gap",
     "sessionization_gap",
     "set_ops",
     "set_ops_all",
-    "set_overlap_join_prefix",
     "shard_export_assignment",
+    "skyline_suppliers",
     "sliding_distinct_users",
     "sliding_window_agg",
     "snapshot_diff",
@@ -268,21 +262,24 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "text_quality_metrics",
     "tfidf_top_terms",
     "time_weighted_average",
+    "top_event_paths",
     "train_val_test_split",
     "triangle_participation",
-    "try_functions_safety",
     "tumbling_window_agg",
     "udtf_parse_props",
     "udtf_tokenize",
-    "union_by_name_evolution",
     "unpivot_lineitem",
-    "variant_props_stats",
+    "weighted_sample_documents",
+    "window_distribution_ranks",
     "window_lag_lead",
     "window_range_frame",
     "window_rank_dense_ntile",
     "window_running_sum",
     "window_topk_per_group",
-    "xml_roundtrip_stats",
+    "winnow_fingerprint_pairs",
+    "winsorize_stats",
+    "yoy_revenue_growth",
+    "zipf_slope",
     "zorder_cluster_stats",
 )
 

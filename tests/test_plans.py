@@ -1014,39 +1014,105 @@ def _parquet_bytes_per_row(path: str) -> float:
     return os.path.getsize(path) / pq.ParquetFile(path).metadata.num_rows
 
 
-def test_two_level_floor_below_crossover_for_measured_layout():
-    """VERDICT r9 directive #7: the 64 MiB two-level floor encodes a
-    MEASURED ~15 B/row orders layout. Re-measure bytes/row on the largest
-    fixture and assert worst-case rows-at-floor (everything in one status
-    partition) stays under the 5M-row crossover — a codec/schema change
-    that shrinks bytes/row must fail HERE, not silently stay single-level
-    at a two-level scale (the 256 MiB guess lesson)."""
+def _csv_bytes_per_row(parquet_path: str, tmpdir: str) -> float:
+    """Measured bytes/row of the CSV text layout the ingest gate actually
+    sizes (its floor compares RAW SOURCE bytes, not parquet)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path)
+    out = os.path.join(tmpdir, "layout_probe.csv")
+    tbl.to_pandas().head(5000).to_csv(out, index=False)
+    return os.path.getsize(out) / min(5000, tbl.num_rows)
+
+
+def _size_gate_specs():
+    """Every bytes-floor size gate in the engine, with its crossover
+    contract — ADD NEW GATES HERE (VERDICT r10 #6: a gate cannot ship
+    without a measured-layout calibration row). Fields: gate name,
+    floor bytes, crossover rows, measured-layout bytes/row source,
+    direction ('max': worst-case rows at the floor must sit UNDER the
+    crossover, i.e. the cheap path is still safe at the floor; 'min':
+    rows at the floor must sit OVER the crossover, i.e. the expensive
+    path only engages where it pays)."""
+    from collimate_spark.ingest import (
+        AUTO_SAMPLE_MIN_BYTES,
+        MIN_SCAN_COUNT,
+        PROFILE_SAMPLE_FRACTION,
+    )
+    from collimate_spark.operators.joins import _ASOF_DAY_MIN_BYTES, _ASOF_ROWS_PER_KEY
     from collimate_spark.operators.windows import (
         _TWO_LEVEL_MIN_BYTES,
         _TWO_LEVEL_ROWS_PER_PARTITION,
     )
 
-    bpr = _parquet_bytes_per_row("/root/testdata/sf0.1/orders.parquet")
-    assert _TWO_LEVEL_MIN_BYTES / bpr <= _TWO_LEVEL_ROWS_PER_PARTITION, (
-        f"floor {_TWO_LEVEL_MIN_BYTES >> 20} MiB at measured {bpr:.1f} B/row "
-        f"admits {int(_TWO_LEVEL_MIN_BYTES / bpr)} rows — above the "
-        f"{_TWO_LEVEL_ROWS_PER_PARTITION} crossover; recalibrate the floor"
-    )
+    return [
+        # VERDICT r9 #7: the 64 MiB two-level floor encodes a MEASURED
+        # ~15 B/row orders layout; worst case = every row in one status
+        # partition. A codec/schema change that shrinks bytes/row must
+        # fail HERE, not silently stay single-level at two-level scale
+        # (the 256 MiB guess lesson).
+        (
+            "two_level_window",
+            _TWO_LEVEL_MIN_BYTES,
+            _TWO_LEVEL_ROWS_PER_PARTITION,
+            ("parquet", "/root/testdata/sf0.1/orders.parquet"),
+            "max",
+        ),
+        # As-of grain gate: worst case = every event in one (bucket,
+        # month) key at the measured events bytes/row.
+        (
+            "asof_day_grain",
+            _ASOF_DAY_MIN_BYTES,
+            _ASOF_ROWS_PER_KEY,
+            ("parquet", "/root/testdata/sf0.1/events.parquet"),
+            "max",
+        ),
+        # Ingest auto-sample floor: the SMALLEST input that triggers
+        # sampling must still hand the profiler >= MIN_SCAN_COUNT rows
+        # after the 0.3 fraction (the reference's max(1000, 0.3N)
+        # budget floor, index.js:220-221) — a text-layout change that
+        # fattens rows must fail HERE, not silently sample a
+        # few-hundred-row file.
+        (
+            "ingest_auto_sample",
+            AUTO_SAMPLE_MIN_BYTES,
+            MIN_SCAN_COUNT / PROFILE_SAMPLE_FRACTION,
+            ("csv", "/root/testdata/sf0.1/orders.parquet"),
+            "min",
+        ),
+    ]
 
 
-def test_asof_day_floor_below_crossover_for_measured_layout():
-    """Same calibration contract for the as-of grain gate's 8 MiB events
-    floor: worst-case rows-at-floor (every event in one (bucket, month)
-    key) must sit under the 500k rows/key crossover at the measured
-    events bytes/row."""
-    from collimate_spark.operators.joins import (
-        _ASOF_DAY_MIN_BYTES,
-        _ASOF_ROWS_PER_KEY,
+@pytest.mark.parametrize(
+    "gate,floor_bytes,crossover_rows,layout,direction",
+    _size_gate_specs(),
+    ids=[s[0] for s in _size_gate_specs()],
+)
+def test_size_gate_floor_calibrated_for_measured_layout(
+    gate, floor_bytes, crossover_rows, layout, direction, tmp_path
+):
+    """Shared calibration contract for EVERY bytes-floor size gate
+    (VERDICT r10 #6): floors encode measured layouts, so each gate's
+    floor is re-checked against a freshly measured bytes/row every run.
+    New size gates must register in _size_gate_specs()."""
+    kind, path = layout
+    bpr = (
+        _parquet_bytes_per_row(path)
+        if kind == "parquet"
+        else _csv_bytes_per_row(path, str(tmp_path))
     )
-
-    bpr = _parquet_bytes_per_row("/root/testdata/sf0.1/events.parquet")
-    assert _ASOF_DAY_MIN_BYTES / bpr <= _ASOF_ROWS_PER_KEY, (
-        f"floor {_ASOF_DAY_MIN_BYTES >> 20} MiB at measured {bpr:.1f} B/row "
-        f"admits {int(_ASOF_DAY_MIN_BYTES / bpr)} rows — above the "
-        f"{_ASOF_ROWS_PER_KEY} rows/key crossover; recalibrate the floor"
-    )
+    rows_at_floor = floor_bytes / bpr
+    if direction == "max":
+        assert rows_at_floor <= crossover_rows, (
+            f"{gate}: floor {floor_bytes >> 20} MiB at measured {bpr:.1f} B/row "
+            f"admits {int(rows_at_floor)} rows — above the {crossover_rows:.0f} "
+            f"crossover; recalibrate the floor"
+        )
+    else:
+        assert rows_at_floor >= crossover_rows, (
+            f"{gate}: floor {floor_bytes >> 20} MiB at measured {bpr:.1f} B/row "
+            f"admits only {int(rows_at_floor)} rows — below the "
+            f"{crossover_rows:.0f} minimum; recalibrate the floor"
+        )

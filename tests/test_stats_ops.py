@@ -241,8 +241,21 @@ def test_approx_top_k_words_never_undercounts_and_exact_here(spark, sf_dir):
     exact = {r.word: r.cnt for r in words.groupBy("word").agg(F.count("*").alias("cnt")).collect()}
     top10 = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
 
+    # the hashed output is the EXACT top-10 (audit-bits contract, r11)
+    assert [(r.word, r.cnt) for r in got] == top10
+    # both audit bits hold on this vocabulary (sketch never evicts;
+    # boundary ties are exempted inside the operator)
     for r in got:
+        assert r.in_sketch_topk == 1 and r.est_within_envelope == 1, r
+
+    # property (a) on the raw sketch: a frequency sketch never
+    # undercounts a reported item
+    sketch = (
+        words.agg(F.expr("approx_top_k(word, 10)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("word"), F.col("e.count").alias("est"))
+        .collect()
+    )
+    for r in sketch:
         assert r.word in exact
         assert r.est >= exact[r.word], (r.word, r.est, exact[r.word])
-
-    assert [(r.word, r.est) for r in got] == top10

@@ -1158,13 +1158,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     side against 1/N of the postings side (the join key partitions both
     sides, so no shuffle input repeats across batches and total join
     work stays ≈ the single pass; src-salting would re-shuffle the full
-    postings side per batch). Measured at the 5M-doc cell the two
-    saltings tie (789.0 s shingle vs 797.8 s src at N=3) because the
-    batch stages are NOT the bottleneck there — the shared ranked-index
-    build (billion-row freq join + per-doc rank window, built once
-    under the cache either way) dominates — but shingle-salting is
-    strictly less work and is the shape that wins when the candidate
-    join grows relative to the index build — eagerly materializing each
+    postings side per batch). Shingle-salting is strictly less work
+    than src-salting (r10 measured the two within 1% at N=3). r11
+    staged-probe attribution at the 5M-doc cell (260.6M postings,
+    45.8M vocab): shingle cache + freq count ≈ 56 s, per-doc index
+    build ≈ 52 s — the index is NOT the wall (r10's rank-window-spill
+    hypothesis did not survive the probe; old and new index builds
+    measure within 6% there); ~85% of the cell is the candidate join +
+    distinct + verify shuffles (candidate multiset measured linear at
+    12.3× per 10× docs), which divide per-node on a cluster — eagerly
+    materializing each
     batch's verified pairs (output-sized, KBs–MBs) and System.gc()-ing
     between batches so the ContextCleaner releases the previous batch's
     shuffle files. Peak scratch drops to the shared cache + 1/N of the

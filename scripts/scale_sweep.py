@@ -122,6 +122,10 @@ SLICE_CHAIN = {
     "/tmp/sf1m": ("/root/testdata/sf0.1", "q"),
     "/tmp/sf10m": ("/tmp/sf1m", "r"),
     "/tmp/sf100m": ("/tmp/sf10m", "s"),
+    # fourth decade (VERDICT r10 #5): documents-only — 50M docs ≈ 8 GB;
+    # the full table set (~160 GB) does not fit this box. Build with
+    # SF_TABLES=documents; only document-reading cheap shapes probe here.
+    "/tmp/sf1000m": ("/tmp/sf100m", "t"),
 }
 
 

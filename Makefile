@@ -56,3 +56,10 @@ scale-sweep:
 # Rewrites the decade3-sweep marker section of BASELINE.md.
 scale-sweep-d3:
 	SPARK_GRAFT_DRIVER_MEM=48g $(PY) scripts/scale_sweep.py --decade 3 --update-baseline
+
+# Fourth-decade single-op probes (VERDICT r10 #5): cheap document shapes
+# at 50M docs (documents-only slice — the full table set doesn't fit the
+# box) plus pagerank on its first 10x edge-graph step (lineitem 60M ->
+# 600M rows). Rewrites the decade4-sweep marker section of BASELINE.md.
+scale-sweep-d4:
+	SPARK_GRAFT_DRIVER_MEM=48g $(PY) scripts/scale_sweep.py --decade 4 --update-baseline

@@ -30,6 +30,10 @@ rewrites the decade3-sweep marker section; the ingest cell auto-builds
 lineitem into the slice (SF_TABLES=lineitem) and uses bench.py's
 size-gated .gz export recipe. `make scale-sweep-d3` wires the env
 (scale-mode confs ride every cell via the _cell subprocess env).
+--decade 4 runs D4_CELLS (VERDICT r10 #5): per-cell (base, scaled,
+table) triples — the cheap document shapes at 5M → 50M docs on a
+documents-only /tmp/sf1000m slice, and pagerank on lineitem at
+60M → 600M rows — and rewrites the decade4-sweep marker section.
 Defaults: base=/root/testdata/sf0.1 (5k docs), scaled=/tmp/sf1m (50k
 docs, mutated replication — built automatically if missing, as is the
 chained /tmp/sf10m with its per-level salt).
@@ -103,6 +107,21 @@ D3_OPS = [
     "bm25_search",
     "block_dedup_stats",
 ]
+# Fourth-decade probes (VERDICT r10 #5): each decade so far found a wall
+# the previous could not see, so probe the CHEAP shapes one decade
+# further. 50M docs fit documents-only (~6 GB); the full table set
+# (~160 GB) does not, so cells carry their own (base, scaled, table)
+# triple and the slices are built per-table via SF_TABLES.
+# pagerank's vertex set is the constant part dimension — its edge graph
+# only grows with more orders — so its "10× edge graph" step is the
+# lineitem fact at 60M → 600M rows (third decade for the fact table,
+# first re-measure of the graph ops past /tmp/sf10m).
+D4_CELLS = [
+    ("dedup_exact", "/tmp/sf100m", "/tmp/sf1000m", "documents"),
+    ("set_overlap_join_prefix", "/tmp/sf100m", "/tmp/sf1000m", "documents"),
+    ("countmin_word_frequencies", "/tmp/sf100m", "/tmp/sf1000m", "documents"),
+    ("pagerank_copurchase", "/tmp/sf10m", "/tmp/sf100m", "lineitem"),
+]
 N_RUNS = 2
 BASE_DEFAULT = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALED_DEFAULT = "/tmp/sf1m"
@@ -116,6 +135,8 @@ SURFACE_MARK_BEGIN = "<!-- surface-sweep:begin -->"
 SURFACE_MARK_END = "<!-- surface-sweep:end -->"
 D3_MARK_BEGIN = "<!-- decade3-sweep:begin -->"
 D3_MARK_END = "<!-- decade3-sweep:end -->"
+D4_MARK_BEGIN = "<!-- decade4-sweep:begin -->"
+D4_MARK_END = "<!-- decade4-sweep:end -->"
 # chained mutated slices: each level gets its own salt (same-salt
 # composition is commutative -> bogus cross-level exact dups)
 SLICE_CHAIN = {
@@ -190,7 +211,25 @@ def _ensure_scaled(scaled: str) -> None:
     )
 
 
-def _cell(name: str, sf_dir: str) -> dict:
+def _ensure_table(d: str, table: str) -> None:
+    """Build ONE fact table (plus the symlinked passthrough dims) into a
+    chained slice dir, recursively ensuring the same table upstream —
+    the per-table analog of _ensure_scaled for decades where the full
+    table set no longer fits the box."""
+    if d not in SLICE_CHAIN or os.path.isdir(os.path.join(d, f"{table}.parquet")):
+        return
+    src, salt = SLICE_CHAIN[d]
+    _ensure_table(src, table)
+    print(f"building {table} into {d} (salt {salt}) ...", file=sys.stderr)
+    env = dict(os.environ, SF_MUTATE="1", SF_SALT=salt, SF_TABLES=table)
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "make_sf1.py"), src, d],
+        check=True,
+        env=env,
+    )
+
+
+def _cell(name: str, sf_dir: str, timeout: int = 1800) -> dict:
     # Only DECADE cells (the chained /tmp/sf* mutated slices) get the
     # scale confs (wide initial shuffles + zstd) that session.py
     # deliberately keeps OFF at bench scale — the r10 A/B measured them
@@ -201,13 +240,19 @@ def _cell(name: str, sf_dir: str) -> dict:
     env = dict(os.environ)
     if sf_dir in SLICE_CHAIN:
         env["SPARK_GRAFT_SCALE_MODE"] = "1"
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--single", name, sf_dir],
-        capture_output=True,
-        text=True,
-        timeout=1800,
-        env=env,
-    )
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single", name, sf_dir],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            env=env,
+        )
+    except subprocess.TimeoutExpired:
+        # Record the timeout as an honest table row instead of killing
+        # the sweep (a decade probe that walls IS the finding — the r11
+        # countmin cell died here and took pagerank's cell with it).
+        return {"t": None, "rows": None, "timeout_s": timeout}
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
         raise RuntimeError(f"{name}@{sf_dir} produced no result:\n{out.stderr[-2000:]}")
@@ -221,6 +266,14 @@ def _table(rows: list[dict]) -> str:
     ]
     for r in rows:
         b, s = r["base"], r["scaled"]
+        if b["t"] is None or s["t"] is None:
+            side = b if b["t"] is None else s
+            label = f"**timeout >{side['timeout_s']}s**"
+            md.append(
+                f"| {r['query']} | {b['t'] if b['t'] is not None else label} | {b['rows']} "
+                f"| {s['t'] if s['t'] is not None else label} | {s['rows']} | — | — |"
+            )
+            continue
         wg = round(s["t"] / b["t"], 1) if b["t"] > 0 else float("inf")
         og = round(s["rows"] / b["rows"], 1) if b["rows"] else float("inf")
         flag = " **superlinear**" if wg > 10 else ""
@@ -232,11 +285,18 @@ def _table(rows: list[dict]) -> str:
 
 
 def _update_baseline(
-    table_md: str, base: str, scaled: str, surface: bool = False, decade3: bool = False
+    table_md: str,
+    base: str,
+    scaled: str,
+    surface: bool = False,
+    decade3: bool = False,
+    decade4: bool = False,
 ) -> None:
     path = os.path.join(REPO, "BASELINE.md")
     src = open(path).read()
-    if decade3:
+    if decade4:
+        mb, me = D4_MARK_BEGIN, D4_MARK_END
+    elif decade3:
         mb, me = D3_MARK_BEGIN, D3_MARK_END
     elif surface:
         mb, me = SURFACE_MARK_BEGIN, SURFACE_MARK_END
@@ -246,7 +306,17 @@ def _update_baseline(
         sys.exit(f"BASELINE.md missing {mb} marker")
     head, rest = src.split(mb, 1)
     _, tail = rest.split(me, 1)
-    if decade3:
+    if decade4:
+        desc = (
+            f"Fourth-decade single-op probes (`make scale-sweep-d4`; each row\n"
+            f"carries its own base→scaled dirs — 50M docs fit documents-only,\n"
+            f"the full table set does not; pagerank's cell is the lineitem fact\n"
+            f"at 60M → 600M rows since its vertex set is the constant part\n"
+            f"dimension. Fresh JVM per cell with the scale confs\n"
+            f"(SPARK_GRAFT_SCALE_MODE=1, 48 GiB heap), min of {N_RUNS} noop-sink\n"
+            f"runs):\n\n"
+        )
+    elif decade3:
         desc = (
             f"Third-decade follow-up for the never-reswept heavies\n"
             f"(`make scale-sweep-d3`; base={base}, scaled={scaled} — 100× and\n"
@@ -283,19 +353,42 @@ def main() -> None:
 
     args = sys.argv[1:]
     surface = "--surface" in args
-    decade3 = False
+    decade = 0
     if "--decade" in args:
         idx = args.index("--decade")
-        if idx + 1 >= len(args):
-            sys.exit("usage: scale_sweep.py --decade 3 (missing decade value)")
-        decade3 = args[idx + 1] == "3"
+        if idx + 1 >= len(args) or args[idx + 1] not in ("3", "4"):
+            sys.exit("usage: scale_sweep.py --decade {3|4}")
+        decade = int(args[idx + 1])
+    update = "--update-baseline" in args
+    if decade == 4:
+        # Per-cell dirs: the uniform base/scaled machinery below does not
+        # apply. Slices are built per-table (documents-only at 50M docs).
+        rows = []
+        for name, b, s, table in D4_CELLS:
+            for d in (b, s):
+                _ensure_table(d, table)
+            # 3600s cell ceiling at the fourth decade: the cheap shapes
+            # run well under it; a shape that cannot finish 2 runs +
+            # count in an hour on this box is a wall worth reporting.
+            rec = {
+                "query": f"{name} [{os.path.basename(b)}→{os.path.basename(s)}]",
+                "base": _cell(name, b, timeout=3600),
+                "scaled": _cell(name, s, timeout=3600),
+            }
+            rows.append(rec)
+            print(f"  {name}: base {rec['base']} 10x {rec['scaled']}", file=sys.stderr)
+        table_md = _table(rows)
+        print("\n" + table_md)
+        if update:
+            _update_baseline(table_md, "per-cell", "per-cell", decade4=True)
+        return
+    decade3 = decade == 3
     if decade3:
         base, scaled, ops = D3_BASE_DEFAULT, D3_SCALED_DEFAULT, list(D3_OPS)
     elif surface:
         base, scaled, ops = SURFACE_BASE_DEFAULT, SURFACE_SCALED_DEFAULT, list(SURFACE_OPS)
     else:
         base, scaled, ops = BASE_DEFAULT, SCALED_DEFAULT, list(OPS)
-    update = "--update-baseline" in args
     if "--base" in args:
         base = args[args.index("--base") + 1]
     if "--scaled" in args:
@@ -310,15 +403,7 @@ def main() -> None:
         # third-decade slices skip lineitem by default (SF_TABLES); the
         # ingest cell needs it — build just that table into the slice
         for d in (base, scaled):
-            if d in SLICE_CHAIN and not os.path.isdir(os.path.join(d, "lineitem.parquet")):
-                src, salt = SLICE_CHAIN[d]
-                print(f"building lineitem into {d} (salt {salt}) ...", file=sys.stderr)
-                env = dict(os.environ, SF_MUTATE="1", SF_SALT=salt, SF_TABLES="lineitem")
-                subprocess.run(
-                    [sys.executable, os.path.join(REPO, "scripts", "make_sf1.py"), src, d],
-                    check=True,
-                    env=env,
-                )
+            _ensure_table(d, "lineitem")
 
     rows = []
     for name in ops:

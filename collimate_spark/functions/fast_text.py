@@ -224,6 +224,19 @@ def simhash_fingerprints128(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
     """
     from hashlib import md5
 
+    # Partition-lifetime digest memo (same pattern as winnow's tok_hash):
+    # md5 runs once per DISTINCT token instead of per occurrence — the
+    # digest is a pure function of the token, so signatures are
+    # bit-identical. Vocabulary-bounded, like winnow's cache.
+    dcache: dict[str, bytes] = {}
+
+    def tok_digest(t: str) -> bytes:
+        v = dcache.get(t)
+        if v is None:
+            v = md5(t.encode()).digest()
+            dcache[t] = v
+        return v
+
     for pdf in batches:
         out_doc, out_hi, out_lo = [], [], []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -233,7 +246,7 @@ def simhash_fingerprints128(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
                 out_hi.append(0)
                 out_lo.append(0)
                 continue
-            buf = b"".join(md5(t.encode()).digest() for t in toks)
+            buf = b"".join(tok_digest(t) for t in toks)
             # (n_tokens, 2) little-endian words: col 0 = bytes 0..8 (lo),
             # col 1 = bytes 8..16 (hi)
             words = np.frombuffer(buf, dtype="<u8").reshape(len(toks), 2)

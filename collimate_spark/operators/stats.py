@@ -228,6 +228,21 @@ MG_COUNTERS = 30  # < vocab size, so the sketch genuinely evicts
 HH_PHI = 1.0 / 30.0  # phi-heavy-hitter threshold: freq > phi * N
 
 
+def _batch_token_counts(pdf) -> dict[str, int]:
+    """Exact token counts for one Arrow batch — one dict increment per
+    token instead of per-token downstream work. The r11 fourth-decade
+    probe measured the per-token-md5 variant of _cm_partition at ~40 min
+    per pass over 50M docs (32 Python workers pegged, JVM idle in epoll);
+    batch-counting first bounds every expensive per-token step to the
+    batch-DISTINCT vocabulary. State is batch-local, so the kernels'
+    bounded cross-batch state guarantees are untouched."""
+    counts: dict[str, int] = {}
+    for text in pdf["text"]:
+        for w in _tokenize(text):
+            counts[w] = counts.get(w, 0) + 1
+    return counts
+
+
 def _mg_partition(pdfs) -> "pd.DataFrame":
     """Per-partition Misra-Gries summary with MG_COUNTERS counters.
 
@@ -236,23 +251,23 @@ def _mg_partition(pdfs) -> "pd.DataFrame":
     per-partition survivors is therefore a superset of the global
     phi-heavy-hitters whenever phi >= 1/MG_COUNTERS. Emits <= MG_COUNTERS
     rows per partition — constant-size output regardless of input size,
-    which is the whole point of sketching at 100 TB."""
+    which is the whole point of sketching at 100 TB.
+
+    Batches are folded in via the mergeable-summaries MG merge (Agarwal
+    et al., PODS'12): add the batch's exact counts, then subtract the
+    (K+1)-th largest counter from all and drop non-positives. The error
+    bound telescopes (total decrement <= n_p/(K+1)), so the superset
+    guarantee above is identical to the one-token-at-a-time schedule —
+    and heavy_hitters_words only consumes the candidate WORD SET (its
+    exact verify pass recomputes frequencies), so the output is
+    bit-identical regardless of eviction schedule."""
     counters: dict[str, int] = {}
     for pdf in pdfs:
-        for text in pdf["text"]:
-            for w in _tokenize(text):
-                if w in counters:
-                    counters[w] += 1
-                elif len(counters) < MG_COUNTERS:
-                    counters[w] = 1
-                else:
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
+        for w, c in _batch_token_counts(pdf).items():
+            counters[w] = counters.get(w, 0) + c
+        if len(counters) > MG_COUNTERS:
+            kth = sorted(counters.values(), reverse=True)[MG_COUNTERS]
+            counters = {w: c - kth for w, c in counters.items() if c > kth}
     if counters:
         yield pd.DataFrame({"word": list(counters), "est": list(counters.values())})
 
@@ -584,10 +599,19 @@ def _cm_partition(pdfs) -> "pd.DataFrame":
     ε = e/W)."""
     M = np.zeros((CM_D, CM_W), dtype=np.int64)
     for pdf in pdfs:
-        for text in pdf["text"]:
-            for w in _tokenize(text):
-                for r in range(CM_D):
-                    M[r, _cm_hash(r, w)] += 1
+        # CM is linear: adding a token's full batch count at once equals
+        # adding 1 per occurrence, so hash each batch-DISTINCT token once
+        # per row instead of 4 md5 calls per token OCCURRENCE (the r11
+        # fourth-decade wall: ~20B md5 calls at 50M docs).
+        counts = _batch_token_counts(pdf)
+        if not counts:
+            continue
+        vals = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+        for r in range(CM_D):
+            cols = np.fromiter(
+                (_cm_hash(r, w) for w in counts), dtype=np.int64, count=len(counts)
+            )
+            np.add.at(M[r], cols, vals)
     rows, cols = np.nonzero(M)
     if len(rows):
         yield pd.DataFrame({"r": rows, "c": cols, "cnt": M[rows, cols]})

@@ -10,8 +10,10 @@ pair-emitting operator.
 Methodology (the r7 lessons, pinned): each (query, sf_dir) cell runs in
 a FRESH JVM (one subprocess — a shared session inflates late queries
 5-10× via page-cache/GC pressure), warm-up first, min of N_RUNS
-noop-sink timings, plus one count() for the output-rows column (shows
-output growth separately from work growth).
+end-to-end timings (query construction + noop sink, so eagerly-
+materialized state — pagerank's cached edge build, countmin's sketch
+collect — is charged), plus one count() for the output-rows column
+(shows output growth separately from work growth).
 
 Usage:
     python scripts/scale_sweep.py [--base DIR] [--scaled DIR]
@@ -183,8 +185,14 @@ def run_single(name: str, sf_dir: str) -> None:
         # JVM GC between runs lets the cleaner drop the previous run's
         # shuffle files; the run itself is not timed yet.
         spark.sparkContext._jvm.System.gc()
-        df = fn(spark, sf_dir)
+        # t0 BEFORE fn(): ops that eagerly materialize state during
+        # construction (pagerank's cached edge build + deg.count(),
+        # countmin's sketch-pass collect) must be charged for it — the
+        # r11 d4 sweep first recorded pagerank at 0.62s on a 600M-row
+        # edge build because only the post-cache iteration chain was
+        # timed. For lazy ops this adds only plan-construction ms.
         t0 = time.time()
+        df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
@@ -313,7 +321,7 @@ def _update_baseline(
             f"the full table set does not; pagerank's cell is the lineitem fact\n"
             f"at 60M → 600M rows since its vertex set is the constant part\n"
             f"dimension. Fresh JVM per cell with the scale confs\n"
-            f"(SPARK_GRAFT_SCALE_MODE=1, 48 GiB heap), min of {N_RUNS} noop-sink\n"
+            f"(SPARK_GRAFT_SCALE_MODE=1, 48 GiB heap), min of {N_RUNS} end-to-end\n"
             f"runs):\n\n"
         )
     elif decade3:
@@ -321,7 +329,7 @@ def _update_baseline(
             f"Third-decade follow-up for the never-reswept heavies\n"
             f"(`make scale-sweep-d3`; base={base}, scaled={scaled} — 100× and\n"
             f"1000× bench scale; fresh JVM per cell with the scale confs\n"
-            f"(SPARK_GRAFT_SCALE_MODE=1, 48 GiB heap), min of {N_RUNS} noop-sink\n"
+            f"(SPARK_GRAFT_SCALE_MODE=1, 48 GiB heap), min of {N_RUNS} end-to-end\n"
             f"runs; the ingest row times CSV→typed-parquet on the slice's\n"
             f"lineitem via the size-gated 64-part .gz export recipe):\n\n"
         )
@@ -330,7 +338,7 @@ def _update_baseline(
             f"Heavy non-dedup surface screen at the second decade\n"
             f"(`make scale-sweep`; base={base}, scaled={scaled} — 10× and 100×\n"
             f"the bench scale on the chained mutated slices; fresh JVM per\n"
-            f"cell, min of {N_RUNS} noop-sink runs; the ingest row times the\n"
+            f"cell, min of {N_RUNS} end-to-end runs; the ingest row times the\n"
             f"full CSV→typed-parquet pipeline on the slice's lineitem):\n\n"
         )
     else:
@@ -340,7 +348,7 @@ def _update_baseline(
             f"scaled={scaled} — replicas are not near-dups of their source, so\n"
             f"true pair output grows ~linearly and the work-growth column is\n"
             f"the quadratic-candidate screen; fresh JVM per cell, min of\n"
-            f"{N_RUNS} noop-sink runs):\n\n"
+            f"{N_RUNS} end-to-end runs):\n\n"
         )
     open(path, "w").write(head + mb + "\n" + desc + table_md + "\n" + me + tail)
     print("BASELINE.md section updated", file=sys.stderr)

@@ -270,6 +270,24 @@ EXTRA_QUERIES = [
 ]
 
 
+def bench_calibration(spark) -> float:
+    """Constant-work host-speed probe (VERDICT r11 #4): a fixed JVM-only
+    xxhash64 fold over spark.range(2**27) — no IO, no Python workers, no
+    shuffle — whose definition NEVER changes across rounds. Its value in
+    BENCH_r{N}.json is a pure function of host state, so any reader can
+    normalize round-over-round query drift without a judge re-bench:
+    ratio = calibration_rN / calibration_r12 rescales query rows across
+    host states (r3 and r11 both burned a judge A/B proving uniform
+    artifact inflation was host drift). Timed min-of-3 like the headline
+    set. DO NOT EDIT the expression; a changed calibration is worthless."""
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(1 << 27).selectExpr("sum(xxhash64(id)) AS s").collect()
+        times.append(time.time() - t0)
+    return round(min(times), 3)
+
+
 def bench_ingest(spark) -> float:
     """The reference's own task: CSV → typed columnar store. Exports
     lineitem at the bench SF to CSV once (cached in /tmp, not timed), then
@@ -386,6 +404,15 @@ def main() -> None:
     except Exception:
         errors["ingest_csv_to_columnar"] = traceback.format_exc(limit=3)
 
+    # Host-speed calibration: OUTSIDE `results` so the headline total
+    # stays comparable to the r1 baseline (it measures the host, not the
+    # engine). See bench_calibration's docstring + BASELINE.md.
+    try:
+        calibration = bench_calibration(spark)
+    except Exception:
+        calibration = None
+        errors["_calibration"] = traceback.format_exc(limit=3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     payload: dict = {
         "metric": "headline_query_wall_clock_total",
@@ -393,6 +420,7 @@ def main() -> None:
         "unit": "sec",
         "queries": results,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration_sec": calibration,
     }
     if errors:
         payload["errors"] = errors
@@ -423,6 +451,7 @@ def main() -> None:
                     "value": payload["value"],
                     "unit": payload["unit"],
                     "sf": payload["sf"],
+                    "calibration_sec": calibration,
                     "n_queries": len(results),
                     "n_errors": len(errors),
                     "full_payload": "bench_full.json",

@@ -195,6 +195,13 @@ def simhash_fingerprints(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         )
 
 
+# Shared bound for the per-task token→digest memos below (ADVICE r11):
+# ~1M entries ≈ 150 MB of dict overhead per Python worker at the
+# worst case — bounded even against the salted decade slices' ~10×
+# per-level vocabulary growth, while virtually never evicting at bench
+# scale (sf0.1 vocabulary ≈ 60k distinct tokens).
+_MEMO_CAP = 1 << 20
+
 SIMHASH128_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -227,12 +234,20 @@ def simhash_fingerprints128(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
     # Partition-lifetime digest memo (same pattern as winnow's tok_hash):
     # md5 runs once per DISTINCT token instead of per occurrence — the
     # digest is a pure function of the token, so signatures are
-    # bit-identical. Vocabulary-bounded, like winnow's cache.
+    # bit-identical regardless of cache state. CAPPED, not unbounded
+    # (ADVICE r11): the chained mutated decade slices salt ~every 4th
+    # token per level, multiplying distinct-token count ~10× per decade,
+    # so at the fourth decade an unbounded memo could grow to tens of
+    # millions of string keys per Python worker. Clearing on overflow is
+    # correctness-free (pure function) and cheap: token frequencies are
+    # zipfian, so the hot head repopulates within a batch.
     dcache: dict[str, bytes] = {}
 
     def tok_digest(t: str) -> bytes:
         v = dcache.get(t)
         if v is None:
+            if len(dcache) >= _MEMO_CAP:
+                dcache.clear()
             v = md5(t.encode()).digest()
             dcache[t] = v
         return v
@@ -340,11 +355,14 @@ def winnow_fingerprints(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     token run of ≥ w+k-1 yields a shared fingerprint."""
     from hashlib import md5
 
+    # Capped like simhash's dcache (ADVICE r11) — see _MEMO_CAP.
     cache: dict[str, int] = {}
 
     def tok_hash(t: str) -> int:
         v = cache.get(t)
         if v is None:
+            if len(cache) >= _MEMO_CAP:
+                cache.clear()
             v = int(md5(t.encode()).hexdigest()[:8], 16) % WINNOW_P
             cache[t] = v
         return v

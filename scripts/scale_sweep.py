@@ -248,22 +248,39 @@ def _cell(name: str, sf_dir: str, timeout: int = 1800) -> dict:
     env = dict(os.environ)
     if sf_dir in SLICE_CHAIN:
         env["SPARK_GRAFT_SCALE_MODE"] = "1"
+    # start_new_session: the cell gets its own process GROUP so a timeout
+    # can kill the Spark JVM grandchild too (ADVICE r11: SIGKILLing only
+    # the direct Python child leaves the JVM holding the capture pipes —
+    # communicate() blocks and the dying JVM's CPU/disk activity
+    # contaminates the next cell's fresh-JVM timing).
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--single", name, sf_dir],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        env=env,
+        start_new_session=True,
+    )
     try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single", name, sf_dir],
-            capture_output=True,
-            text=True,
-            timeout=timeout,
-            env=env,
-        )
+        stdout, stderr = proc.communicate(timeout=timeout)
     except subprocess.TimeoutExpired:
         # Record the timeout as an honest table row instead of killing
         # the sweep (a decade probe that walls IS the finding — the r11
         # countmin cell died here and took pagerank's cell with it).
+        import signal
+
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)  # pgid == pid (new session)
+        except ProcessLookupError:
+            pass
+        try:
+            proc.communicate(timeout=30)
+        except Exception:
+            pass
         return {"t": None, "rows": None, "timeout_s": timeout}
-    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    lines = [l for l in stdout.splitlines() if l.startswith("{")]
     if not lines:
-        raise RuntimeError(f"{name}@{sf_dir} produced no result:\n{out.stderr[-2000:]}")
+        raise RuntimeError(f"{name}@{sf_dir} produced no result:\n{stderr[-2000:]}")
     return json.loads(lines[-1])
 
 
@@ -277,9 +294,13 @@ def _table(rows: list[dict]) -> str:
         if b["t"] is None or s["t"] is None:
             side = b if b["t"] is None else s
             label = f"**timeout >{side['timeout_s']}s**"
+
+            def _cell_str(v, lbl):  # None → the timeout label or an em-dash
+                return lbl if v is None else v
+
             md.append(
-                f"| {r['query']} | {b['t'] if b['t'] is not None else label} | {b['rows']} "
-                f"| {s['t'] if s['t'] is not None else label} | {s['rows']} | — | — |"
+                f"| {r['query']} | {_cell_str(b['t'], label)} | {_cell_str(b['rows'], '—')} "
+                f"| {_cell_str(s['t'], label)} | {_cell_str(s['rows'], '—')} | — | — |"
             )
             continue
         wg = round(s["t"] / b["t"], 1) if b["t"] > 0 else float("inf")

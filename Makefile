@@ -63,3 +63,10 @@ scale-sweep-d3:
 # 600M rows). Rewrites the decade4-sweep marker section of BASELINE.md.
 scale-sweep-d4:
 	SPARK_GRAFT_DRIVER_MEM=48g $(PY) scripts/scale_sweep.py --decade 4 --update-baseline
+
+# Fifth-decade probes (VERDICT r11 #6): the two flattest decade-4 ops
+# (dedup_exact 6.3x, set_overlap 1.1x) one step further — disk-bounded
+# to a 4x step (200M docs; 500M would not fit the box). Rewrites the
+# decade5-sweep marker section of BASELINE.md.
+scale-sweep-d5:
+	SPARK_GRAFT_DRIVER_MEM=48g $(PY) scripts/scale_sweep.py --decade 5 --update-baseline

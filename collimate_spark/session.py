@@ -69,8 +69,13 @@ def session_confs(shuffle_partitions: int, scale_mode: bool) -> dict[str, str]:
     if scale_mode:
         # Size shuffles by DATA, not by a constant (see module docstring
         # for the measured decade-scale wins and bench-scale costs that
-        # put these behind the gate).
-        confs["spark.sql.adaptive.coalescePartitions.initialPartitionNum"] = "1024"
+        # put these behind the gate). SPARK_GRAFT_INITIAL_PARTITIONS
+        # exists for measured A/Bs of the width itself (VERDICT r11 #5:
+        # is the containment 5M-doc cell shuffle-width-bound?) — the
+        # default stays 1024, the value the decade sweeps validated.
+        confs["spark.sql.adaptive.coalescePartitions.initialPartitionNum"] = (
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "1024")
+        )
         confs["spark.io.compression.codec"] = "zstd"
     return confs
 

@@ -36,6 +36,10 @@ size-gated .gz export recipe. `make scale-sweep-d3` wires the env
 table) triples — the cheap document shapes at 5M → 50M docs on a
 documents-only /tmp/sf1000m slice, and pagerank on lineitem at
 60M → 600M rows — and rewrites the decade4-sweep marker section.
+--decade 5 runs D5_CELLS (VERDICT r11 #6): the two flattest decade-4
+ops at 50M → 200M docs — a DISK-BOUNDED 4x step (500M docs would need
+~80 GB; the box has ~60 GB free) — and rewrites the decade5-sweep
+marker section; linear there means ~4x, which the table header states.
 Defaults: base=/root/testdata/sf0.1 (5k docs), scaled=/tmp/sf1m (50k
 docs, mutated replication — built automatically if missing, as is the
 chained /tmp/sf10m with its per-level salt).
@@ -124,6 +128,17 @@ D4_CELLS = [
     ("countmin_word_frequencies", "/tmp/sf100m", "/tmp/sf1000m", "documents"),
     ("pagerank_copurchase", "/tmp/sf10m", "/tmp/sf100m", "lineitem"),
 ]
+# Fifth-decade probes (VERDICT r11 #6): the two flattest decade-4 ops one
+# step further. DISK-BOUNDED to a 4x step, not 10x: 500M docs of
+# documents parquet is ~80 GB and the box has ~60 GB free, so the slice
+# is SF_COPIES=4 (200M docs, ~32 GB) and LINEAR here means work growth
+# ~4.0x — the growth column is judged against the step factor, which the
+# d5 table header states.
+D5_STEP = 4
+D5_CELLS = [
+    ("dedup_exact", "/tmp/sf1000m", "/tmp/sf4000m", "documents"),
+    ("set_overlap_join_prefix", "/tmp/sf1000m", "/tmp/sf4000m", "documents"),
+]
 N_RUNS = 2
 BASE_DEFAULT = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALED_DEFAULT = "/tmp/sf1m"
@@ -139,8 +154,11 @@ D3_MARK_BEGIN = "<!-- decade3-sweep:begin -->"
 D3_MARK_END = "<!-- decade3-sweep:end -->"
 D4_MARK_BEGIN = "<!-- decade4-sweep:begin -->"
 D4_MARK_END = "<!-- decade4-sweep:end -->"
+D5_MARK_BEGIN = "<!-- decade5-sweep:begin -->"
+D5_MARK_END = "<!-- decade5-sweep:end -->"
 # chained mutated slices: each level gets its own salt (same-salt
-# composition is commutative -> bogus cross-level exact dups)
+# composition is commutative -> bogus cross-level exact dups). Values are
+# (src, salt) or (src, salt, copies) — copies defaults to 10.
 SLICE_CHAIN = {
     "/tmp/sf1m": ("/root/testdata/sf0.1", "q"),
     "/tmp/sf10m": ("/tmp/sf1m", "r"),
@@ -149,6 +167,8 @@ SLICE_CHAIN = {
     # the full table set (~160 GB) does not fit this box. Build with
     # SF_TABLES=documents; only document-reading cheap shapes probe here.
     "/tmp/sf1000m": ("/tmp/sf100m", "t"),
+    # fifth decade, disk-bounded 4x step (see D5_CELLS).
+    "/tmp/sf4000m": ("/tmp/sf1000m", "u", D5_STEP),
 }
 
 
@@ -208,10 +228,13 @@ def _ensure_scaled(scaled: str) -> None:
         return
     if scaled not in SLICE_CHAIN:
         sys.exit(f"{scaled} missing and not a known chained slice {list(SLICE_CHAIN)}")
-    src, salt = SLICE_CHAIN[scaled]
+    src, salt, copies = (SLICE_CHAIN[scaled] + (10,))[:3]
     _ensure_scaled(src) if src in SLICE_CHAIN else None
-    print(f"building mutated 10x slice at {scaled} (salt {salt}) ...", file=sys.stderr)
-    env = dict(os.environ, SF_MUTATE="1", SF_SALT=salt)
+    print(
+        f"building mutated {copies}x slice at {scaled} (salt {salt}) ...",
+        file=sys.stderr,
+    )
+    env = dict(os.environ, SF_MUTATE="1", SF_SALT=salt, SF_COPIES=str(copies))
     subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "make_sf1.py"), src, scaled],
         check=True,
@@ -226,10 +249,12 @@ def _ensure_table(d: str, table: str) -> None:
     table set no longer fits the box."""
     if d not in SLICE_CHAIN or os.path.isdir(os.path.join(d, f"{table}.parquet")):
         return
-    src, salt = SLICE_CHAIN[d]
+    src, salt, copies = (SLICE_CHAIN[d] + (10,))[:3]
     _ensure_table(src, table)
     print(f"building {table} into {d} (salt {salt}) ...", file=sys.stderr)
-    env = dict(os.environ, SF_MUTATE="1", SF_SALT=salt, SF_TABLES=table)
+    env = dict(
+        os.environ, SF_MUTATE="1", SF_SALT=salt, SF_TABLES=table, SF_COPIES=str(copies)
+    )
     subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "make_sf1.py"), src, d],
         check=True,
@@ -284,9 +309,9 @@ def _cell(name: str, sf_dir: str, timeout: int = 1800) -> dict:
     return json.loads(lines[-1])
 
 
-def _table(rows: list[dict]) -> str:
+def _table(rows: list[dict], step: int = 10) -> str:
     md = [
-        "| op | base s | base rows | 10x s | 10x rows | work growth | output growth |",
+        f"| op | base s | base rows | {step}x s | {step}x rows | work growth | output growth |",
         "|---|---|---|---|---|---|---|",
     ]
     for r in rows:
@@ -305,7 +330,7 @@ def _table(rows: list[dict]) -> str:
             continue
         wg = round(s["t"] / b["t"], 1) if b["t"] > 0 else float("inf")
         og = round(s["rows"] / b["rows"], 1) if b["rows"] else float("inf")
-        flag = " **superlinear**" if wg > 10 else ""
+        flag = " **superlinear**" if wg > step else ""
         md.append(
             f"| {r['query']} | {b['t']} | {b['rows']} | {s['t']} | {s['rows']} "
             f"| {wg}x{flag} | {og}x |"
@@ -320,10 +345,13 @@ def _update_baseline(
     surface: bool = False,
     decade3: bool = False,
     decade4: bool = False,
+    decade5: bool = False,
 ) -> None:
     path = os.path.join(REPO, "BASELINE.md")
     src = open(path).read()
-    if decade4:
+    if decade5:
+        mb, me = D5_MARK_BEGIN, D5_MARK_END
+    elif decade4:
         mb, me = D4_MARK_BEGIN, D4_MARK_END
     elif decade3:
         mb, me = D3_MARK_BEGIN, D3_MARK_END
@@ -335,7 +363,17 @@ def _update_baseline(
         sys.exit(f"BASELINE.md missing {mb} marker")
     head, rest = src.split(mb, 1)
     _, tail = rest.split(me, 1)
-    if decade4:
+    if decade5:
+        desc = (
+            f"Fifth-decade probes of the two flattest decade-4 ops\n"
+            f"(`make scale-sweep-d5`) — DISK-BOUNDED to a **{D5_STEP}× step**, not\n"
+            f"10×: 500M docs is ~80 GB of documents parquet and the box has\n"
+            f"~60 GB free, so the slice is 200M docs (SF_COPIES={D5_STEP}) and\n"
+            f"LINEAR in this table means work growth ≈ {D5_STEP}.0×, not 10×.\n"
+            f"Fresh JVM per cell, scale confs (SPARK_GRAFT_SCALE_MODE=1,\n"
+            f"48 GiB heap), min of {N_RUNS} end-to-end runs:\n\n"
+        )
+    elif decade4:
         desc = (
             f"Fourth-decade single-op probes (`make scale-sweep-d4`; each row\n"
             f"carries its own base→scaled dirs — 50M docs fit documents-only,\n"
@@ -385,31 +423,42 @@ def main() -> None:
     decade = 0
     if "--decade" in args:
         idx = args.index("--decade")
-        if idx + 1 >= len(args) or args[idx + 1] not in ("3", "4"):
-            sys.exit("usage: scale_sweep.py --decade {3|4}")
+        if idx + 1 >= len(args) or args[idx + 1] not in ("3", "4", "5"):
+            sys.exit("usage: scale_sweep.py --decade {3|4|5}")
         decade = int(args[idx + 1])
     update = "--update-baseline" in args
-    if decade == 4:
+    if decade in (4, 5):
         # Per-cell dirs: the uniform base/scaled machinery below does not
         # apply. Slices are built per-table (documents-only at 50M docs).
+        cells = D5_CELLS if decade == 5 else D4_CELLS
+        step = D5_STEP if decade == 5 else 10
         rows = []
-        for name, b, s, table in D4_CELLS:
+        for name, b, s, table in cells:
             for d in (b, s):
                 _ensure_table(d, table)
-            # 3600s cell ceiling at the fourth decade: the cheap shapes
-            # run well under it; a shape that cannot finish 2 runs +
-            # count in an hour on this box is a wall worth reporting.
+            # 3600s cell ceiling at the fourth decade and up: the cheap
+            # shapes run well under it; a shape that cannot finish 2 runs
+            # + count in an hour on this box is a wall worth reporting.
             rec = {
                 "query": f"{name} [{os.path.basename(b)}→{os.path.basename(s)}]",
                 "base": _cell(name, b, timeout=3600),
                 "scaled": _cell(name, s, timeout=3600),
             }
             rows.append(rec)
-            print(f"  {name}: base {rec['base']} 10x {rec['scaled']}", file=sys.stderr)
-        table_md = _table(rows)
+            print(
+                f"  {name}: base {rec['base']} {step}x {rec['scaled']}",
+                file=sys.stderr,
+            )
+        table_md = _table(rows, step=step)
         print("\n" + table_md)
         if update:
-            _update_baseline(table_md, "per-cell", "per-cell", decade4=True)
+            _update_baseline(
+                table_md,
+                "per-cell",
+                "per-cell",
+                decade4=decade == 4,
+                decade5=decade == 5,
+            )
         return
     decade3 = decade == 3
     if decade3:

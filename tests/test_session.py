@@ -30,6 +30,17 @@ def test_scale_mode_adds_decade_knobs():
     assert confs[_CODEC] == "zstd"
 
 
+def test_scale_mode_initial_partitions_overridable(monkeypatch):
+    """SPARK_GRAFT_INITIAL_PARTITIONS exists for shuffle-width A/Bs
+    (VERDICT r11 #5); it must only take effect in scale mode and default
+    back to the validated 1024."""
+    monkeypatch.setenv("SPARK_GRAFT_INITIAL_PARTITIONS", "4096")
+    assert session_confs(32, scale_mode=True)[_IPN] == "4096"
+    assert _IPN not in session_confs(32, scale_mode=False)
+    monkeypatch.delenv("SPARK_GRAFT_INITIAL_PARTITIONS")
+    assert session_confs(32, scale_mode=True)[_IPN] == "1024"
+
+
 def test_live_test_session_has_no_wide_initial_shuffles(spark):
     """The shared test session was built without scale mode: no stage may
     fan out to 1024 map partitions at bench scale."""

@@ -64,6 +64,29 @@ def test_countmin_guarantees(spark, sf_dir):
     assert a == [tuple(x) for x in rows]  # deterministic
 
 
+def test_cm_kernel_buffer_matches_cols():
+    """The vectorized kernel path (joined digest buffer → big-endian
+    uint32 words) must stay byte-identical to _cm_cols's hexdigest
+    slicing — which is what the DuckDB oracle replays as
+    ('0x'||substr(md5(word), 1+8r, 8))::BIGINT % W. Hex octet r of a
+    digest IS digest word r rendered big-endian; this test pins the
+    equivalence so neither path can drift."""
+    from hashlib import md5
+
+    import numpy as np
+
+    from collimate_spark.operators.stats import CM_D, CM_W, _cm_cols
+
+    words = [f"tok{i}'s-Ünïcode_{i % 13}" for i in range(1000)] + ["", "a"]
+    buf = b"".join(md5(w.encode()).digest() for w in words)
+    cols = (
+        np.frombuffer(buf, dtype=">u4").reshape(len(words), CM_D).astype(np.int64)
+        % CM_W
+    )
+    ref = np.array([_cm_cols(w) for w in words], dtype=np.int64)
+    assert (cols == ref).all()
+
+
 def test_hll_native_relative_error(spark, sf_dir):
     """Native DataSketches HLL audited output: exact_distinct matches a
     directly-computed exact per group (and globally for <all>), and

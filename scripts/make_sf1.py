@@ -109,7 +109,17 @@ def main() -> None:
         for p in parts[1:]:
             un = un.unionByName(p)
         dst = os.path.join(out, f"{t}.parquet")
-        un.repartition(32).write.mode("overwrite").parquet(dst)
+        # File-count control WITHOUT a full shuffle when the union is
+        # already wide: repartition(32) materializes the whole scaled
+        # table as shuffle blocks first (36 GB of blockmgr scratch for
+        # the 200M-doc fifth-decade slice — more free disk than the box
+        # has, on top of the 32 GB output). coalesce() just glues input
+        # partitions onto 32 write tasks, zero scratch. Narrow unions
+        # (the small bench slices, 8 input files) still need the
+        # shuffle to SPREAD to 32 files for scan parallelism.
+        nparts = un.rdd.getNumPartitions()
+        un = un.coalesce(32) if nparts >= 32 else un.repartition(32)
+        un.write.mode("overwrite").parquet(dst)
         n = spark.read.parquet(dst).count()
         print(f"{t}: {n} rows -> {dst}")
 

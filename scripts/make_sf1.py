@@ -117,6 +117,12 @@ def main() -> None:
         # partitions onto 32 write tasks, zero scratch. Narrow unions
         # (the small bench slices, 8 input files) still need the
         # shuffle to SPREAD to 32 files for scan parallelism.
+        # SPARK_GRAFT_CPUS caveat (ADVICE r12): coalesce(32) propagates
+        # UPSTREAM — the whole read+mutate+union pipeline runs at ≤32
+        # tasks. Correct output and fine on the default local[32], but
+        # on a wider box (SPARK_GRAFT_CPUS > 32) it silently serializes
+        # the mutation work; raise the constant with the box if slice
+        # builds mysteriously slow down there.
         nparts = un.rdd.getNumPartitions()
         un = un.coalesce(32) if nparts >= 32 else un.repartition(32)
         un.write.mode("overwrite").parquet(dst)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -34,18 +35,66 @@ ARMS = ("1024", "4096")
 
 
 def run_arm(width: str, sf_dir: str) -> None:
-    """Child: one end-to-end dedup_containment run in a fresh JVM."""
+    """Child: one end-to-end dedup_containment run in a fresh JVM.
+
+    Sets its own confs (ADVICE r12): the width argument must BE the
+    effective shuffle width, not a label — a manual ``--arm 4096``
+    invocation without the parent's env would otherwise run at the
+    default 1024 with scale mode off while reporting width=4096. Env is
+    set before get_session (session confs are read at builder time);
+    the effective value is read back from the live session and emitted,
+    so the JSON can never lie about what ran.
+    """
+    os.environ["SPARK_GRAFT_SCALE_MODE"] = "1"
+    os.environ["SPARK_GRAFT_INITIAL_PARTITIONS"] = width
+    os.environ.setdefault("SPARK_GRAFT_CONTAINMENT_BATCHES", "3")
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
     from collimate_spark.operators import all_queries
     from collimate_spark.session import get_session
 
     spark = get_session("containment-width-probe")
+    effective = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "unset"
+    )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
     t0 = time.time()
     df = all_queries()["dedup_containment"](spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
-    print(json.dumps({"width": width, "t": round(dt, 1)}))
+    print(json.dumps({"width": effective, "t": round(dt, 1)}))
     spark.stop()
+
+
+def _run_child(width: str, sf_dir: str, timeout: int = 7200) -> dict:
+    # start_new_session + killpg on timeout (ADVICE r12 — same pattern
+    # as scale_sweep._cell): SIGKILLing only the direct Python child
+    # leaves the Spark JVM grandchild holding the capture pipes, so
+    # communicate() blocks forever and the dying JVM contaminates the
+    # other arm's timing.
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--arm", width, sf_dir],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        start_new_session=True,
+    )
+    try:
+        stdout, stderr = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)  # pgid == pid (new session)
+        except ProcessLookupError:
+            pass
+        try:
+            proc.communicate(timeout=30)
+        except Exception:
+            pass
+        return {"width": width, "t": None, "timeout_s": timeout}
+    lines = [l for l in stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        sys.exit(f"arm {width} produced no result:\n{stderr[-2000:]}")
+    return json.loads(lines[-1])
 
 
 def main() -> None:
@@ -56,29 +105,10 @@ def main() -> None:
     sf_dir = next((a for a in sys.argv[1:] if not a.startswith("-")), "/tmp/sf100m")
     results = {}
     for width in ARMS:
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_SCALE_MODE="1",
-            SPARK_GRAFT_INITIAL_PARTITIONS=width,
-            SPARK_GRAFT_CONTAINMENT_BATCHES=os.environ.get(
-                "SPARK_GRAFT_CONTAINMENT_BATCHES", "3"
-            ),
-            SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
-        )
         print(f"arm initialPartitionNum={width} on {sf_dir} ...", file=sys.stderr)
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--arm", width, sf_dir],
-            capture_output=True,
-            text=True,
-            env=env,
-            timeout=7200,
-        )
-        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-        if not lines:
-            sys.exit(f"arm {width} produced no result:\n{out.stderr[-2000:]}")
-        rec = json.loads(lines[-1])
-        results[width] = rec["t"]
-        print(f"  width {width}: {rec['t']}s", file=sys.stderr)
+        rec = _run_child(width, sf_dir)
+        results[rec["width"]] = rec["t"]
+        print(f"  width {rec['width']}: {rec['t']}s", file=sys.stderr)
     print(json.dumps(results))
 
 

@@ -487,6 +487,23 @@ def main() -> None:
     # so the headline total stays comparable to the r1 baseline (they
     # measure the host, not the engine). See the bench_calibration /
     # bench_calibration_io docstrings + BASELINE.md.
+    #
+    # A second sample of each AFTER the query set ("in both positions",
+    # ADVICE r12) separates sustained host pressure (pre ≈ post, both
+    # inflated — the r12 signature) from a transient burst or drift that
+    # arrived mid-run (pre ≠ post). The PRE values are the normalization
+    # series; the post values are diagnostic only.
+    try:
+        calibration_post = bench_calibration(spark)
+    except Exception:
+        calibration_post = None
+        errors["_calibration_post"] = traceback.format_exc(limit=3)
+    try:
+        calibration_io_post = bench_calibration_io()
+    except Exception:
+        calibration_io_post = None
+        errors["_calibration_io_post"] = traceback.format_exc(limit=3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     payload: dict = {
         "metric": "headline_query_wall_clock_total",
@@ -496,6 +513,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration_sec": calibration,
         "calibration_io_sec": calibration_io,
+        "calibration_post_sec": calibration_post,
+        "calibration_io_post_sec": calibration_io_post,
     }
     if errors:
         payload["errors"] = errors

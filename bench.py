@@ -415,7 +415,24 @@ def bench_ingest(spark) -> float:
     return round(min(times), 3)
 
 
+def calibrate_only() -> None:
+    """`python bench.py --calibrate`: just the two host probes (~10 s),
+    one JSON line — a quick host-state check before/after a bench or
+    judge re-bench, without running any query. Samples each probe twice
+    (IO, CPU, CPU, IO) so a drift arriving DURING the 10 s shows."""
+    out: dict = {}
+    out["calibration_io_sec"] = bench_calibration_io()
+    spark = get_session("collimate_spark_calibrate")
+    out["calibration_sec"] = bench_calibration(spark)
+    out["calibration_post_sec"] = bench_calibration(spark)
+    out["calibration_io_post_sec"] = bench_calibration_io()
+    print(json.dumps(out))
+
+
 def main() -> None:
+    if "--calibrate" in sys.argv:
+        calibrate_only()
+        return
     bench_set = list(BENCH_QUERIES)
     if "--wide" in sys.argv:
         bench_set += EXTRA_QUERIES

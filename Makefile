@@ -5,7 +5,7 @@
 
 PY ?= python3
 
-.PHONY: test pre-driver mirror-sf001 mirror-sf01 mirror-scale-mode bench bench-wide plans
+.PHONY: test pre-driver mirror-sf001 mirror-sf01 mirror-scale-mode bench bench-wide calibrate plans
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -36,6 +36,11 @@ bench:
 
 bench-wide:
 	$(PY) bench.py --wide
+
+# 10-second host-state check (both frozen calibration probes, no
+# queries) — run before trusting any perf number on this box.
+calibrate:
+	$(PY) bench.py --calibrate
 
 plans:
 	$(PY) -m collimate_spark.plans

@@ -6,6 +6,11 @@ Prints ONE JSON line:
 
 Each query is forced with the noop sink (full computation, no collect /
 serialization cost), timed individually after a warm-up of the session.
+
+Flags: --wide adds the non-headline operator set (the headline total
+stays r1-comparable without it); --calibrate runs ONLY the two frozen
+host probes (~10 s, no queries) — see BASELINE.md "Host-drift
+calibration" for how to read calibration_sec / calibration_io_sec.
 """
 
 from __future__ import annotations

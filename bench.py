@@ -557,7 +557,8 @@ def main() -> None:
     # late failure — the broken r12 calibration did exactly this)
     # competes with the payload for that 2000-char window; keep every
     # fallible step ABOVE this point and let per-step try/except route
-    # diagnostics into payload["errors"], never raw stdout. Printing the full payload AND a compact fallback would
+    # diagnostics into payload["errors"], never raw stdout.
+    # Printing the full payload AND a compact fallback would
     # leave a first-JSON-line parser reading the truncation-prone big
     # line (ADVICE r6) — so when oversized, the full payload goes to a
     # sidecar file and only the compact line hits stdout.

@@ -288,13 +288,31 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle computes the exact counts and predicts the audit bits as
     1 — an out-of-bound sketch hash-mismatches loudly. At 100 TB the
     approx side is the point (no distinct shuffle per group at rsd
-    precision); the exact twin here doubles as the audit baseline."""
+    precision); the exact twin here doubles as the audit baseline.
+
+    The approx and exact sides are SEPARATE aggregations joined on the
+    3-row group key, never one combined agg: Spark plans multiple
+    COUNT(DISTINCT) via Expand, and any plain aggregate sharing that agg
+    is evaluated in the first (per-distinct-value-grained) HashAggregate
+    — here that meant one ~12 KB rsd=0.01 HLL++ partial buffer PER
+    DISTINCT (flag, key) VALUE (~600k first-stage groups ≈ 7 GB of agg
+    state at sf0.1; measured 45-480 s/run, spill-bound). Split, the HLL
+    buffers exist only per output group (3) and the multi-distinct
+    Expand agg carries nothing but count buffers — same output."""
     li = load_table(spark, "lineitem", sf_dir)
-    agg = li.groupBy("l_returnflag").agg(
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("__ap"),
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("__ao"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
         F.count_distinct("l_partkey").alias("exact_parts"),
         F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    # null-safe equality: a NULL group (none in TPC-H data, but the
+    # combined agg this replaces kept it) must survive the re-join
+    agg = exact.join(
+        F.broadcast(approx.withColumnRenamed("l_returnflag", "__rf")),
+        exact["l_returnflag"].eqNullSafe(F.col("__rf")),
     )
     # Audit bound: 4·rsd, not 3 — 3·rsd is a ~99% probabilistic HLL++
     # envelope, not a guarantee, and the oracle hardcodes the bit to 1,

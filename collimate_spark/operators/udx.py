@@ -741,29 +741,42 @@ def hll_native_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is the EXACT distinct plus a bit asserting the sketch
     estimate sits within 4·rse of it (lgConfigK=12 → rse ≈ 1.63%;
     measured worst margin 0.66·rse across sf0.001/0.01/0.1 — 6×
-    headroom; a flip at a new SF is calibration, not regression)."""
+    headroom; a flip at a new SF is calibration, not regression).
+
+    The sketch agg and the exact COUNT(DISTINCT) are SEPARATE
+    aggregations re-joined on the group key (r13; same planning artifact
+    as agg_approx_distinct): sharing one agg put partial_hll_sketch_agg
+    into the distinct rewrite's first stage, i.e. one DataSketches
+    object per distinct (priority, custkey) PAIR — ~130k sketches built
+    and shuffled at sf0.1 where 5 suffice, and the per-value buffer
+    count grows with the key cardinality at scale. Split, the sketch
+    ObjectHashAggregate keys by priority alone (5 objects/task) and the
+    exact side is the standard Expand distinct plan; the per-priority
+    and global exacts share ONE scan via GROUPING SETS. Output
+    identical (oracle-verified); scans 5 → 3, measured 1.9 s → 0.5 s."""
     orders = load_table(spark, "orders", sf_dir)
     orders.createOrReplaceTempView("orders_v")
     return spark.sql(
         """
-        WITH per_prio AS (
-          SELECT o_orderpriority, hll_sketch_agg(o_custkey) AS sk,
-                 COUNT(DISTINCT o_custkey) AS exact_distinct
+        WITH sk AS (
+          SELECT o_orderpriority, hll_sketch_agg(o_custkey) AS sk
           FROM orders_v GROUP BY 1
+        ), est AS (
+          SELECT o_orderpriority, hll_sketch_estimate(sk) AS est FROM sk
+          UNION ALL
+          SELECT '<all>', hll_sketch_estimate(hll_union_agg(sk)) FROM sk
+        ), ex AS (
+          SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN '<all>'
+                      ELSE o_orderpriority END AS o_orderpriority,
+                 COUNT(DISTINCT o_custkey) AS exact_distinct
+          FROM orders_v
+          GROUP BY GROUPING SETS ((o_orderpriority), ())
         )
-        SELECT o_orderpriority, exact_distinct,
-               CAST(ABS(hll_sketch_estimate(sk) - exact_distinct)
-                    / exact_distinct <= 4 * 1.04 / SQRT(4096) AS BIGINT)
+        SELECT ex.o_orderpriority, ex.exact_distinct,
+               CAST(ABS(est.est - ex.exact_distinct)
+                    / ex.exact_distinct <= 4 * 1.04 / SQRT(4096) AS BIGINT)
                  AS est_within_4rse
-        FROM per_prio
-        UNION ALL
-        SELECT '<all>' AS o_orderpriority,
-               (SELECT COUNT(DISTINCT o_custkey) FROM orders_v) AS exact_distinct,
-               CAST(ABS(hll_sketch_estimate(hll_union_agg(sk))
-                        - (SELECT COUNT(DISTINCT o_custkey) FROM orders_v))
-                    / (SELECT COUNT(DISTINCT o_custkey) FROM orders_v)
-                    <= 4 * 1.04 / SQRT(4096) AS BIGINT) AS est_within_4rse
-        FROM per_prio
+        FROM ex JOIN est ON ex.o_orderpriority <=> est.o_orderpriority
         ORDER BY o_orderpriority
         """
     )
@@ -794,7 +807,18 @@ def hll_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact counts hash; the derived estimate is audited against the
     union-scaled envelope (3 × 2% × |A∪B| + 1 — each of the three
     estimates carries ~1.6% rse at default lgK; measured error 20 vs
-    envelope ~90 at sf0.1)."""
+    envelope ~90 at sf0.1).
+
+    Sketches and exact COUNT(DISTINCT)s are SEPARATE one-row
+    aggregations cross-joined (r13; the agg_approx_distinct planning
+    artifact): sharing one agg put the three partial_hll_sketch_agg
+    buffers into the multi-distinct Expand plan's per-distinct-value
+    first stage — 3 sketch objects per distinct user instead of 3
+    total, a per-value buffer count that grows with |users| at scale.
+    The old scalar exact-union subquery also folds into the exact agg
+    as a third COUNT(DISTINCT CASE ...) — same value (CASE yields NULL
+    outside the filter; COUNT DISTINCT ignores NULLs), one fewer scan.
+    Output identical (oracle-verified)."""
     ev = load_table(spark, "events", sf_dir)
     ev.createOrReplaceTempView("events_hll_v")
     return spark.sql(
@@ -803,18 +827,20 @@ def hll_intersection_users(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT hll_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END) AS sk_a,
                  hll_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END) AS sk_b,
                  hll_sketch_agg(CASE WHEN event_type IN ('click', 'purchase')
-                                     THEN user_id END) AS sk_u,
-                 COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS exact_a,
-                 COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS exact_b
+                                     THEN user_id END) AS sk_u
+          FROM events_hll_v
+        ), ex AS (
+          SELECT COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS exact_a,
+                 COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS exact_b,
+                 COUNT(DISTINCT CASE WHEN event_type IN ('click', 'purchase')
+                                     THEN user_id END) AS exact_u
           FROM events_hll_v
         ), est AS (
           SELECT hll_sketch_estimate(sk_a) AS e_a,
                  hll_sketch_estimate(sk_b) AS e_b,
                  hll_sketch_estimate(sk_u) AS e_u,
-                 exact_a, exact_b,
-                 (SELECT COUNT(DISTINCT user_id) FROM events_hll_v
-                  WHERE event_type IN ('click', 'purchase')) AS exact_u
-          FROM sk
+                 exact_a, exact_b, exact_u
+          FROM sk CROSS JOIN ex
         )
         SELECT exact_a AS exact_clickers, exact_b AS exact_purchasers,
                exact_u AS exact_union,

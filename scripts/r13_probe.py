@@ -32,6 +32,10 @@ def main() -> None:
     args = sys.argv[1:]
     runs = 3
     suffix = None
+    plan_only = False
+    if "--plan-only" in args:
+        plan_only = True
+        args.remove("--plan-only")
     if "--runs" in args:
         i = args.index("--runs")
         runs = int(args[i + 1])
@@ -56,6 +60,9 @@ def main() -> None:
                 )
                 with open(os.path.join(PLANS_DIR, f"{name}_{suffix}.txt"), "w") as f:
                     f.write(plan)
+            if plan_only:
+                print(f"{name}: plan written", flush=True)
+                continue
             times = []
             for _ in range(runs):
                 spark.sparkContext.setJobDescription(f"r13_probe: {name}")

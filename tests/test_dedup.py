@@ -207,3 +207,53 @@ def test_containment_batched_mode_identical(spark, sf_dir, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_CONTAINMENT_BATCHES", "3")
     batched = sorted(tuple(r) for r in dedup_containment(spark, sf_dir).collect())
     assert batched == base and len(base) > 0
+
+
+def test_hashed_gram_counting_matches_string_grams(spark):
+    """r13: repetition_metrics and dup_span_coverage count distinct
+    n-grams/windows via xxhash64 over once-hashed token tuples instead
+    of building one string per gram. Tokens contain no spaces (split on
+    the normalized single space), so tuple equality == joined-string
+    equality; this pins the two forms identical on docs exercising the
+    edges: empty text, fewer tokens than n, all-repeat docs, and
+    straddling repeats."""
+    from collimate_spark.operators.textstats import _ngram_hashes_all
+
+    rows = [
+        (1, ""),
+        (2, "one two"),
+        (3, "a b c a b c a b c"),
+        (4, "x x x x x"),
+        (5, "alpha beta gamma delta epsilon zeta eta theta"),
+        (6, "p q r  p q r\tp q"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    base = docs.select("doc_id", X.tokens(F.col("text")).alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("th"),
+    )
+
+    def str_grams(toks, n):
+        joined = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+        return F.when(F.size(toks) >= n, joined).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    for n in (3, 5):
+        got = base.select(
+            "doc_id",
+            F.size(_ngram_hashes_all(F.col("th"), n)).alias("n_grams"),
+            F.size(F.array_distinct(_ngram_hashes_all(F.col("th"), n))).alias(
+                "n_distinct"
+            ),
+        ).collect()
+        want = base.select(
+            "doc_id",
+            F.size(str_grams(F.col("toks"), n)).alias("n_grams"),
+            F.size(F.array_distinct(str_grams(F.col("toks"), n))).alias("n_distinct"),
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))

@@ -55,6 +55,13 @@ def session_confs(shuffle_partitions: int, scale_mode: bool) -> dict[str, str]:
         # Dimension tables under this size are broadcast automatically.
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+        # Parquet OUTPUT codec (guide §6): zstd measured both faster to
+        # write than snappy (1.67 s vs 2.12 s for sf0.1 lineitem,
+        # min-of-2) and 20% smaller (8.6 MB vs 10.8 MB) on this box —
+        # at cluster scale the byte savings compound into scan/network
+        # wins for every downstream reader. Read-side is codec-agnostic;
+        # results are unaffected (r13).
+        "spark.sql.parquet.compression.codec": "zstd",
         # Legacy-compat only: current testdata stores events.ts as parquet
         # timestamp[us] (read natively as TIMESTAMP_NTZ; catalog.load_table
         # guarantees that dtype). If a dataset ever ships TIMESTAMP(NANOS)

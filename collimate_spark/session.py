@@ -55,13 +55,6 @@ def session_confs(shuffle_partitions: int, scale_mode: bool) -> dict[str, str]:
         # Dimension tables under this size are broadcast automatically.
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
-        # Parquet OUTPUT codec (guide §6): zstd measured both faster to
-        # write than snappy (1.67 s vs 2.12 s for sf0.1 lineitem,
-        # min-of-2) and 20% smaller (8.6 MB vs 10.8 MB) on this box —
-        # at cluster scale the byte savings compound into scan/network
-        # wins for every downstream reader. Read-side is codec-agnostic;
-        # results are unaffected (r13).
-        "spark.sql.parquet.compression.codec": "zstd",
         # Legacy-compat only: current testdata stores events.ts as parquet
         # timestamp[us] (read natively as TIMESTAMP_NTZ; catalog.load_table
         # guarantees that dtype). If a dataset ever ships TIMESTAMP(NANOS)
@@ -84,6 +77,16 @@ def session_confs(shuffle_partitions: int, scale_mode: bool) -> dict[str, str]:
             os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "1024")
         )
         confs["spark.io.compression.codec"] = "zstd"
+        # Parquet OUTPUT codec (guide §6): 20% smaller files (8.6 vs
+        # 10.8 MB for sf0.1 lineitem), which at cluster scale compounds
+        # into scan/network wins for every downstream reader. Gated on
+        # scale mode because the WRITE is measurably (~7%) slower on
+        # this box (interleaved min-of-3: zstd 1.571 s vs snappy
+        # 1.464 s for the same lineitem rewrite) — at bench scale the
+        # byte savings buy nothing back, so the local default stays
+        # snappy to keep the bench r1-comparable. Read side is
+        # codec-agnostic; results are unaffected either way (r13).
+        confs["spark.sql.parquet.compression.codec"] = "zstd"
     return confs
 
 

@@ -16,18 +16,21 @@ from collimate_spark.session import session_confs
 
 _IPN = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
 _CODEC = "spark.io.compression.codec"
+_PQ_CODEC = "spark.sql.parquet.compression.codec"
 
 
 def test_scale_confs_absent_by_default():
     confs = session_confs(32, scale_mode=False)
     assert _IPN not in confs, "wide initial shuffles leaked into bench-scale sessions"
     assert _CODEC not in confs, "zstd codec leaked into bench-scale sessions"
+    assert _PQ_CODEC not in confs, "zstd parquet output leaked into bench-scale sessions"
 
 
 def test_scale_mode_adds_decade_knobs():
     confs = session_confs(32, scale_mode=True)
     assert confs[_IPN] == "1024"
     assert confs[_CODEC] == "zstd"
+    assert confs[_PQ_CODEC] == "zstd"
 
 
 def test_scale_mode_initial_partitions_overridable(monkeypatch):

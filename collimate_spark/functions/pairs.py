@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
 DEFAULT_PAIR_CAP = 1024
@@ -82,3 +83,138 @@ def bounded_self_pairs(
         )
     out_cols += [F.col("__ci"), F.col("__cj")]
     return joined.select(*out_cols)
+
+
+def _list_to_mat(arr):
+    """Arrow list<floating> column -> 2D float64 ndarray (rows must share
+    one length). float32 -> float64 is exact, matching the JVM's
+    cast("double")."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off = arr.offsets.to_numpy(zero_copy_only=False)
+    widths = off[1:] - off[:-1]
+    if len(widths) == 0:
+        return np.zeros((0, 0))
+    d = widths[0]
+    if not (widths == d).all():
+        raise ValueError("blocked_pair_cosines requires uniform vector dims")
+    vals = arr.values.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    return vals[off[0] : off[-1]].reshape(len(widths), d)
+
+
+def _gram_kernel(table):
+    """One (group, chunk_i, chunk_j) block: expand every valid pair and
+    compute cos = dot/(|a|·|b|) with the SAME float64 arithmetic as the
+    sequential left folds in functions/vectors.py (dot and squared-norm
+    both accumulate dimension-by-dimension in index order, so every
+    per-pair double is bit-identical to the zip_with+aggregate form —
+    pinned by tests/test_skew.py::test_blocked_pair_cosines_matches_hof).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    role = table.column("__role").to_numpy(zero_copy_only=False)
+    ids = table.column("__pid").to_numpy(zero_copy_only=False)
+    mat = _list_to_mat(table.column("__pvec"))
+    same = bool(table.column("__gi")[0].as_py() == table.column("__gj")[0].as_py())
+    a_sel, b_sel = role == 0, role == 1
+    ida, idb = ids[a_sel], ids[b_sel]
+    A, B = mat[a_sel], mat[b_sel]
+    sa, sb = len(ida), len(idb)
+    n_group = table.num_columns - 5  # leading group-key columns
+    names = [table.column_names[i] for i in range(n_group)]
+    if sa == 0 or sb == 0:
+        empty = [pa.array([], type=table.column(i).type) for i in range(n_group)]
+        empty += [
+            pa.array([], type=table.column("__pid").type),
+            pa.array([], type=table.column("__pid").type),
+            pa.array([], type=pa.float64()),
+        ]
+        return pa.table(empty, names=names + ["id_a", "id_b", "cos_raw"])
+    d = A.shape[1]
+    # squared norms: sequential left fold over dimensions (== V.norm)
+    sqa = np.zeros(sa)
+    for k in range(d):
+        sqa += A[:, k] * A[:, k]
+    sqb = np.zeros(sb)
+    for k in range(d):
+        sqb += B[:, k] * B[:, k]
+    na, nb = np.sqrt(sqa), np.sqrt(sqb)
+    # pairwise dot: same left fold, one rank-1 update per dimension
+    acc = np.zeros((sa, sb))
+    for k in range(d):
+        acc += A[:, k][:, None] * B[:, k][None, :]
+    cos = acc / (na[:, None] * nb[None, :])
+    if same:
+        keep = ida[:, None] < idb[None, :]
+    else:
+        keep = np.ones((sa, sb), dtype=bool)
+    ii, jj = np.nonzero(keep)
+    xa, xb, c = ida[ii], idb[jj], cos[ii, jj]
+    swap = xa > xb
+    out_a = np.where(swap, xb, xa)
+    out_b = np.where(swap, xa, xb)
+    cols = [
+        pa.array([table.column(i)[0].as_py()] * len(out_a), type=table.column(i).type)
+        for i in range(n_group)
+    ]
+    cols += [pa.array(out_a), pa.array(out_b), pa.array(c, type=pa.float64())]
+    return pa.table(cols, names=names + ["id_a", "id_b", "cos_raw"])
+
+
+def blocked_pair_cosines(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    vec_col: str,
+    size_col: str,
+    cap: int = DEFAULT_PAIR_CAP,
+) -> DataFrame:
+    """All unordered within-group pair COSINES (id_a < id_b), same pair
+    set and task bound as ``bounded_self_pairs`` — but the vectors never
+    ride a pair-exploding join. Each vector row is shuffled (replicated
+    ⌈s/cap⌉+1 ways, exactly the two join sides' replication) to its
+    chunk-pair groups, and one applyInArrow kernel per (group, ci, cj)
+    block expands the ≤ cap×cap pairs and computes their cosines
+    vectorized — shuffle bytes are O(vectors·chunks), not O(pairs·dim)
+    (guide §8: move lightweight rows, expand where the decision is made).
+
+    Output: group_cols + (id_a, id_b, cos_raw). cos_raw is bit-identical
+    to ``V.dot(a,b)/(V.norm(a)*V.norm(b))`` — the kernel replays the same
+    dimension-order float64 left folds.
+    """
+    gcols = list(group_cols)
+    nch = F.greatest(F.lit(1), F.ceil(F.col(size_col) / F.lit(cap))).cast("int")
+    base = df.withColumn("__nch", nch).withColumn(
+        "__chunk", F.pmod(F.xxhash64(F.col(id_col)), F.col("__nch")).cast("int")
+    )
+    vec = F.col(vec_col).cast("array<double>").alias("__pvec")
+    a = base.select(
+        *gcols,
+        F.col("__chunk").alias("__gi"),
+        F.explode(F.sequence(F.col("__chunk"), F.col("__nch") - 1)).alias("__gj"),
+        F.lit(0).alias("__role"),
+        F.col(id_col).alias("__pid"),
+        vec,
+    )
+    b = base.select(
+        *gcols,
+        F.explode(F.sequence(F.lit(0), F.col("__chunk"))).alias("__gi"),
+        F.col("__chunk").alias("__gj"),
+        F.lit(1).alias("__role"),
+        F.col(id_col).alias("__pid"),
+        vec,
+    )
+    u = a.unionByName(b)
+    schema = T.StructType(
+        [df.schema[c] for c in gcols]
+        + [
+            T.StructField("id_a", df.schema[id_col].dataType),
+            T.StructField("id_b", df.schema[id_col].dataType),
+            T.StructField("cos_raw", T.DoubleType()),
+        ]
+    )
+    return u.groupBy(*gcols, "__gi", "__gj").applyInArrow(_gram_kernel, schema)

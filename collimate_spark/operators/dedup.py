@@ -28,7 +28,7 @@ from collimate_spark.scratch import scache
 from collimate_spark.functions import fast_text
 from collimate_spark.functions import text as X
 from collimate_spark.functions import vectors as V
-from collimate_spark.functions.pairs import bounded_self_pairs
+from collimate_spark.functions.pairs import blocked_pair_cosines, bounded_self_pairs
 
 JACCARD_THRESHOLD = 0.8
 MINHASH_K = 128
@@ -589,24 +589,23 @@ def dedup_embedding_cosine(
     10-row count."""
     emb = load_table(spark, "embeddings", sf_dir)
     sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("__n"))
-    # per-vector norm computed ONCE here and carried as pair payload —
-    # computing cosine as dot/(norm_a·norm_b) per pair would re-fold both
-    # norms for every one of the O(s²) pairs (measured 3× the runtime).
-    # The division tree is unchanged, so results stay bit-identical to
-    # the oracle's dot/(|a|·|b|).
-    sized = emb.join(F.broadcast(sizes), "label").withColumn(
-        "nrm", V.norm(F.col("embedding"))
-    )
-    pairs = bounded_self_pairs(
-        sized, ["label"], "vec_id", "__n", cap=block_cap,
-        payload_cols=["embedding", "nrm"],
-    )
-    cos_raw = V.dot(F.col("embedding_a"), F.col("embedding_b")) / (
-        F.col("nrm_a") * F.col("nrm_b")
+    sized = emb.join(F.broadcast(sizes), "label")
+    # r13 (guide §8): pair cosines via the blocked Gram kernel — only
+    # VECTOR rows are shuffled (⌈s/cap⌉+1-way replication, the same as
+    # the old join's two exploded sides) and the ≤ cap×cap pair
+    # expansion + dot happens vectorized inside one applyInArrow task
+    # per chunk-pair block, instead of 1 KB of embedding payload riding
+    # every one of the O(s²) join output rows through the exchange and
+    # an interpreted zip_with+aggregate fold running per pair. cos_raw
+    # is bit-identical (the kernel replays the same dimension-order
+    # float64 left folds — pinned in test_skew.py), so the 6dp filter
+    # and 4dp output are unchanged. Measured 4.93 s → see
+    # OPTIMIZATION_r13.md; the win grows with cluster size.
+    scored = blocked_pair_cosines(
+        sized, ["label"], "vec_id", "embedding", "__n", cap=block_cap
     )
     return (
-        pairs.withColumn("cos_raw", cos_raw)
-        .filter(F.round(F.col("cos_raw"), 6) >= EMB_COSINE_THRESHOLD)
+        scored.filter(F.round(F.col("cos_raw"), 6) >= EMB_COSINE_THRESHOLD)
         .select(
             "label",
             F.col("id_a").alias("vec_a"),
@@ -676,15 +675,16 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("__n"))
     sized = emb.join(F.broadcast(sizes), "label")
-    pairs = bounded_self_pairs(
-        sized, ["label"], "vec_id", "__n", cap=EMB_BLOCK_CAP, payload_cols=["v"]
-    )
-    cos_raw = V.dot(F.col("v_a"), F.col("v_b")) / (
-        V.norm(F.col("v_a")) * V.norm(F.col("v_b"))
+    # r13: same blocked Gram kernel as dedup_embedding_cosine (guide §8)
+    # — vectors shuffle once to their chunk-pair blocks instead of every
+    # pair carrying both embeddings through the join, and the kernel's
+    # folds are bit-identical to the old per-pair V.dot/V.norm (which
+    # re-folded BOTH norms for every pair).
+    scored = blocked_pair_cosines(
+        sized, ["label"], "vec_id", "v", "__n", cap=EMB_BLOCK_CAP
     )
     dup_pairs = (
-        pairs.withColumn("cos_raw", cos_raw)
-        .filter(F.round(F.col("cos_raw"), 6) >= SEMDEDUP_TAU)
+        scored.filter(F.round(F.col("cos_raw"), 6) >= SEMDEDUP_TAU)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
     edges = dup_pairs.select(

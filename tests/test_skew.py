@@ -213,3 +213,49 @@ def test_bounded_pairs_property(spark):
         assert got == want
 
     check()
+
+
+def test_blocked_pair_cosines_matches_hof(spark):
+    """The Gram-kernel pair cosines must be BIT-identical to the
+    zip_with+aggregate left-fold form over the exact bounded_self_pairs
+    pair set — chunked (size > cap) and unchunked groups alike. This is
+    the contract that let dedup_embedding_cosine drop the pair-exploding
+    payload join (r13)."""
+    import math
+    import random
+
+    from collimate_spark.functions import vectors as V
+    from collimate_spark.functions.pairs import blocked_pair_cosines
+
+    rng = random.Random(13)
+    rows = []
+    # group 0: 25 members with cap=10 -> 3 chunks (cross-chunk blocks);
+    # group 1: 7 members, single chunk
+    for g, n in ((0, 25), (1, 7)):
+        for i in range(n):
+            rows.append((g, g * 1000 + i, [rng.uniform(-1, 1) for _ in range(5)]))
+    df = spark.createDataFrame(rows, "label: int, vec_id: long, embedding: array<double>")
+    sized = df.join(
+        F.broadcast(df.groupBy("label").agg(F.count(F.lit(1)).alias("__n"))), "label"
+    )
+    got = {
+        (r.label, r.id_a, r.id_b): r.cos_raw
+        for r in blocked_pair_cosines(
+            sized, ["label"], "vec_id", "embedding", "__n", cap=10
+        ).collect()
+    }
+    pairs = bounded_self_pairs(
+        sized, ["label"], "vec_id", "__n", cap=10, payload_cols=["embedding"]
+    )
+    want = {
+        (r.label, r.id_a, r.id_b): r.cos_raw
+        for r in pairs.withColumn(
+            "cos_raw",
+            V.dot(F.col("embedding_a"), F.col("embedding_b"))
+            / (V.norm(F.col("embedding_a")) * V.norm(F.col("embedding_b"))),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    assert len(got) == 25 * 24 // 2 + 7 * 6 // 2
+    for k, v in want.items():
+        assert math.isclose(got[k], v, rel_tol=0.0, abs_tol=0.0), (k, got[k], v)

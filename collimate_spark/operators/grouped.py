@@ -16,6 +16,7 @@ import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
 from collimate_spark.catalog import load_table
+from collimate_spark.functions.quantiles import group_percentiles
 from collimate_spark.scratch import scache
 
 ZSCORE_SCHEMA = T.StructType(
@@ -142,14 +143,32 @@ ORDER BY event_type
 
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles (Spark `percentile` ==
-    DuckDB `quantile_cont`)."""
+    DuckDB `quantile_cont`), computed sort-based: Spark's native
+    ``percentile`` buffers every (value, count) pair in ONE
+    ObjectHashAggregate task per group (the whole column's data for
+    near-continuous doubles — guide §5), where
+    :func:`~collimate_spark.functions.quantiles.group_percentiles`
+    reproduces the same double arithmetic bit-for-bit from a codegen
+    hash aggregate + ordered window (fuzz-pinned in
+    tests/test_quantile_sketch.py). One helper call per value column,
+    re-attached with a null-safe broadcast join on the 3-row group key."""
     li = load_table(spark, "lineitem", sf_dir)
+    price = group_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", [(0.5, "p50r"), (0.9, "p90r")]
+    )
+    qty = group_percentiles(
+        li.select(F.col("l_returnflag").alias("rf2"), "l_quantity"),
+        ["rf2"],
+        "l_quantity",
+        [(0.25, "p25r")],
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
-            F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25_qty"),
+        price.join(F.broadcast(qty), F.expr("l_returnflag <=> rf2"), "inner")
+        .select(
+            "l_returnflag",
+            F.round("p50r", 4).alias("p50_price"),
+            F.round("p90r", 4).alias("p90_price"),
+            F.round("p25r", 4).alias("p25_qty"),
         )
         .orderBy("l_returnflag")
     )
@@ -183,7 +202,12 @@ def agg_percentile_disc(
     tests/test_plans.py::test_agg_percentile_disc_approx_rank_bound
     asserts. The exact mode's two ObjectHashAggregate value buffers are
     the documented, oracle-required cost (same posture as
-    winsorize/mad)."""
+    winsorize/mad). The sort-based group_percentiles(discrete=True)
+    rewrite was measured here (r13 interleaved A/B) and REJECTED: with
+    only one near-continuous buffer (l_quantity's map is 50 entries) a
+    full dedup+window pass costs more than the buffer it replaces
+    (min-of-5 2.26 s vs 2.06 s); the helper's disc form stays available
+    for multi-quantile single-column sites."""
     from collimate_spark.operators.dataeng import APPROX_PCT_ACCURACY
 
     li = load_table(spark, "lineitem", sf_dir)

@@ -173,3 +173,55 @@ def test_hll_intersection_error_bound(spark, sf_dir):
         r.exact_intersection
         == r.exact_clickers + r.exact_purchasers - r.exact_union
     ), r
+
+
+def test_group_percentiles_bitwise_matches_spark(spark):
+    """Fuzz pin for the sort-based exact percentile kernel
+    (functions/quantiles.py): group_percentiles must reproduce Spark's
+    value-buffering `percentile` (cont) and `percentile_disc` (disc)
+    BIT-FOR-BIT — mixed continuous/heavy-dup/negative/NULL data, an
+    all-NULL group (NULL result, group preserved), a single-value group,
+    and groups whose cume_dist lands EXACTLY on a requested q (the
+    disc boundary rule) — across q = 0, interior, and 1."""
+    import random
+
+    from collimate_spark.functions.quantiles import group_percentiles
+
+    random.seed(13)
+    rows = []
+    for g in range(5):
+        n = random.choice([1, 2, 3, 17, 200])
+        for _ in range(n):
+            r = random.random()
+            if r < 0.15:
+                v = None
+            elif r < 0.5:
+                v = float(random.randint(-3, 3))  # heavy duplicates
+            else:
+                v = random.uniform(-100, 100)
+            rows.append((g, v))
+    rows += [(97, None), (97, None), (98, 42.0)]
+    rows += [(99, v) for v in (1.0, 2.0, 3.0, 4.0)]  # fracs exactly .25..1
+    rows += [(100, v) for v in (1.0, 1.0, 2.0, 2.0)]  # dup boundary .5/1
+    df = spark.createDataFrame(rows, "grp int, v double")
+    qs = [0.0, 0.01, 0.25, 0.5, 0.66, 0.75, 0.9, 0.99, 1.0]
+    specs = [(q, f"p{int(q * 100)}") for q in qs]
+
+    ref_cont = df.groupBy("grp").agg(
+        *[F.expr(f"percentile(v, {q}D)").alias(f"p{int(q * 100)}") for q in qs]
+    )
+    new_cont = group_percentiles(df, ["grp"], "v", specs)
+    assert ref_cont.exceptAll(new_cont).count() == 0
+    assert new_cont.exceptAll(ref_cont).count() == 0
+
+    ref_disc = df.groupBy("grp").agg(
+        *[
+            F.expr(f"percentile_disc({q}D) WITHIN GROUP (ORDER BY v)").alias(
+                f"p{int(q * 100)}"
+            )
+            for q in qs
+        ]
+    )
+    new_disc = group_percentiles(df, ["grp"], "v", specs, discrete=True)
+    assert ref_disc.exceptAll(new_disc).count() == 0
+    assert new_disc.exceptAll(ref_disc).count() == 0

@@ -21,6 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from collimate_spark.catalog import load_table
+from collimate_spark.functions.quantiles import group_percentiles
 from collimate_spark.scratch import scache
 
 
@@ -187,18 +188,30 @@ def winsorize_stats(
     asserted in tests against the GK rank bound (measured 3.2× faster
     at sf0.1: 2.78s → 0.87s whole-query, min-of-3)."""
     li = load_table(spark, "lineitem", sf_dir)
-    # ONE array-percentile aggregate: two separate percentile exprs each
-    # buffer the full column (measured 4.4s vs 1.9s at sf0.1 — the
-    # ObjectHashAggregate holds one value map instead of two)
-    pct = (
-        f"approx_percentile(l_extendedprice, array(0.01, 0.99), {APPROX_PCT_ACCURACY})"
-        if approx
-        else "percentile(l_extendedprice, array(0.01, 0.99))"
-    )
-    both = li.agg(F.expr(pct).alias("b"))
-    bounds = both.select(
-        F.element_at("b", 1).alias("p01"), F.element_at("b", 2).alias("p99")
-    )
+    if approx:
+        # ONE array-percentile aggregate: two separate sketch exprs would
+        # each pay their own insert/compress pass
+        both = li.agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.01, 0.99),"
+                f" {APPROX_PCT_ACCURACY})"
+            ).alias("b")
+        )
+        bounds = both.select(
+            F.element_at("b", 1).alias("p01"), F.element_at("b", 2).alias("p99")
+        )
+    else:
+        # sort-based exact bounds (functions/quantiles.py): bit-equal to
+        # percentile(col, array(0.01, 0.99)) — the array-buffering
+        # ObjectHashAggregate held every value in one final task
+        # (r13 interleaved A/B: 2.98 s -> 2.22 s whole-query min-of-5,
+        # every sample faster)
+        bounds = group_percentiles(
+            li.select("l_extendedprice"),
+            [],
+            "l_extendedprice",
+            [(0.01, "p01"), (0.99, "p99")],
+        )
     clamped = li.crossJoin(F.broadcast(bounds)).withColumn(
         "wins", F.least(F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99"))
     )

@@ -504,19 +504,30 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~|name| keys per row instead of an O(n²) cross with levenshtein —
     the 100 TB answer to fuzzy matching. Candidates are then verified
     with exact levenshtein == 1 (both engines implement the same DP
-    definition, so the oracle hash-matches)."""
+    definition, so the oracle hash-matches).
+
+    The join key is ``xxhash64`` of the wildcard string, not the string
+    itself: key equality is all that matters (keys never escape the
+    kernel), so an 8-byte long replaces an 18-char string through the
+    self-join's exchange — the same 2^-64-collision posture as dedup's
+    hashed shingles, and any spurious collision still faces the exact
+    levenshtein verify. Key building explodes the position sequence
+    first so the substr/concat runs in whole-stage codegen instead of
+    the interpreted ``transform`` HOF evaluator (r13 interleaved A/B:
+    min-of-5 2.27 -> 1.96 s, identical 14 998 pairs)."""
     cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name")
     keyed = cust.select(
         "c_custkey",
         "c_name",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("c_name")),
-                lambda i: F.concat(
-                    F.col("c_name").substr(F.lit(1), i - 1),
-                    F.lit("*"),
-                    F.col("c_name").substr(i + 1, F.length("c_name")),
-                ),
+        F.explode(F.sequence(F.lit(1), F.length("c_name"))).alias("i"),
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.xxhash64(
+            F.concat(
+                F.col("c_name").substr(F.lit(1), F.col("i") - 1),
+                F.lit("*"),
+                F.col("c_name").substr(F.col("i") + 1, F.length("c_name")),
             )
         ).alias("k"),
     )

@@ -262,38 +262,58 @@ ORDER BY c_nationkey, c_mktsegment
 def table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column auto-profile — the df.describe()/summary() role as an
     oracled long-format query: per numeric column, null count, distinct
-    count, min/max/mean. ONE wide conditional aggregation produces every
-    cell (no per-column scans — the same single-pass trick
-    ingest.profile uses for type inference), then an unpivot to rows.
-    This is the table-health dashboard query a warehouse runs after
-    every load; at 100 TB it is exactly one scan."""
+    count, min/max/mean. The plain aggregates (count/nulls/min/max/mean)
+    ride ONE wide codegen aggregation; the four exact distinct counts
+    are deliberately NOT in that agg — multiple COUNT(DISTINCT) on
+    different columns force the multi-distinct ``Expand`` plan (5
+    projections × every row through the first-stage aggregate, the
+    agg_approx_distinct anti-pattern). Instead one posexplode turns each
+    row into 4 skinny (col_id, value) pairs whose two-level dedup agg
+    partial-aggregates duplicates map-side, and a tiny pivot re-attaches
+    the counts (r13 interleaved A/B: min-of-5 1.82 → 1.41 s, identical
+    rows; plan Expand 2 → 0). Means come from the plain agg, so the
+    summation arithmetic is byte-unchanged. This is the table-health
+    dashboard query a warehouse runs after every load."""
     li = load_table(spark, "lineitem", sf_dir)
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    agg = li.agg(
+    plain = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         *[
             a
             for c in cols
             for a in (
                 F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-                F.countDistinct(c).alias(f"{c}__distinct"),
                 F.round(F.min(c), 4).alias(f"{c}__min"),
                 F.round(F.max(c), 4).alias(f"{c}__max"),
                 F.round(F.avg(c), 4).alias(f"{c}__mean"),
             )
         ],
     )
+    long = li.select(
+        F.posexplode(F.array(*[F.col(c) for c in cols])).alias("cid", "v")
+    )
+    dist = (
+        long.filter(F.col("v").isNotNull())
+        .groupBy("cid", "v")
+        .agg(F.lit(1))
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    dmap = dist.groupBy().pivot("cid", list(range(len(cols)))).agg(F.first("nd"))
+    agg = plain.crossJoin(F.broadcast(dmap))
     profiles = [
         F.struct(
             F.lit(c).alias("col_name"),
             F.col("n_rows").alias("n_rows"),
             F.col(f"{c}__nulls").alias("n_nulls"),
-            F.col(f"{c}__distinct").alias("n_distinct"),
+            # coalesce: an all-NULL column has no (cid, v) rows at all,
+            # where COUNT(DISTINCT) reports 0
+            F.coalesce(F.col(f"{i}").cast("long"), F.lit(0)).alias("n_distinct"),
             F.col(f"{c}__min").alias("min_val"),
             F.col(f"{c}__max").alias("max_val"),
             F.col(f"{c}__mean").alias("mean_val"),
         )
-        for c in cols
+        for i, c in enumerate(cols)
     ]
     return (
         agg.select(F.explode(F.array(*profiles)).alias("p"))

@@ -62,6 +62,62 @@ def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
 # changes nothing but the buffer size.
 _MINHASH_CHUNK_SHINGLES = 100_000
 
+# Band-hash mixing constants: odd (→ the per-row multilinear map is
+# bijective in each coordinate), from a generator seeded independently
+# of _A/_B so adding them never re-derives the permutation family.
+_BANDC = (
+    np.random.Generator(np.random.PCG64(40127)).integers(
+        1, 2**63, size=LSH_ROWS, dtype=np.uint64
+    )
+    << np.uint64(1)
+) | np.uint64(1)
+
+
+def _band_hash_matrix(minima: np.ndarray) -> np.ndarray:
+    """(k, n) per-doc signature minima → (n, LSH_BANDS) int64 band
+    hashes, fully vectorized: each band's LSH_ROWS minima combine
+    multilinearly under odd 64-bit constants, finished with the murmur3
+    fmix64 avalanche. Replaces a LSH_BANDS×n pure-Python crc32 loop
+    (~1 µs/call of interpreter + tobytes overhead) and widens the bucket
+    key space from crc32's 32 bits to 64 — fewer spurious bucket
+    collisions at corpus scale. ANY deterministic band hash yields the
+    same verified output: equal bands always collide, and unequal-band
+    collisions only add candidates the exact-Jaccard verify discards."""
+    n = minima.shape[1]
+    bands = minima.reshape(LSH_BANDS, LSH_ROWS, n)
+    with np.errstate(over="ignore"):
+        h = (bands * _BANDC[None, :, None]).sum(axis=1, dtype=np.uint64)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+    return np.ascontiguousarray(h.T).view(np.int64)
+
+
+def _banded_chunks(per_doc: list) -> Iterator[tuple[int, int, np.ndarray]]:
+    """Yield (start, end, band_matrix) over doc-boundary chunks of
+    ``per_doc`` (a list of (key, uint64 shingle-hash array) with every
+    array non-empty), each chunk ≤ _MINHASH_CHUNK_SHINGLES total
+    shingles; band_matrix[i - start, b] is doc i's band-b hash."""
+    start = 0
+    while start < len(per_doc):
+        end, tot = start, 0
+        while end < len(per_doc) and (
+            tot == 0 or tot + per_doc[end][1].size <= _MINHASH_CHUNK_SHINGLES
+        ):
+            tot += per_doc[end][1].size
+            end += 1
+        chunk = per_doc[start:end]
+        lengths = np.array([h.size for _, h in chunk])
+        offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        allh = np.concatenate([h for _, h in chunk])
+        with np.errstate(over="ignore"):
+            perms = _A[:, None] * allh[None, :] + _B[:, None]
+        minima = np.minimum.reduceat(perms, offsets, axis=1)  # (k, ndocs)
+        yield start, end, _band_hash_matrix(minima)
+        start = end
+
 
 def minhash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """(doc_id, text) batches → (doc_id, band, band_hash) rows.
@@ -70,9 +126,10 @@ def minhash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     shingles: crc32 per distinct trigram shingle (C-speed), the chunk's
     hashes concatenated, the k=128 affine permutations as ONE
     (k, chunk_shingles) broadcast multiply-add with natural uint64 wrap,
-    per-doc minima via ``np.minimum.reduceat`` on the doc offsets, banded
-    crc32 of each 4-minima slice. Docs with <3 tokens emit nothing
-    (cannot near-dup by trigram shingles).
+    per-doc minima via ``np.minimum.reduceat`` on the doc offsets, each
+    4-minima slice mixed to a 64-bit band hash (vectorized — see
+    ``_band_hash_matrix``). Docs with <3 tokens emit nothing (cannot
+    near-dup by trigram shingles).
     """
     for pdf in batches:
         per_doc = [(int(d), _shingle_hashes(t)) for d, t in zip(pdf["doc_id"], pdf["text"])]
@@ -86,37 +143,16 @@ def minhash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 }
             )
             continue
-        start = 0
-        while start < len(per_doc):
-            end, tot = start, 0
-            while end < len(per_doc) and (
-                tot == 0 or tot + per_doc[end][1].size <= _MINHASH_CHUNK_SHINGLES
-            ):
-                tot += per_doc[end][1].size
-                end += 1
-            chunk = per_doc[start:end]
-            start = end
-            doc_ids = np.array([d for d, _ in chunk], dtype=np.int64)
-            lengths = np.array([h.size for _, h in chunk])
-            offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-            allh = np.concatenate([h for _, h in chunk])
-            with np.errstate(over="ignore"):
-                perms = _A[:, None] * allh[None, :] + _B[:, None]
-            minima = np.minimum.reduceat(perms, offsets, axis=1)  # (k, ndocs)
-            bands = minima.reshape(LSH_BANDS, LSH_ROWS, len(chunk))
-            n = len(chunk)
-            out_hash = np.empty(n * LSH_BANDS, dtype=np.int64)
-            for b in range(LSH_BANDS):
-                col = np.ascontiguousarray(bands[b].T)  # (ndocs, LSH_ROWS)
-                for i in range(n):
-                    out_hash[i * LSH_BANDS + b] = zlib.crc32(col[i].tobytes())
+        for start, end, bh in _banded_chunks(per_doc):
+            n = end - start
+            doc_ids = np.array([d for d, _ in per_doc[start:end]], dtype=np.int64)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(np.repeat(doc_ids, LSH_BANDS), dtype="int64"),
                     "band": pd.Series(
                         np.tile(np.arange(LSH_BANDS, dtype=np.int32), n), dtype="int32"
                     ),
-                    "band_hash": pd.Series(out_hash, dtype="int64"),
+                    "band_hash": pd.Series(bh.reshape(-1), dtype="int64"),
                 }
             )
 
@@ -151,6 +187,68 @@ def shingle_hash_sets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             )
             out.append({"doc_id": doc_id, "sh": hs})
         yield pd.DataFrame(out, columns=["doc_id", "sh"])
+
+
+BAND_SET_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("shingles", T.ArrayType(T.LongType())),
+        T.StructField("bh", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def minhash_band_sets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fused kernel for dedup_minhash_lsh: (doc_id, text) → ONE row per
+    doc carrying both the exact-verify shingle hash set (same values as
+    ``shingle_hash_sets``) and the LSH_BANDS band hashes in band order
+    (same values as ``minhash_bands``), from a SINGLE tokenize + shingle
+    pass. Running the two parent kernels separately costs two full
+    passes of the corpus text through the Python boundary (two
+    tokenizations, two shingle-set builds, two Arrow ships of the text);
+    this halves that (guide §4). Docs with <3 tokens emit nothing — they
+    cannot near-dup by trigram shingles (both parents agree: no bands,
+    and empty sets are filtered before the verify join)."""
+    for pdf in batches:
+        per_doc: list[tuple[int, np.ndarray]] = []
+        blakes: list[list[int]] = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = text.lower().split()
+            if len(toks) < 3:
+                continue
+            shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            crc = np.fromiter(
+                (zlib.crc32(s.encode()) for s in shingles),
+                dtype=np.uint64,
+                count=len(shingles),
+            )
+            per_doc.append((int(doc_id), crc))
+            blakes.append(
+                sorted(
+                    int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "little")
+                    - 2**63
+                    for s in shingles
+                )
+            )
+        if not per_doc:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "shingles": pd.Series([], dtype=object),
+                    "bh": pd.Series([], dtype=object),
+                }
+            )
+            continue
+        for start, end, bh in _banded_chunks(per_doc):
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(
+                        [per_doc[i][0] for i in range(start, end)], dtype="int64"
+                    ),
+                    "shingles": pd.Series(blakes[start:end], dtype=object),
+                    "bh": pd.Series(list(bh), dtype=object),
+                }
+            )
 
 
 SIMHASH_SCHEMA = T.StructType(

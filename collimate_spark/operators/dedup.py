@@ -223,18 +223,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The hash kernel is the Arrow-batched numpy one (functions/fast_text):
     ~10× the interpreted higher-order-function form, embarrassingly
-    parallel per partition. The correctness contract is unchanged — LSH
-    candidates are verified against exact Jaccard, so the oracle (exact
-    pairs) matches as long as banding recall ≈ 1 (P(miss|j≥0.8) ≈ 5e-8 at
-    32×4). The pure-expression form stays available as
+    parallel per partition — and FUSED (r13): one kernel pass emits both
+    the band hashes and the verify shingle sets, where the original form
+    ran ``minhash_bands`` and ``shingle_hash_sets`` as two full passes of
+    the corpus text through the Python boundary. The correctness contract
+    is unchanged — LSH candidates are verified against exact Jaccard, so
+    the oracle (exact pairs) matches as long as banding recall ≈ 1
+    (P(miss|j≥0.8) ≈ 5e-8 at 32×4; the band-hash family is free to change
+    because equal bands always collide and spurious collisions die in the
+    verify). The pure-expression form stays available as
     ``minhash_band_hash`` + ``dedup_minhash_lsh_expr``.
     """
     docs = _spread(spark, load_table(spark, "documents", sf_dir))
-    banded = docs.select("doc_id", "text").mapInPandas(
-        fast_text.minhash_bands, fast_text.BAND_SCHEMA
+    merged = (
+        docs.select("doc_id", "text")
+        .mapInPandas(fast_text.minhash_band_sets, fast_text.BAND_SET_SCHEMA)
+        .transform(scache)
     )
+    banded = merged.select("doc_id", F.posexplode("bh").alias("band", "band_hash"))
     candidates = _bucket_pairs(banded, "band", "band_hash")
-    return _verified_jaccard_pairs(candidates, _shingle_sets(spark, sf_dir))
+    # passing `merged` itself (extra bh column projected away inside)
+    # lets _verified_jaccard_pairs' scache hit the SAME plan — one
+    # cached copy feeds both the band and the verify branches
+    return _verified_jaccard_pairs(candidates, merged)
 
 
 def _bucket_pairs(

@@ -257,3 +257,61 @@ def test_hashed_gram_counting_matches_string_grams(spark):
             F.size(F.array_distinct(str_grams(F.col("toks"), n))).alias("n_distinct"),
         ).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_fused_band_set_kernel_matches_parents():
+    """The fused minhash_band_sets kernel (one tokenize+shingle pass) must
+    emit exactly the rows its two parents emit: band hashes equal to
+    minhash_bands (same _banded_chunks pipeline) and shingle hash sets
+    equal to shingle_hash_sets (blake2b-64, sorted) for every doc with
+    ≥3 tokens — <3-token docs emit nothing in both framings. Pure-pandas
+    test: no JVM needed."""
+    import pandas as pd
+
+    from collimate_spark.functions import fast_text as ft
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog",  # exact dup
+                "the quick brown fox leaps over the lazy dog",  # near dup
+                "two tokens",  # <3 tokens: emits nothing
+                "",  # empty: emits nothing
+                "repeat repeat repeat repeat",  # single distinct shingle
+            ],
+        }
+    )
+    fused = pd.concat(list(ft.minhash_band_sets(iter([docs]))), ignore_index=True)
+    bands = pd.concat(list(ft.minhash_bands(iter([docs]))), ignore_index=True)
+    sets_ = pd.concat(list(ft.shingle_hash_sets(iter([docs]))), ignore_index=True)
+
+    # band hashes: same (doc_id, band, band_hash) triples, band order preserved
+    fused_bands = {
+        (int(d), b, int(h))
+        for d, bh in zip(fused["doc_id"], fused["bh"])
+        for b, h in enumerate(bh)
+    }
+    parent_bands = {
+        (int(d), int(b), int(h))
+        for d, b, h in zip(bands["doc_id"], bands["band"], bands["band_hash"])
+    }
+    assert fused_bands == parent_bands
+    assert set(fused["doc_id"]) == {1, 2, 3, 6}  # 4 and 5 emit nothing
+
+    # shingle sets: equal to the parent kernel after its empty-set filter
+    parent_sets = {
+        int(d): list(s) for d, s in zip(sets_["doc_id"], sets_["sh"]) if len(s) > 0
+    }
+    fused_sets = {int(d): list(s) for d, s in zip(fused["doc_id"], fused["shingles"])}
+    assert fused_sets == parent_sets
+
+    # exact dup docs collide on every band; all-empty batch yields empty frame
+    d1 = sorted(h for (d, b, h) in fused_bands if d == 1)
+    d2 = sorted(h for (d, b, h) in fused_bands if d == 2)
+    assert d1 == d2
+    empty = pd.concat(
+        list(ft.minhash_band_sets(iter([docs.iloc[3:5]]))), ignore_index=True
+    )
+    assert len(empty) == 0

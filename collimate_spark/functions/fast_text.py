@@ -382,41 +382,6 @@ def simhash_fingerprints128(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
         )
 
 
-NGRAM_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("g", T.StringType()),
-    ]
-)
-
-
-def ngram_strings(n: int):
-    """Factory for a mapInPandas kernel: (doc_id, text) batches → exploded
-    (doc_id, g) rows of DISTINCT word n-gram STRINGS. Emitting the string
-    itself (not a hash) keeps the downstream equi-join bit-identical to a
-    SQL oracle that builds the same n-grams; tokenization matches
-    functions/text.tokens (lower, trim, collapse whitespace). The
-    pure-expression form (transform over slice) evaluates interpreted per
-    position — this kernel is ~20× faster on multi-hundred-token docs."""
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_doc: list[int] = []
-            out_g: list[str] = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = text.lower().split()
-                if len(toks) < n:
-                    continue
-                grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-                out_doc.extend([doc_id] * len(grams))
-                out_g.extend(grams)
-            yield pd.DataFrame(
-                {"doc_id": pd.Series(out_doc, dtype="int64"), "g": out_g}
-            )
-
-    return kernel
-
-
 WINNOW_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

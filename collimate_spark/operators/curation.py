@@ -112,21 +112,34 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the benchmark subset (doc_id % BENCH_MOD == 0): per contaminated
     doc, the distinct shared n-gram count and the number of benchmark docs
     hit. Broadcast the benchmark n-gram set; the corpus side never
-    shuffles before the final per-doc aggregation."""
-    from collimate_spark.functions import fast_text as FT
+    shuffles before the final per-doc aggregation.
+
+    Grams travel as 64-bit tuple hashes over once-hashed tokens, never
+    as strings (r13, guide §2.2/§4): the gram text is not output — only
+    gram EQUALITY matters (join key + countDistinct) — and joined-string
+    equality == token-tuple equality exactly (tokens contain no spaces),
+    so xxhash64 tuple hashes preserve both up to the 2^-64 collision
+    posture the engine already accepts for dedup's hashed shingles.
+    This removes the Python gram kernel (the whole JVM↔Python boundary)
+    AND narrows the join key from ~40-byte strings to 8-byte longs."""
+    from collimate_spark.operators.textstats import _ngram_hashes_all
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    kernel = FT.ngram_strings(DECON_NGRAM)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
-    # filter BEFORE the kernel on each branch: the bench branch only
-    # shingles the (tiny) benchmark slice, so the two-branch plan never
-    # re-executes the corpus-side kernel (the round-2 re-execution trap)
-    bench = (
-        docs.filter(is_bench)
-        .mapInPandas(kernel, FT.NGRAM_SCHEMA)
-        .select(F.col("doc_id").alias("bench_id"), "g")
+    # token array projected once behind an alias, then hashed once per
+    # token, before the gram lambda touches it (the repetition_metrics
+    # CollapseProject guard — otherwise the tokenizer re-runs per gram)
+    base = docs.select("doc_id", X.tokens(F.col("text")).alias("toks")).select(
+        "doc_id", F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("th")
     )
-    train = docs.filter(~is_bench).mapInPandas(kernel, FT.NGRAM_SCHEMA)
+    gram = F.explode(F.array_distinct(_ngram_hashes_all(F.col("th"), DECON_NGRAM)))
+    # filter BEFORE the gram build on each branch: the bench branch only
+    # grams the (tiny) benchmark slice, so the two-branch plan never
+    # re-executes the corpus-side gram work (the round-2 re-execution trap)
+    bench = base.filter(is_bench).select(
+        F.col("doc_id").alias("bench_id"), gram.alias("g")
+    )
+    train = base.filter(~is_bench).select("doc_id", gram.alias("g"))
     return (
         train.join(F.broadcast(bench), "g")
         .groupBy("doc_id")

@@ -293,8 +293,13 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collimate_spark.functions import fast_text
 
     docs = load_table(spark, "documents", sf_dir)
-    fps = docs.select("doc_id", "text").mapInPandas(
-        fast_text.winnow_fingerprints, fast_text.WINNOW_SCHEMA
+    # cache the fingerprint relation: the self-join references it twice,
+    # and without the cache the winnowing kernel re-tokenizes the whole
+    # corpus once per side (guide §4 — pay the Python boundary once)
+    fps = (
+        docs.select("doc_id", "text")
+        .mapInPandas(fast_text.winnow_fingerprints, fast_text.WINNOW_SCHEMA)
+        .transform(scache)
     )
     return (
         fps.alias("a")
@@ -833,7 +838,11 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
     )
     pair_c = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).transform(scache)
-    left_c = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).transform(scache)
+    # the w1 marginal is exactly the bigram counts re-summed — C(w1·) =
+    # Σ_w2 C(w1,w2) — so derive it from the (vocab²-bounded, cached) pair
+    # table instead of re-exploding the corpus (guide §2.4: one fewer
+    # full pass; values identical, sums of the same longs)
+    left_c = pair_c.groupBy("w1").agg(F.sum("c12").alias("c1")).transform(scache)
     from collimate_spark.operators.graph import _broadcast_threshold_bytes
 
     threshold = _broadcast_threshold_bytes(spark)
@@ -899,6 +908,14 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(bigrams).alias("g"))
         .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
     ).transform(scache)
+    # NOTE (r13, measured): deriving the marginals from a CACHED pair_c
+    # (C(w1·) = Σ_w2 C(w1,w2)) was tried and REJECTED — at this corpus's
+    # bigram duplication level the pair table is near stream-sized, so
+    # caching it after its wide shuffle cost more than re-aggregating the
+    # cached gram stream (interleaved min-of-4: 0.45 s → 1.12 s). Revisit
+    # only when measured duplication makes |pair_c| ≪ |grams| (the same
+    # derivation IS kept in lm_perplexity_score, whose gram stream was
+    # never cached — there it removes a full corpus re-explode).
     pair_c = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     left_c = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     right_c = grams.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))

@@ -1060,32 +1060,52 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic sample of the first INV_POSTINGS_CAP postings in
     (doc_id, pos) order.
 
-    Scale shape: posexplode → ONE shuffle on term for the ranking window,
-    and the final aggregation reuses the same hashpartitioning exchange.
-    The postings sample is capped BEFORE aggregation (rank ≤ cap inside
-    the window), so no task ever materializes a full posting list — the
-    classic skew trap of index builds where stopword terms have |corpus|
-    postings."""
+    Scale shape (r13, guide §2.2/§2.3): the raw posting stream NEVER
+    crosses an exchange — a (term, doc_id) aggregate collapses each
+    doc's positions map-side (docs are partition-local, so the partial
+    agg completes before the shuffle), keeping only the first cap
+    positions per doc. The ranking window then orders one row per
+    (term, doc) instead of one per POSTING — the global first-cap
+    postings by (doc_id, pos) live entirely inside the cap
+    smallest-doc_id rows, each of which kept ≥ the positions the
+    global sample can need. df/tf become plain count/sum over the
+    collapsed rows (no two-phase countDistinct), and per-term aggregate
+    state stays ≤ cap² sample strings — no task ever materializes a
+    full posting list, the classic skew trap of index builds where
+    stopword terms have |corpus| postings."""
     docs = load_table(spark, "documents", sf_dir)
     postings = docs.select(
         "doc_id", F.posexplode(X.tokens(F.col("text"))).alias("pos", "term")
     ).filter(F.col("term") != "")
-    w = Window.partitionBy("term").orderBy("doc_id", "pos")
+    per_doc = postings.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf_d"),
+        F.slice(F.array_sort(F.collect_list("pos")), 1, INV_POSTINGS_CAP).alias(
+            "pos_c"
+        ),
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    fmt_c = F.transform(
+        F.col("pos_c"),
+        lambda p: F.format_string("%06d:%04d", F.col("doc_id"), p),
+    )
     return (
-        postings.withColumn("rk", F.row_number().over(w))
+        per_doc.withColumn("rk", F.row_number().over(w))
         .groupBy("term")
         .agg(
-            F.countDistinct("doc_id").alias("df"),
-            F.count(F.lit(1)).alias("tf"),
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf_d").alias("tf"),
             F.concat_ws(
                 " ",
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("rk") <= INV_POSTINGS_CAP,
-                            F.format_string("%06d:%04d", F.col("doc_id"), F.col("pos")),
+                F.slice(
+                    F.array_sort(
+                        F.flatten(
+                            F.collect_list(
+                                F.when(F.col("rk") <= INV_POSTINGS_CAP, fmt_c)
+                            )
                         )
-                    )
+                    ),
+                    1,
+                    INV_POSTINGS_CAP,
                 ),
             ).alias("postings_sample"),
         )

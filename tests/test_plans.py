@@ -359,17 +359,26 @@ def test_cusum_windows_share_one_exchange(spark, sf_dir):
     assert n_user_exchanges == 1, f"expected 1 user_id exchange, saw {n_user_exchanges}"
 
 
-def test_inverted_index_reuses_term_exchange(spark, sf_dir):
-    """The ranking window and the final agg both key on term — Catalyst
-    must reuse ONE hashpartitioning(term) exchange, not shuffle twice."""
+def test_inverted_index_collapses_postings_map_side(spark, sf_dir):
+    """r13 shape: the raw posting stream must NOT cross an exchange as
+    individual rows — a partial (term, doc_id) aggregate collapses each
+    doc's positions BEFORE the first shuffle, the ranking window sorts
+    one row per (term, doc) rather than per posting, and df/tf are plain
+    count/sum (no two-phase countDistinct partial over posting rows)."""
     from collimate_spark.operators.textstats import inverted_index_postings
 
     plan = _plan(inverted_index_postings(spark, sf_dir))
-    n = sum(
-        1 for line in plan.splitlines()
-        if "Exchange hashpartitioning" in line and "term" in line
+    header = plan.split("\n\n")[0].splitlines()
+    # the tree header prints root first, leaves last: the bottom-most
+    # Exchange is the FIRST executed, and the map-side partial aggregate
+    # must sit BELOW it (between it and the Generate/Scan leaves)
+    deepest_exchange = max(i for i, l in enumerate(header) if "Exchange" in l)
+    below = "\n".join(header[deepest_exchange + 1 :])
+    assert "Generate" in below, f"Generate not below the first Exchange:\n{plan}"
+    assert "HashAggregate" in below, (
+        f"expected a map-side partial aggregate before the first Exchange:\n{plan}"
     )
-    assert n == 1, f"expected 1 term exchange, saw {n}"
+    assert "count(distinct" not in plan.lower(), "df must be a plain count now"
 
 
 def test_pit_join_single_user_exchange(spark, sf_dir):

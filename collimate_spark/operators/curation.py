@@ -382,10 +382,15 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk. Contrast with ``pack_sequences`` (which concatenates ACROSS
     documents); chunking splits WITHIN documents and keeps provenance."""
     docs = load_table(spark, "documents", sf_dir)
-    toks = X.tokens(F.col("text"))
-    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(CHUNK_STRIDE))
+    # tokenize once per row behind an alias (r13): inline, the same
+    # Project computed the tokenizer twice (the toks output column AND
+    # the generator's size(toks) bound)
+    base = docs.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
+    )
     return (
-        docs.select("doc_id", toks.alias("toks"), F.posexplode(starts).alias("chunk_idx", "start"))
+        base.select("doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "start"))
         .select(
             "doc_id",
             "chunk_idx",

@@ -105,10 +105,16 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String trigram-shingle sets via pure JVM expressions (used by the
     zero-Python expr variant)."""
     docs = _spread(spark, load_table(spark, "documents", sf_dir))
-    toks = X.tokens(F.col("text"))
-    return docs.select("doc_id", X.word_shingles(toks, 3).alias("shingles")).filter(
-        F.size("shingles") > 0
-    )
+    # token array projected ONCE behind an alias (r13): inline, the
+    # shingle lambda's slice(toks, …) re-runs the whole tokenizer per
+    # position (HOF lambda bodies evaluate interpreted per element —
+    # the winnow kernel's documented pathology). The alias is referenced
+    # >1 time inside word_shingles and is not cheap, so CollapseProject
+    # keeps the boundary.
+    base = docs.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    return base.select(
+        "doc_id", X.word_shingles(F.col("toks"), 3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,11 +31,23 @@ LANG_MARKERS = {
 def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality stats: token count (whitespace and BPE-ish), char
     classes, average token length, stopword ratio, distinct-token ratio —
-    the standard quality-filter feature vector for corpus curation."""
+    the standard quality-filter feature vector for corpus curation.
+
+    The token array is projected ONCE behind an alias (r13): inline,
+    the six outputs reference the tokenize tree from eight subtrees —
+    several under CodegenFallback HOF lambdas whose interpreted eval
+    re-runs the whole split(regexp_replace(…)) per reference, outside
+    codegen's subexpression elimination (the repetition_metrics
+    CollapseProject guard; the alias is referenced >1 time and is not
+    cheap, so the projection boundary survives). Interleaved A/B at
+    sf0.1, min-of-5: inline 1.285 s vs boundary 0.950 s (the residual
+    cost is the BPE regexp_extract_all, which tokenizes the raw text
+    independently either way)."""
     docs = load_table(spark, "documents", sf_dir)
-    toks = X.tokens(F.col("text"))
+    base = docs.select("doc_id", "text", X.tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     return (
-        docs.select(
+        base.select(
             "doc_id",
             F.length("text").alias("n_chars_raw"),
             F.size(toks).alias("n_tokens_ws"),

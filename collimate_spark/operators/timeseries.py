@@ -36,10 +36,24 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, so the operator is composed from built-ins: collect the
     bounded frame, ``array_sort`` it, and pick/interpolate the middle —
     identical to DuckDB's interpolating ``median(...) OVER``. The frame
-    payload is ≤5 doubles per row: constant memory at any scale."""
+    payload is ≤5 doubles per row: constant memory at any scale.
+
+    r13: the sorted frame is projected ONCE behind an alias — inline,
+    the median expression references it from six subtrees and
+    ``array_sort`` is CodegenFallback (no CSE), so each row sorted its
+    frame up to six times. Back-to-back min-of-4: 2.42 → 0.86 s (the
+    before-arm ran on a noisier slice; an earlier quiet probe had the
+    inline form at 1.54 s — every after-sample beat every before-sample
+    either way)."""
     ev = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
-    sorted_frame = F.array_sort(F.collect_list("value").over(w))
+    framed = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.array_sort(F.collect_list("value").over(w)).alias("sf"),
+    )
+    sorted_frame = F.col("sf")
     n = F.size(sorted_frame)
     mid_hi = F.element_at(sorted_frame, (n / 2 + 1).cast("int"))
     mid_lo = F.element_at(sorted_frame, (n / 2).cast("int"))
@@ -47,7 +61,7 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mid_lo + mid_hi) / 2
     )
     return (
-        ev.select(
+        framed.select(
             "user_id",
             "event_id",
             F.round("value", 2).alias("value"),

@@ -253,13 +253,34 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     window + mapper work over the corpus; the near-dup stage joins the
     (pair-sized) component labels back — the whole disposition is three
     shuffles end-to-end. The DuckDB oracle recomputes all three stages
-    (recursive-CTE components included) and hash-matches."""
+    (recursive-CTE components included) and hash-matches.
+
+    r13 (guide §2.3, shuffle fewer bytes): the text-derived columns —
+    the exact-dup hash AND the quality reason — are computed in the
+    scan projection, BEFORE the first exchange, so the document text
+    itself never crosses a shuffle (it used to ride through both the
+    text_hash window exchange and the doc_id join exchange just so
+    ``quality_reason(text)`` could run after the join). quality_reason
+    is a deterministic per-row expression, so evaluating it eagerly on
+    every doc (rather than post-CASE on non-dup docs) cannot change any
+    output row; the shuffled row narrows from (ids + full text) to ids
+    + two short strings."""
     from collimate_spark.operators.dedup import dedup_connected_components
     from collimate_spark.operators.textstats import quality_reason
 
     docs = load_table(spark, "documents", sf_dir)
-    hashed = docs.withColumn(
-        "text_hash", F.md5(X.normalize_text(F.col("text")).cast("binary"))
+    # normalized text and token array each projected once behind an
+    # alias (multi-referenced, non-cheap → CollapseProject keeps the
+    # boundaries): norm feeds the md5 AND the tokenizer; toks feeds the
+    # four token references in the quality CASE (one under a
+    # CodegenFallback filter HOF)
+    staged = docs.select(
+        "doc_id", "text", X.normalize_text(F.col("text")).alias("norm")
+    ).select("doc_id", "text", "norm", F.split("norm", " ").alias("toks"))
+    hashed = staged.select(
+        "doc_id",
+        F.md5(F.col("norm").cast("binary")).alias("text_hash"),
+        quality_reason(F.col("text"), toks=F.col("toks")).alias("q_reason"),
     ).withColumn(
         "keep_id", F.min("doc_id").over(Window.partitionBy("text_hash"))
     )
@@ -269,7 +290,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason = (
         F.when(F.col("doc_id") != F.col("keep_id"), F.lit("exact_dup"))
         .when(F.col("is_survivor") == 0, F.lit("near_dup"))
-        .otherwise(quality_reason(F.col("text")))
+        .otherwise(F.col("q_reason"))
     )
     return (
         hashed.join(cc, "doc_id", "left")

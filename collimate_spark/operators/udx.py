@@ -648,7 +648,15 @@ def map_hof_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-order map of charge components, transform values (tax-adjust),
     filter entries by value, and zip two maps into one. Outputs reduce
     to scalars so the oracle (which recomputes the same arithmetic from
-    the base columns — DuckDB's map HOF surface differs) hash-matches."""
+    the base columns — DuckDB's map HOF surface differs) hash-matches.
+
+    r13: the map build and the transform_values result are each
+    projected ONCE behind an alias — inline, the single output Project
+    referenced the ``create_map`` tree four times and the
+    ``transform_values`` tree twice, and map HOFs are CodegenFallback
+    (no subexpression elimination), so every row rebuilt the map four
+    times and re-taxed it twice. Identical arithmetic per element, so
+    identical output."""
     li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_linenumber") == 1)
     # DECIMAL map values: double products land on half-cent ROUND
     # boundaries that Spark and DuckDB round differently (same fix as
@@ -660,11 +668,18 @@ def map_hof_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("price"), price_d.cast("decimal(28,8)"),
         F.lit("discounted"), (price_d * (1 - disc_d)).cast("decimal(28,8)"),
     )
-    taxed = F.transform_values(m, lambda k, v: (v * (1 + tax_d)).cast("decimal(28,8)"))
-    big_only = F.map_filter(m, lambda k, v: v > 30000)
-    zipped = F.map_zip_with(m, taxed, lambda k, v1, v2: v2 - v1)
+    staged = li.select("l_orderkey", "l_tax", m.alias("m")).select(
+        "l_orderkey",
+        "m",
+        F.transform_values(
+            F.col("m"), lambda k, v: (v * (1 + tax_d)).cast("decimal(28,8)")
+        ).alias("taxed"),
+    )
+    taxed = F.col("taxed")
+    big_only = F.map_filter(F.col("m"), lambda k, v: v > 30000)
+    zipped = F.map_zip_with(F.col("m"), taxed, lambda k, v1, v2: v2 - v1)
     return (
-        li.select(
+        staged.select(
             "l_orderkey",
             F.round(F.element_at(taxed, "price"), 2).cast("double").alias("price_taxed"),
             F.size(big_only).alias("n_big_entries"),

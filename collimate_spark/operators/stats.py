@@ -160,12 +160,18 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sums run in DECIMAL(18,2): per-part revenue sums land on half-cent
     boundaries where a parallel double reduction rounds differently per
     engine (observed at sf0.01); decimal partial aggregation is exact and
-    association-free, so any plan produces the identical cumulative sum."""
+    association-free, so any plan produces the identical cumulative sum.
+
+    r13: per_part is scratch-cached — it feeds BOTH the ranking stream
+    and the 1-row total, and uncached the plan scanned + aggregated the
+    fact table twice (two FileScans in the before-plan). The cached
+    frame is dimension-sized (|parts| rows). Min-of-4: 1.522 → see
+    OPTIMIZATION_r13.md."""
     li = load_table(spark, "lineitem", sf_dir)
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
         1 - F.col("l_discount").cast("decimal(18,2)")
     )
-    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev_d"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev_d")).transform(scache)
     total = per_part.agg(F.sum("rev_d").cast("double").alias("total_revenue"))
     w = Window.orderBy(F.col("rev_d").desc(), F.col("l_partkey").asc())
     return (

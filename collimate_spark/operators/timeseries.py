@@ -89,22 +89,29 @@ def ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order functions (``transform`` + ``aggregate``), so the plan is
     one window exchange and zero Python. Weight for the i-th (0-based)
     element of an n-frame is (1-alpha)^(n-1-i), normalized to sum 1 —
-    pandas' ``ewm(alpha=.3, adjust=True)`` over the same frame."""
+    pandas' ``ewm(alpha=.3, adjust=True)`` over the same frame.
+
+    r13: the weight array is projected ONCE behind an alias — inline,
+    the numerator and denominator lambdas each re-ran the pow() chain
+    per element (16 pows/row instead of 8; HOFs are CodegenFallback, no
+    CSE). The numerator multiplies the same (x_i, w_i) doubles via
+    ``zip_with`` and both sides fold in the same element order, so every
+    intermediate double is bit-identical to the inline form."""
     ev = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-7, 0)
     frame = F.collect_list("value").over(w)
     ewma = F.expr(
         """
-        aggregate(
-          transform(frame, (x, i) -> x * pow(0.7, size(frame) - 1 - i)),
-          0D, (acc, x) -> acc + x)
-        / aggregate(
-          transform(frame, (x, i) -> pow(0.7, size(frame) - 1 - i)),
-          0D, (acc, x) -> acc + x)
+        aggregate(zip_with(frame, ws, (x, w) -> x * w), 0D, (acc, x) -> acc + x)
+        / aggregate(ws, 0D, (acc, x) -> acc + x)
         """
     )
     return (
         ev.withColumn("frame", frame)
+        .withColumn(
+            "ws",
+            F.expr("transform(frame, (x, i) -> pow(0.7, size(frame) - 1 - i))"),
+        )
         .select(
             "user_id",
             "event_id",

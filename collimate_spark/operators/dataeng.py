@@ -679,8 +679,35 @@ def encoding_advisor_lineitem(
                     f"percentile(CASE WHEN ord_key % 16 = 0 THEN ad_{n} END, 0.95D)"
                 ).alias(f"d95_{n}"),
             ]
-        nd = flagged.agg(
-            *[F.countDistinct(f"v_{n}").alias(f"nd_{n}") for n, _ in _ENC_COLS]
+        # r13: even alone, 5 COUNT(DISTINCT) on different columns plan as
+        # the multi-distinct Expand — 6 projections of the cached stream
+        # through the first-stage agg (the table_profile anti-pattern).
+        # All five v_ columns are BIGINT, so one posexplode turns each row
+        # into 5 skinny (cid, v) pairs whose two-level dedup agg collapses
+        # duplicates map-side; a 1-row pivot re-attaches the counts.
+        # coalesce(0) matches COUNT(DISTINCT) on an all-NULL column.
+        long_vals = flagged.select(
+            F.posexplode(
+                F.array(*[F.col(f"v_{n}") for n, _ in _ENC_COLS])
+            ).alias("cid", "v")
+        )
+        dist = (
+            long_vals.filter(F.col("v").isNotNull())
+            .groupBy("cid", "v")
+            .agg(F.lit(1))
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("nd"))
+        )
+        dmap = (
+            dist.groupBy()
+            .pivot("cid", list(range(len(_ENC_COLS))))
+            .agg(F.first("nd"))
+        )
+        nd = dmap.select(
+            *[
+                F.coalesce(F.col(f"{i}").cast("long"), F.lit(0)).alias(f"nd_{n}")
+                for i, (n, _) in enumerate(_ENC_COLS)
+            ]
         )
         wide = flagged.agg(*aggs).crossJoin(F.broadcast(nd))
     stacked = wide.selectExpr(

@@ -61,19 +61,34 @@ def _topk_ranked(scored: DataFrame) -> DataFrame:
     )
 
 
+def _pair_cosine() -> F.Column:
+    """cos over pre-hoisted norms: ``V.cosine(a, b)`` re-folds BOTH norm
+    aggregates per PAIR (HOF aggregates are CodegenFallback — no CSE), so
+    the |q|·|c| join re-norms every corpus row once per query and every
+    query once per corpus row. Each side computes its norm ONCE per ROW
+    below the join (``q_nrm``/``c_nrm``) and the per-pair work is just the
+    dot fold. dot/(q_nrm*c_nrm) is the same expressions multiplied in the
+    same order as V.cosine — bit-identical doubles (r13)."""
+    return V.dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))
+
+
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: corpus × broadcast(queries) → cosine →
     row_number over per-query window → k. One pass over the corpus per
     batch of queries; at 100 TB this is the scan-heavy exact fallback."""
     emb = load_table(spark, "embeddings", sf_dir)
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .withColumn("q_nrm", V.norm(F.col("q_emb")))
     )
-    corpus = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    corpus = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    ).withColumn("c_nrm", V.norm(F.col("c_emb")))
     scored = (
         corpus.join(F.broadcast(queries))
         .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn("cos_raw", V.cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cos_raw", _pair_cosine())
     )
     return _topk_ranked(scored)
 
@@ -117,14 +132,18 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     radius, so emit per-query counts alongside pairs to make blowups
     observable."""
     emb = load_table(spark, "embeddings", sf_dir)
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .withColumn("q_nrm", V.norm(F.col("q_emb")))
     )
-    corpus = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    corpus = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    ).withColumn("c_nrm", V.norm(F.col("c_emb")))
     hits = (
         corpus.join(F.broadcast(queries))
         .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn("cos_raw", V.cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cos_raw", _pair_cosine())
         .filter(F.round(F.col("cos_raw"), 6) >= RANGE_SEARCH_R)
     )
     return (
@@ -215,18 +234,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes = fast_vec.probe_clusters(mat, C, NPROBE)
         return pd.Series([row.astype("int32").tolist() for row in probes])
 
-    corpus = emb.select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
-    ).withColumn("cluster", assign_udf(F.col("c_emb")))
+    corpus = (
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+        .withColumn("cluster", assign_udf(F.col("c_emb")))
+        .withColumn("c_nrm", V.norm(F.col("c_emb")))
+    )
     probes = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .withColumn("q_nrm", V.norm(F.col("q_emb")))
         .withColumn("cluster", F.explode(probe_udf(F.col("q_emb"))))
     )
     scored = (
         corpus.join(F.broadcast(probes), "cluster")
         .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn("cos_raw", V.cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cos_raw", _pair_cosine())
     )
     return _topk_ranked(scored)
 
@@ -261,6 +283,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
+        V.norm(F.col("embedding")).alias("c_nrm"),
         F.posexplode(buckets_udf(F.col("embedding"))).alias("tbl", "bucket"),
     )
     flips = fast_vec.srp_probe_masks()
@@ -269,11 +292,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
+            V.norm(F.col("embedding")).alias("q_nrm"),
             F.posexplode(buckets_udf(F.col("embedding"))).alias("tbl", "qbucket"),
         )
         .select(
             "query_id",
             "q_emb",
+            "q_nrm",
             "tbl",
             F.explode(
                 F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in flips])
@@ -284,7 +309,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(F.broadcast(probes), ["tbl", "bucket"])
         .filter(F.col("cand_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "cand_id"])
-        .withColumn("cos_raw", V.cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("cos_raw", _pair_cosine())
     )
     return _topk_ranked(scored)
 

@@ -290,12 +290,17 @@ ORDER BY lang, lang_pred
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive content fingerprint (md5 of sorted distinct
     tokens) + the count of docs sharing each fingerprint — catches
-    shuffled/reordered duplicates that exact text hashing misses."""
+    shuffled/reordered duplicates that exact text hashing misses.
+
+    r13: n_docs is a COUNT(*) window over fingerprint (the oracle's own
+    shape), not a groupBy+self-join — the join form scanned documents
+    and ran the tokenize+sort+md5 fingerprint expression TWICE (once per
+    join side) and paid two exchanges where one suffices."""
     docs = load_table(spark, "documents", sf_dir)
     fp = docs.select("doc_id", X.bow_fingerprint(F.col("text")).alias("fingerprint"))
-    counts = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("fingerprint")
     return (
-        fp.join(counts, "fingerprint")
+        fp.withColumn("n_docs", F.count(F.lit(1)).over(w))
         .select("doc_id", "fingerprint", "n_docs")
         .orderBy("doc_id")
     )

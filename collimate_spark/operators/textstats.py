@@ -759,23 +759,33 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, term) count aggregation, a broadcast of the tiny (term, df) and
     (N, avgdl) scalars, then a per-doc score sum and global top-k.
     Corpus-global state is |query|-sized — nothing here grows with the
-    100 TB side except the two passes over it."""
+    100 TB side except the two passes over it.
+
+    r13: the tf branch carries ``dl = size(t)`` through its aggregation
+    (dl is constant per doc, so it rides the group key) instead of
+    re-deriving a lens frame from a THIRD corpus tokenize and
+    shuffle-joining it back on doc_id — corpus passes 3 → 2 (the
+    remaining two: the |query|-filtered tf stream and the 1-row
+    (N, avgdl) reduction) and the doc_id exchange disappears. Same dl
+    values, same join rows (every tf doc exists in lens), identical
+    scores. tf is scratch-cached (matched-docs × |query| rows — tiny)
+    because both dfreq and the score join read it; uncached, the dfreq
+    branch re-ran the full corpus tokenize."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select("doc_id", X.tokens(F.col("text")).alias("t"))
-    lens = toks.select("doc_id", F.size("t").alias("dl"))
-    stats = lens.agg(
+    stats = toks.select(F.size("t").alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     tf = (
-        toks.select("doc_id", F.explode("t").alias("term"))
+        toks.select("doc_id", F.size("t").alias("dl"), F.explode("t").alias("term"))
         .filter(F.col("term").isin(*BM25_TERMS))
-        .groupBy("doc_id", "term")
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(scache)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(lens, "doc_id")
         .join(F.broadcast(stats))
         .withColumn(
             "idf",

@@ -373,15 +373,25 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts"
     )
-    right = purchases.select(
-        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
-        F.col("ts").alias("purchase_ts"),
+    # r13 (guide §2.4, second pass): the two union arms are DISJOINT
+    # row subsets of the same table with conditional columns, so the
+    # union of two filtered scans is ONE scan with a pushed
+    # event_type IN (...) filter and per-row CASEs — same rows, same
+    # types, same NULL placement; row order is irrelevant pre-window.
+    unioned = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "ts",
+            F.when(F.col("event_type") == "click", F.col("event_id")).alias(
+                "event_id"
+            ),
+            F.when(F.col("event_type") == "purchase", F.col("ts")).alias(
+                "purchase_ts"
+            ),
+        )
+        .withColumn("day", F.col("ts").cast("date"))
     )
-    left = clicks.select(
-        "user_id", "ts", "event_id",
-        F.lit(None).cast(dict(ev.dtypes)["ts"]).alias("purchase_ts"),
-    )
-    unioned = right.unionByName(left).withColumn("day", F.col("ts").cast("date"))
     # event_id nulls-LAST sorts purchase rows after clicks at identical
     # ts → "at-or-after" ties resolve to include the simultaneous purchase.
     w = (
@@ -615,15 +625,15 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (user, day)+carry-over composite exactly as the backward
     variant does."""
     ev = load_table(spark, "events", sf_dir)
-    ts_type = dict(ev.dtypes)["ts"]
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", F.lit(None).cast(ts_type).alias("purchase_ts")
+    # r13 (guide §2.4): the click/purchase arms are disjoint subsets of
+    # one table — ONE scan with a pushed IN filter and per-row CASEs
+    # replaces the union of two filtered scans (same rows, same types).
+    unioned = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("event_id"),
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("purchase_ts"),
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
-        F.col("ts").alias("purchase_ts"),
-    )
-    unioned = clicks.unionByName(purchases)
     order = [F.col("ts").asc(), F.col("event_id").asc_nulls_last()]
     w_prev = (
         Window.partitionBy("user_id").orderBy(*order)

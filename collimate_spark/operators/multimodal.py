@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from collimate_spark.catalog import load_table
 from collimate_spark.functions import png, wav, y4m
+from collimate_spark.scratch import scache
 
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
@@ -285,15 +286,21 @@ def multimodal_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
-    hashes = payloads.mapInPandas(
-        dhash_kernel,
-        T.StructType(
-            [
-                T.StructField("asset_id", T.LongType()),
-                T.StructField("h0", T.LongType()),
-                T.StructField("h1", T.LongType()),
-            ]
-        ),
+    # Scratch-cache the hash relation: the banded candidate join below
+    # references it TWICE (self-join), and uncached Spark would re-run
+    # the whole synthesize→PNG-decode→dHash Python chain once per side.
+    # The cached frame is tiny (one row of 3 longs per asset).
+    hashes = scache(
+        payloads.mapInPandas(
+            dhash_kernel,
+            T.StructType(
+                [
+                    T.StructField("asset_id", T.LongType()),
+                    T.StructField("h0", T.LongType()),
+                    T.StructField("h1", T.LongType()),
+                ]
+            ),
+        )
     )
     band_w = DHASH_BITS // _DHASH_BANDS  # 22
     bands = hashes.select(
@@ -429,17 +436,22 @@ def multimodal_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> Data
             ]
         ),
     )
-    hashes = payloads.mapInPandas(
-        audio_fingerprint_kernel,
-        T.StructType(
-            [
-                T.StructField("asset_id", T.LongType()),
-                T.StructField("h0", T.LongType()),
-                T.StructField("h1", T.LongType()),
-                T.StructField("nbits", T.IntegerType()),
-            ]
-        ),
-    ).drop("nbits")
+    # Scratch-cached for the same reason as the dHash variant: the band
+    # self-join otherwise re-runs the WAV-synthesize→decode→FFT kernel
+    # chain once per join side; the cache is one 3-long row per asset.
+    hashes = scache(
+        payloads.mapInPandas(
+            audio_fingerprint_kernel,
+            T.StructType(
+                [
+                    T.StructField("asset_id", T.LongType()),
+                    T.StructField("h0", T.LongType()),
+                    T.StructField("h1", T.LongType()),
+                    T.StructField("nbits", T.IntegerType()),
+                ]
+            ),
+        ).drop("nbits")
+    )
     band_w = 7  # 2×49-bit halves → exactly 7 bands of 7 from each half
     bands = hashes.select(
         "asset_id",

@@ -527,9 +527,12 @@ def quantile_sketch_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checkable; the tighter grid-specific bound stays asserted in
     tests/test_quantile_sketch.py."""
     ev = load_table(spark, "events", sf_dir)
+    # P×K rows (metadata-sized) but referenced twice (the 1-row total +
+    # the ranked window) — cached so the sketch kernel's events pass
+    # runs once instead of once per reference
     summaries = ev.select("value").mapInPandas(
         _partition_quantile_summary, "q double, w double"
-    )
+    ).transform(scache)
     w_cum = Window.orderBy("q", "w").rowsBetween(Window.unboundedPreceding, 0)
     total = summaries.agg(F.sum("w").alias("w_total"))
     ranked = summaries.crossJoin(F.broadcast(total)).withColumn(

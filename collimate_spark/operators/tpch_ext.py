@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from collimate_spark.catalog import load_table
+from collimate_spark.scratch import scache
 
 
 def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,10 +352,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     supp = load_table(spark, "supplier", sf_dir)
+    # |suppliers|-sized but referenced twice (the max subquery + the
+    # final filter join) — cached so the quarter's lineitem scan runs
+    # once instead of once per reference (the pareto_revenue_share shape)
     revenue = li.groupBy("l_suppkey").agg(
         F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
         .alias("total_rev")
-    )
+    ).transform(scache)
     max_rev = revenue.agg(F.max("total_rev").alias("mx"))
     return (
         revenue.join(F.broadcast(max_rev))

@@ -1218,13 +1218,16 @@ def approx_percentile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     infeasible. The rank audit is a second scan with a broadcast join
     of the k-group approx frame, still shuffle-light."""
     ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    # #event_types-sized but referenced twice (the rank-audit broadcast +
+    # the final join) — cached so the value-buffering exact-percentile
+    # pass over events runs once instead of once per reference
     agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.expr("percentile(value, 0.5D)").alias("exact_p50"),
         F.expr(f"approx_percentile(value, 0.5D, {_APPROX_ACC})").alias("__a50"),
         F.expr("percentile(value, 0.95D)").alias("exact_p95"),
         F.expr(f"approx_percentile(value, 0.95D, {_APPROX_ACC})").alias("__a95"),
-    )
+    ).transform(scache)
     ranks = (
         ev.join(F.broadcast(agg.select("event_type", "__a50", "__a95")), "event_type")
         .groupBy("event_type")

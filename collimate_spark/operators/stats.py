@@ -87,12 +87,16 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     them for approx_percentile-derived bucket thresholds — documented
     trade: exact rank vs one single-task sort of the dimension."""
     orders = load_table(spark, "orders", sf_dir)
+    # customer-grain (dimension-sized) and referenced twice: the corpus
+    # max date is the max of the per-customer maxes (groups partition the
+    # rows, max is associative), so deriving it from the cached frame
+    # drops the second fact scan
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
-    )
-    global_max = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("max_date"))
+    ).transform(scache)
+    global_max = per_cust.agg(F.max("last_order").alias("max_date"))
     rfm = per_cust.crossJoin(F.broadcast(global_max)).withColumn(
         "recency_days", F.datediff("max_date", "last_order")
     )
@@ -750,13 +754,18 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one groupBy(user_id) over the fact stream (the only fact-sized
     shuffle), then every window runs over the distinct-lifetime frame —
     at most ~hundreds of rows regardless of corpus size. The global max
-    timestamp enters via a scalar subquery (broadcast, no fact re-shuffle).
+    timestamp is derived from the cached per-user frame (max of the
+    per-user maxes — no second fact scan) and broadcast back.
     """
     ev = load_table(spark, "events", sf_dir)
+    # user-grain (dimension-sized) and referenced twice: the corpus max
+    # timestamp is the max of the per-user last_ts (groups partition the
+    # rows), so deriving it from the cached frame drops the second fact
+    # scan
     per_user = ev.groupBy("user_id").agg(
         F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
-    )
-    corpus_max = ev.agg(F.max("ts").alias("m"))
+    ).transform(scache)
+    corpus_max = per_user.agg(F.max("last_ts").alias("m"))
     lifetimes = (
         per_user.crossJoin(F.broadcast(corpus_max))
         .select(

@@ -307,33 +307,33 @@ def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
-    # total word count WITHOUT a second explode pass: row-local
-    # size(filter(split(...))) folded into a 1-row agg — same tokenizer
-    # expression as `words`, so the count is identical, but the pass
-    # shuffles nothing and never materializes the word stream. The
-    # explicit isNotNull guard keeps it NULL-safe under BOTH sizeOfNull
-    # modes (legacy size(NULL)=-1 would silently subtract 1 per NULL text
-    # row; modern size(NULL)=NULL is merely dropped) — either way the
-    # explode path contributes 0 for a NULL row, so this pass must too
-    total = docs.agg(
-        F.sum(
-            F.when(
-                F.col("text").isNotNull(),
-                F.size(
-                    F.filter(
-                        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""
-                    )
-                ),
-            ).otherwise(F.lit(0))
-        ).alias("n_total")
-    )
-    return (
-        words.join(F.broadcast(candidates), "word")
-        .groupBy("word")
+    # Exact verify AND total word count from ONE explode pass: LEFT join
+    # the word stream to the broadcast candidates and group by the
+    # MATCHED key — non-candidates collapse into the NULL group, so the
+    # total is the sum over all groups (identical to counting the
+    # exploded stream directly) while each candidate's group count is
+    # exactly the inner-join freq. Map-side partial aggregation bounds
+    # the shuffle at |candidates|+1 rows per task, same as before; the
+    # former separate row-local size() total pass (a third corpus scan)
+    # is gone. The per-key frame is |candidates|+1 rows — cached, since
+    # both the total and the filter read it.
+    cand = F.broadcast(candidates.withColumnRenamed("word", "cw"))
+    per_key = (
+        words.join(cand, words.word == F.col("cw"), "left")
+        .groupBy("cw")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .transform(scache)
+    )
+    total = per_key.agg(F.sum("freq").alias("n_total"))
+    return (
+        per_key.filter(F.col("cw").isNotNull())
         .crossJoin(F.broadcast(total))
         .filter(F.col("freq") > F.lit(HH_PHI) * F.col("n_total"))
-        .select("word", "freq", F.round(F.col("freq") / F.col("n_total"), 6).alias("share"))
+        .select(
+            F.col("cw").alias("word"),
+            "freq",
+            F.round(F.col("freq") / F.col("n_total"), 6).alias("share"),
+        )
         .orderBy(F.col("freq").desc(), F.col("word"))
     )
 

@@ -192,23 +192,40 @@ def blocked_pair_cosines(
         "__chunk", F.pmod(F.xxhash64(F.col(id_col)), F.col("__nch")).cast("int")
     )
     vec = F.col(vec_col).cast("array<double>").alias("__pvec")
-    a = base.select(
+    # Each row's block assignments — role 0 in blocks (chunk, j ≥ chunk),
+    # role 1 in blocks (i ≤ chunk, chunk) — emit from ONE explode of a
+    # per-row struct array instead of a union of two selects: the union
+    # arms re-executed the whole scan+size-join subtree once per side
+    # (the same-table-union collapse, r13). The exploded multiset is
+    # identical, and the gram kernel selects rows by role/id, so block-
+    # internal row order is immaterial.
+    blocks = F.concat(
+        F.transform(
+            F.sequence(F.col("__chunk"), F.col("__nch") - 1),
+            lambda j: F.struct(
+                F.col("__chunk").alias("gi"), j.alias("gj"), F.lit(0).alias("role")
+            ),
+        ),
+        F.transform(
+            F.sequence(F.lit(0), F.col("__chunk")),
+            lambda i: F.struct(
+                i.alias("gi"), F.col("__chunk").alias("gj"), F.lit(1).alias("role")
+            ),
+        ),
+    )
+    u = base.select(
         *gcols,
-        F.col("__chunk").alias("__gi"),
-        F.explode(F.sequence(F.col("__chunk"), F.col("__nch") - 1)).alias("__gj"),
-        F.lit(0).alias("__role"),
+        F.explode(blocks).alias("__b"),
         F.col(id_col).alias("__pid"),
         vec,
-    )
-    b = base.select(
+    ).select(
         *gcols,
-        F.explode(F.sequence(F.lit(0), F.col("__chunk"))).alias("__gi"),
-        F.col("__chunk").alias("__gj"),
-        F.lit(1).alias("__role"),
-        F.col(id_col).alias("__pid"),
-        vec,
+        F.col("__b.gi").alias("__gi"),
+        F.col("__b.gj").alias("__gj"),
+        F.col("__b.role").alias("__role"),
+        "__pid",
+        "__pvec",
     )
-    u = a.unionByName(b)
     schema = T.StructType(
         [df.schema[c] for c in gcols]
         + [

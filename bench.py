@@ -353,10 +353,11 @@ def bench_calibration_io() -> float:
     return round(min(times), 3)
 
 
-def bench_ingest(spark) -> float:
+def bench_ingest(spark, runs_out: list | None = None) -> float:
     """The reference's own task: CSV → typed columnar store. Exports
     lineitem at the bench SF to CSV once (cached in /tmp, not timed), then
-    times profile+apply+parquet-write end-to-end."""
+    times profile+apply+parquet-write end-to-end. ``runs_out``, if given,
+    receives the individual run times (run 1 = the cold pass)."""
     import tempfile
 
     from collimate_spark.ingest import ingest, to_columnar
@@ -417,7 +418,115 @@ def bench_ingest(spark) -> float:
         out = os.path.join(tempfile.gettempdir(), f"bench_ingest_out_{sf_tag}")
         to_columnar(typed, out, manifest, write_manifest=True)
         times.append(time.time() - t0)
+    if runs_out is not None:
+        runs_out.extend(times)
     return round(min(times), 3)
+
+
+def _ann_train_probe(spark, queries) -> float:
+    """Seconds to train the IVF quantizer + PQ codebooks from COLD caches
+    at this SF (construction-time work the ann_ivf/pq/ivfpq rows exclude —
+    they run with these memos warm, the documented offline-artifact
+    posture). Leaves the caches warm, exactly as a bench run would."""
+    from collimate_spark.functions import fast_vec
+
+    fast_vec._QUANTIZER_CACHE.clear()
+    fast_vec._PQ_CACHE.clear()
+    t0 = time.time()
+    queries["ann_ivf_topk"](spark, SF_DIR)
+    queries["ann_pq_topk"](spark, SF_DIR)
+    dt = round(time.time() - t0, 3)
+    clear_scratch()
+    return dt
+
+
+STREAM_ROWS_N = 500_000  # fixed bounded input for the streaming rows
+STREAM_N_USERS = 5_000
+
+
+def _stage_stream_input(spark) -> tuple[str, str]:
+    """Write the two fixed synthetic stream inputs (events, orders) once
+    per box (cached in /tmp, untimed — the bench_ingest CSV pattern).
+    Deterministic: pure functions of ``id``."""
+    from pyspark.sql import functions as F
+
+    base = os.path.join(tempfile.gettempdir(), "bench_stream_src")
+    ev_dir = os.path.join(base, "events")
+    od_dir = os.path.join(base, "orders")
+    marker = os.path.join(base, "_READY")
+    if not os.path.exists(marker):
+        epoch = 1704067200  # 2024-01-01 00:00:00 UTC
+        ev = spark.range(STREAM_ROWS_N).select(
+            # 25% duplicate event_ids so the dedup row has real work
+            (F.col("id") % (STREAM_ROWS_N * 3 // 4)).alias("event_id"),
+            F.timestamp_seconds(F.lit(epoch) + F.col("id") % 86400).alias("ts"),
+            (F.col("id") % STREAM_N_USERS).alias("user_id"),
+            (F.col("id") % 100).cast("double").alias("value"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("cart"), F.lit("buy")),
+                (F.col("id") % 4 + 1).cast("int"),
+            ).alias("event_type"),
+        )
+        ev.repartition(8).write.mode("overwrite").parquet(ev_dir)
+        od = spark.range(STREAM_ROWS_N // 5).select(
+            (F.col("id") % STREAM_N_USERS).alias("o_user"),
+            F.timestamp_seconds(F.lit(epoch) + F.col("id") % 86400).alias("o_ts"),
+            (F.col("id") % 500).cast("double").alias("o_amount"),
+        )
+        od.repartition(4).write.mode("overwrite").parquet(od_dir)
+        open(marker, "w").close()
+    return ev_dir, od_dir
+
+
+def bench_streaming(spark, cold: dict) -> dict[str, float]:
+    """Bounded micro-bench rows for the streaming pipelines (--wide only,
+    VERDICT r13 #8): fixed-row-count file-source streams, availableNow
+    trigger, noop streaming sink, min-of-2 (cold run recorded like every
+    other row). Each run gets a FRESH checkpoint so no state is reused
+    across runs."""
+    import uuid
+
+    from collimate_spark.streaming import pipeline as sp
+
+    ev_dir, od_dir = _stage_stream_input(spark)
+    ev_schema = spark.read.parquet(ev_dir).schema
+    od_schema = spark.read.parquet(od_dir).schema
+
+    def ev_stream():
+        return spark.readStream.schema(ev_schema).parquet(ev_dir)
+
+    def od_stream():
+        return spark.readStream.schema(od_schema).parquet(od_dir)
+
+    pipelines = {
+        "streaming_windowed_counts": lambda: sp.windowed_counts(ev_stream()),
+        "streaming_sessionized": lambda: sp.sessionized(ev_stream()),
+        "streaming_dedup": lambda: sp.deduped_stream(ev_stream(), ["event_id"]),
+        "streaming_user_running_stats": lambda: sp.user_running_stats(ev_stream()),
+        "streaming_stream_stream_join": lambda: sp.stream_stream_join(
+            ev_stream(), od_stream()
+        ),
+    }
+    out: dict[str, float] = {}
+    ck_base = os.path.join(tempfile.gettempdir(), "bench_stream_ck")
+    for name, build in pipelines.items():
+        times = []
+        for _ in range(2):
+            ck = os.path.join(ck_base, f"{name}_{uuid.uuid4().hex[:8]}")
+            df = build()
+            t0 = time.time()
+            q = (
+                df.writeStream.format("noop")
+                .option("checkpointLocation", ck)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            times.append(time.time() - t0)
+        out[name] = round(min(times), 3)
+        cold[name] = round(times[0], 3)
+    return out
 
 
 def calibrate_only() -> None:
@@ -474,6 +583,26 @@ def main() -> None:
     # Per-query fault isolation: one raising query must cost one red row,
     # never the round's entire perf artifact (round-2 lesson).
     results: dict[str, float] = {}
+    # Run-1 times per query (VERDICT r13 #2): clear_scratch() runs in the
+    # per-QUERY finally below, so run 1 of each query is the scratch-COLD
+    # pipeline (it also pays one-time codegen compile) and runs 2..N reuse
+    # the caches run 1 built. `queries` (the min) stays the r1-comparable
+    # series; `queries_cold` makes the warm-path accounting explicit so a
+    # cache-based win can be read against the cold pipeline it replaced.
+    cold: dict[str, float] = {}
+
+    # The ingest row runs FIRST (VERDICT r13 #5): at the END of a bench it
+    # inherited 60 queries' worth of page-cache/session churn and swung
+    # 2.5-10.4 s across otherwise-quiet runs; right after warm-up it
+    # measures the pipeline, not the session's history. Same min-of-3
+    # methodology, same row name — only the position changed.
+    try:
+        ing_runs: list[float] = []
+        results["ingest_csv_to_columnar"] = bench_ingest(spark, runs_out=ing_runs)
+        cold["ingest_csv_to_columnar"] = round(ing_runs[0], 3)
+    except Exception:
+        errors["ingest_csv_to_columnar"] = traceback.format_exc(limit=3)
+
     for name in bench_set:
         # 3 runs for the r1-comparable headline set (host-noise robustness:
         # min-of-3 discards a neighbor burst), 2 for the wide extras.
@@ -486,6 +615,7 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 times.append(time.time() - t0)
             results[name] = round(min(times), 3)
+            cold[name] = round(times[0], 3)
         except Exception:
             errors[name] = traceback.format_exc(limit=3)
         finally:
@@ -500,10 +630,28 @@ def main() -> None:
             # steady-state timings are unaffected.
             clear_scratch()
 
+    if "--wide" in sys.argv:
+        # Streaming pipelines get bench rows only in the --wide sidecar
+        # (VERDICT r13 #8): bounded input (fixed row count staged once,
+        # untimed), availableNow trigger, noop streaming sink, min-of-2.
+        # The headline set and its total are untouched.
+        try:
+            stream_rows = bench_streaming(spark, cold)
+            results.update(stream_rows)
+        except Exception:
+            errors["_streaming"] = traceback.format_exc(limit=3)
+
+    # ANN training-cost disclosure (VERDICT r13 #7): ivf/pq/ivfpq/lsh rows
+    # time the QUERY with the quantizer/codebook caches warm — training is
+    # a persisted offline artifact in production (BASELINE.md). This field
+    # makes the excluded cost visible: seconds to train the IVF quantizer
+    # + PQ codebooks from cold caches at this SF. Diagnostic only; lives
+    # OUTSIDE `queries`.
     try:
-        results["ingest_csv_to_columnar"] = bench_ingest(spark)
+        payload_ann_train = _ann_train_probe(spark, queries)
     except Exception:
-        errors["ingest_csv_to_columnar"] = traceback.format_exc(limit=3)
+        payload_ann_train = None
+        errors["_ann_train"] = traceback.format_exc(limit=3)
 
     # Both calibrations (taken above, pre-queries) land OUTSIDE `results`
     # so the headline total stays comparable to the r1 baseline (they
@@ -532,11 +680,17 @@ def main() -> None:
         "value": round(sum(results.values()), 3),
         "unit": "sec",
         "queries": results,
+        # Run-1 (scratch-cold + codegen-compile) time per row; `queries`
+        # (the min) remains THE series — see BASELINE.md "Cold vs warm
+        # accounting". Dropped from stdout before anything else if the
+        # one-line budget is tight; always present in bench_full.json.
+        "queries_cold": cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration_sec": calibration,
         "calibration_io_sec": calibration_io,
         "calibration_post_sec": calibration_post,
         "calibration_io_post_sec": calibration_io_post,
+        "ann_train_sec": payload_ann_train,
     }
     if errors:
         payload["errors"] = errors
@@ -549,7 +703,20 @@ def main() -> None:
         # history remains available to readers in the BENCH_r*.json
         # artifacts themselves (which _load_history reads).
         payload["history_totals"] = {k: v["total"] for k, v in history.items()}
-    line = json.dumps(payload)
+    # One-line budget (see the tail-budget note below): the FULL payload
+    # always lands in bench_full.json; stdout sheds diagnostic-only fields
+    # (history_totals first, then queries_cold) before falling back to the
+    # compact line, so `queries` — the driver's per-row series — never
+    # leaves stdout except in the oversized --wide case.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
+    full_line = json.dumps(payload)
+    stdout_payload = _shed_for_stdout(payload)
+    if len(json.dumps(stdout_payload)) > 1900:
+        with open(sidecar, "w") as f:
+            f.write(full_line + "\n")
+    line = json.dumps(stdout_payload)
     # One-line contract: stdout carries exactly ONE JSON line, sized to
     # fit the driver's ~2000-char tail capture with headroom for trailing
     # log noise. TAIL-BUDGET FRAGILITY (VERDICT r12 #7): anything the
@@ -563,9 +730,7 @@ def main() -> None:
     # line (ADVICE r6) — so when oversized, the full payload goes to a
     # sidecar file and only the compact line hits stdout.
     if len(line) > 1900:
-        sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
-        with open(sidecar, "w") as f:
-            f.write(line + "\n")
+        # full payload already in the sidecar (written above)
         print(
             json.dumps(
                 {
@@ -583,6 +748,23 @@ def main() -> None:
         )
     else:
         print(line)
+
+
+STDOUT_LINE_BUDGET = 1900  # driver tail capture is ~2000 chars
+
+
+def _shed_for_stdout(payload: dict) -> dict:
+    """Fit the payload to the one-line stdout budget by shedding
+    diagnostic-only fields in a fixed order (history_totals first, then
+    queries_cold). `queries` — the driver's per-row series — is never
+    shed; an oversized result after shedding falls back to the compact
+    line in main() with the full payload in bench_full.json."""
+    out = dict(payload)
+    for shed in ("history_totals", "queries_cold"):
+        if len(json.dumps(out)) <= STDOUT_LINE_BUDGET:
+            break
+        out.pop(shed, None)
+    return out
 
 
 def _load_history() -> dict:

@@ -58,8 +58,24 @@ SCALED = {
     "orders": ["o_orderkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
+    # r14: embeddings now SCALES (it was passthrough through r13, so the
+    # blocked-pair / semdedup decade claims had no slice to run on —
+    # VERDICT r13 #1). vec_id shifts like the other facts; ``label`` is
+    # deliberately NOT shifted, so cluster SIZE grows with the corpus —
+    # the axis the label-blocked pair operators must survive (real
+    # corpora grow clusters, not just cluster counts). Under SF_MUTATE
+    # every non-base replica's vectors get a per-replica deterministic
+    # SIGN FLIP per dimension (see _flip_signs): a sign flip is an exact
+    # isometry (products x_k*y_k are unchanged within a replica, so
+    # within-replica cosines — and the base corpus's true near-dup pairs
+    # — survive bit-identically), while cross-replica cosines become
+    # sums of ±x_k*y_k with hash-random signs: expectation 0, |cos| ~
+    # 1/sqrt(d) — far below every operator threshold. True pair output
+    # therefore grows ~linearly while candidate work per cluster grows
+    # quadratically, exactly the shape the blocked kernel targets.
+    "embeddings": ["vec_id"],
 }
-PASSTHROUGH = ["region", "nation", "customer", "supplier", "part", "embeddings"]
+PASSTHROUGH = ["region", "nation", "customer", "supplier", "part"]
 
 
 def main() -> None:
@@ -104,6 +120,27 @@ def main() -> None:
                     ).otherwise(tok),
                 )
                 p = p.withColumn("text", F.array_join(salted, " "))
+            if MUTATE and t == "embeddings" and i > 0:
+                # Deterministic per-(replica, dimension) sign flip — an
+                # exact isometry within the replica (see SCALED comment).
+                # The salt rides the hash so chained levels compose into
+                # distinct patterns (no cross-level collisions minting
+                # exact duplicates, same reason as the SALT doc above).
+                seed = f"{SALT}{i}:"
+                p = p.withColumn(
+                    "embedding",
+                    F.transform(
+                        F.col("embedding"),
+                        lambda x, j: F.when(
+                            F.pmod(
+                                F.xxhash64(F.concat(F.lit(seed), j.cast("string"))),
+                                F.lit(2),
+                            )
+                            == 1,
+                            -x,
+                        ).otherwise(x),
+                    ),
+                )
             parts.append(p)
         un = parts[0]
         for p in parts[1:]:

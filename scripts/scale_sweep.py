@@ -66,9 +66,13 @@ sys.path.insert(0, REPO)
 
 # The pair-emitting / candidate-join family. Multimodal pair ops are
 # excluded by construction: their asset universe is capped (asset_id <
-# 200) so corpus replication doesn't change their input; semdedup_prune
-# and the embedding dedups read the embeddings table, which the scaled
-# slice passes through unreplicated.
+# 200) so corpus replication doesn't change their input. The embedding
+# ops (semdedup_prune, dedup_embedding_cosine) are swept separately by
+# scripts/r14_scale_probe.py: since r14 the slices DO replicate
+# embeddings (sign-flip mutation, labels preserved so cluster size
+# grows — see make_sf1.py), but their cost axis is cluster size, not
+# corpus size, so they get their own old-vs-new A/B rather than a row
+# in this linearity screen.
 OPS = [
     "dedup_exact",
     "dedup_ngram_jaccard",

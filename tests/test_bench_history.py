@@ -55,3 +55,47 @@ def test_malformed_or_queryless_artifacts_are_skipped_not_fatal(tmp_path, monkey
     hist = _load_from(tmp_path, monkeypatch)
     assert list(hist) == ["r6"]
     assert hist["r6"]["total"] == 13.0
+
+
+# --- r14: stdout shed order for the one-line budget ----------------------
+
+
+def _payload(n_queries=20, cold=True, history=True, pad=0):
+    p = {
+        "metric": "headline_query_wall_clock_total",
+        "value": 10.0,
+        "unit": "sec",
+        "queries": {f"query_name_{i:03d}": 0.123 for i in range(n_queries)},
+        "sf": 0.1,
+    }
+    if cold:
+        p["queries_cold"] = {f"query_name_{i:03d}": 0.456 for i in range(n_queries)}
+    if history:
+        p["history_totals"] = {f"r{i}": 13.0 for i in range(1, 14)}
+    if pad:
+        p["errors"] = {"_pad": "x" * pad}
+    return p
+
+
+def test_shed_keeps_everything_when_line_fits():
+    p = _payload()
+    assert len(json.dumps(p)) <= bench.STDOUT_LINE_BUDGET
+    assert bench._shed_for_stdout(p) == p
+
+
+def test_shed_drops_history_then_cold_but_never_queries():
+    # Force oversize: enough padding that only dropping BOTH extras fits.
+    p = _payload(pad=1400)
+    out = bench._shed_for_stdout(p)
+    assert "queries" in out and out["queries"] == p["queries"]
+    assert "history_totals" not in out
+    # queries_cold survives only if the line now fits; with this pad it does
+    assert len(json.dumps(out)) <= bench.STDOUT_LINE_BUDGET or "queries_cold" not in out
+
+
+def test_shed_never_touches_the_series_fields():
+    p = _payload(n_queries=220, history=True)  # wide-style, hopelessly big
+    out = bench._shed_for_stdout(p)
+    assert out["queries"] == p["queries"]
+    assert out["value"] == p["value"]
+    assert "queries_cold" not in out and "history_totals" not in out

@@ -39,63 +39,69 @@ from pyspark.sql import DataFrame, SparkSession
 # The 50 queries the driver verifies, in order. Keep this list at exactly
 # 50 entries; tests/test_registration.py enforces the invariant.
 #
-# Round-13 window (VERDICT r12 directive #6): the freshness rotation's
-# next-stalest tranche — ALL 32 queries whose last driver contact is r08
-# (the verdict's exact list), then the 18 alphabetically-first of the
-# 43-query r09-vintage tranche. After this window lands, no registered
-# query's last driver contact is older than r09; the remaining 25
-# r09-vintage queries rotate in r14.
+# Round-14 window (VERDICT r13 directive #4): drain the freshness
+# rotation — ALL 25 queries whose last driver contact is r09 (the
+# remainder of the r09-vintage tranche, including its 4 no-oracle
+# multimodal feature extractors: multimodal_{audio,image,video}_features
+# and multimodal_features, which the driver checks rows-only), then the
+# 25 alphabetically-first ORACLED queries of the 47-query r10-vintage
+# tranche (the 6 no-oracle r10 rows — ann_pq_topk and the multimodal
+# pair/resize/frame/scene queries — are deferred so the window spends
+# its slots on hash-checkable queries; they remain bench-covered and
+# parity-style tested). After this window lands, no registered query's
+# last driver contact is older than r10. Window composition: 46 oracled
+# + 4 no-oracle (declared up front, VERDICT r13 #5).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "grouped_zscore",
-    "grouped_zscore_native",
-    "hypertable_rollup",
-    "interpolate_missing_values",
-    "join_anti",
-    "join_cross",
-    "join_semi",
-    "lang_id_heuristic",
-    "map_functions",
-    "multimodal_metadata",
-    "pandas_udf_scalar",
-    "pivot_event_counts",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "quality_filter_pipeline",
-    "repetition_metrics",
-    "shard_export_assignment",
-    "sliding_window_agg",
-    "snapshot_diff",
-    "stratified_sample_documents",
-    "text_length_histogram",
-    "text_pii_scrub",
-    "text_quality_metrics",
-    "tfidf_top_terms",
-    "udtf_tokenize",
-    "window_lag_lead",
-    "window_running_sum",
-    "ab_test_welch",
-    "acf_daily_events",
-    "agg_boolean_counting",
-    "agg_mode_deterministic",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "ann_lsh_topk",
-    "ann_range_search",
-    "anomaly_zscore",
-    "asof_join_forward",
-    "bitmap_distinct_counts",
-    "block_dedup_stats",
-    "bloom_prefilter_join",
-    "bootstrap_mean_ci",
-    "bottomk_sample_per_group",
-    "bpe_merge_candidates",
-    "char_entropy",
-    "chi2_event_value",
+    "embedding_jl_projection",
+    "geo_radius_join_grid",
+    "grouped_agg_gini",
+    "grouped_arrow_profile",
+    "join_null_safe",
+    "join_skew_diagnostics",
+    "k_anonymity_report",
+    "lang_id_confusion",
+    "multimodal_audio_features",
+    "multimodal_features",
+    "multimodal_image_features",
+    "multimodal_video_features",
+    "pareto_revenue_share",
+    "price_histogram",
+    "regr_price_trend",
+    "semdedup_prune",
+    "sessionization_gap",
+    "set_ops_all",
+    "sliding_distinct_users",
+    "table_profile_lineitem",
+    "train_val_test_split",
+    "triangle_participation",
+    "udtf_parse_props",
+    "window_range_frame",
+    "zorder_cluster_stats",
+    "agg_approx_distinct",
+    "approx_percentile_error",
+    "asof_join_events_orders",
+    "collocation_pmi",
+    "conversion_time_quantiles",
+    "corr_matrix_lineitem",
+    "degree_assortativity",
+    "dow_seasonality",
+    "embedding_cluster_cohesion",
+    "embedding_dim_stats",
+    "encoding_advisor_lineitem",
+    "ewma_value",
+    "hll_intersection_users",
+    "hll_native_distinct",
+    "hll_sketch_partitioned",
+    "ingest_typed_profile",
+    "kmeans_lloyd_clusters",
+    "listagg_supplier_names",
+    "lm_perplexity_score",
+    "longest_daily_streak",
+    "mad_outliers",
+    "markov_transitions",
+    "mutual_information_value",
+    "new_vs_returning_daily",
+    "ohlc_bars",
 )
 
 # Queries registered but outside the 50-slot window — the complement of
@@ -107,35 +113,47 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # ONLY here, so the exemption is explicit and reviewed. One entry per
 # line.
 ROTATION_CANDIDATES: tuple[str, ...] = (
-    "agg_approx_distinct",
+    "ab_test_welch",
+    "acf_daily_events",
     "agg_argmax",
+    "agg_boolean_counting",
     "agg_cube",
     "agg_distinct",
     "agg_grouping_sets",
+    "agg_mode_deterministic",
     "agg_percentile",
     "agg_percentile_disc",
     "agg_rollup",
     "agg_stats",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_lsh_topk",
     "ann_pq_topk",
-    "approx_percentile_error",
+    "ann_range_search",
+    "anomaly_zscore",
     "approx_top_k_words",
     "array_agg_sorted",
     "array_functions",
-    "asof_join_events_orders",
+    "asof_join_forward",
     "asof_join_nearest",
     "attribution_multitouch",
     "benford_first_digit",
     "bfs_distances",
+    "bitmap_distinct_counts",
+    "block_dedup_stats",
+    "bloom_prefilter_join",
     "bm25_search",
+    "bootstrap_mean_ci",
+    "bottomk_sample_per_group",
+    "bpe_merge_candidates",
+    "char_entropy",
+    "chi2_event_value",
     "chunk_documents",
     "cohort_retention",
     "collated_group_count",
-    "collocation_pmi",
     "concurrent_sessions_timeline",
-    "conversion_time_quantiles",
     "corpus_pipeline_funnel",
-    "corr_matrix_lineitem",
     "countmin_word_frequencies",
     "curate_corpus",
     "cusum_changepoints",
@@ -151,80 +169,64 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_survivor_best_quality",
-    "degree_assortativity",
     "doc_fingerprint",
     "domain_mix_temperature",
-    "dow_seasonality",
     "dup_span_coverage",
-    "embedding_cluster_cohesion",
-    "embedding_dim_stats",
     "embedding_gram_matrix",
-    "embedding_jl_projection",
     "embedding_quantize_int8",
-    "encoding_advisor_lineitem",
     "entity_resolution_customers",
-    "ewma_value",
     "fifo_allocation",
     "funnel_conversion",
     "fuzzy_name_match",
     "gdpr_erasure_audit",
-    "geo_radius_join_grid",
-    "grouped_agg_gini",
-    "grouped_arrow_profile",
+    "grouped_zscore",
+    "grouped_zscore_native",
     "heavy_hitters_words",
-    "hll_intersection_users",
-    "hll_native_distinct",
-    "hll_sketch_partitioned",
-    "ingest_typed_profile",
+    "hypertable_rollup",
+    "interpolate_missing_values",
     "inverted_index_postings",
     "ivm_incremental_agg",
+    "join_anti",
+    "join_cross",
     "join_full_outer",
     "join_left_outer",
-    "join_null_safe",
-    "join_skew_diagnostics",
+    "join_semi",
     "join_theta_inequality",
     "json_extract_events",
-    "k_anonymity_report",
     "kaplan_meier_retention",
     "kcore_membership",
-    "kmeans_lloyd_clusters",
-    "lang_id_confusion",
-    "listagg_supplier_names",
-    "lm_perplexity_score",
-    "longest_daily_streak",
-    "mad_outliers",
+    "lang_id_heuristic",
+    "map_functions",
     "map_hof_functions",
     "market_basket_rules",
-    "markov_transitions",
     "merge_upsert_orders",
-    "multimodal_audio_features",
     "multimodal_audio_fingerprint_pairs",
-    "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_image_dhash_pairs",
-    "multimodal_image_features",
     "multimodal_image_resize",
-    "multimodal_video_features",
+    "multimodal_metadata",
     "multimodal_video_scene_cuts",
-    "mutual_information_value",
-    "new_vs_returning_daily",
-    "ohlc_bars",
     "order_total_reconciliation",
     "pack_sequences",
     "pagerank_copurchase",
-    "pareto_revenue_share",
+    "pandas_udf_scalar",
     "partition_advisor_orders",
     "pit_join_scd2",
-    "price_histogram",
+    "pivot_event_counts",
     "psi_price_drift",
     "q10_returned_items",
     "q11_important_parts",
     "q12_shipmode_priority",
     "q13_order_count_distribution",
     "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "q19_discounted_revenue",
     "q1_pricing_summary",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
     "q22_idle_rich_customers",
     "q2_cheapest_supplier",
     "q3_shipping_priority",
@@ -232,10 +234,13 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "quality_filter_pipeline",
     "quantile_sketch_value",
     "range_join_events_orders",
     "referential_integrity_report",
-    "regr_price_trend",
+    "repetition_metrics",
     "rfm_segmentation",
     "rolling_median_value",
     "rollup_grouping_id",
@@ -245,39 +250,40 @@ ROTATION_CANDIDATES: tuple[str, ...] = (
     "scalar_math_funcs",
     "scalar_string_funcs",
     "scd2_user_segments",
-    "semdedup_prune",
     "session_window_agg",
     "session_window_dynamic_gap",
-    "sessionization_gap",
     "set_ops",
-    "set_ops_all",
     "set_overlap_join_prefix",
+    "shard_export_assignment",
     "skyline_suppliers",
-    "sliding_distinct_users",
+    "sliding_window_agg",
+    "snapshot_diff",
     "sort_topk",
+    "stratified_sample_documents",
     "subquery_exists",
-    "table_profile_lineitem",
+    "text_length_histogram",
+    "text_pii_scrub",
+    "text_quality_metrics",
+    "tfidf_top_terms",
     "time_weighted_average",
     "top_event_paths",
-    "train_val_test_split",
-    "triangle_participation",
     "try_functions_safety",
     "tumbling_window_agg",
-    "udtf_parse_props",
+    "udtf_tokenize",
     "union_by_name_evolution",
     "unpivot_lineitem",
     "variant_props_stats",
     "weighted_sample_documents",
     "window_distribution_ranks",
-    "window_range_frame",
+    "window_lag_lead",
     "window_rank_dense_ntile",
+    "window_running_sum",
     "window_topk_per_group",
     "winnow_fingerprint_pairs",
     "winsorize_stats",
     "xml_roundtrip_stats",
     "yoy_revenue_growth",
     "zipf_slope",
-    "zorder_cluster_stats",
 )
 
 def _modules():

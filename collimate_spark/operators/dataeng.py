@@ -350,24 +350,58 @@ def pit_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DIRECT interval join, so the window rewrite is cross-checked
     against the declarative semantics, boundary inclusivity included
     (``[valid_from, valid_to)``: a probe exactly on a boundary belongs to
-    the NEWER segment — the ``is_seg`` sort key pins that)."""
-    seg = scd2_user_segments(spark, sf_dir).select(
-        "user_id", F.col("valid_from").alias("t"), "segment", F.lit(1).alias("is_seg")
+    the NEWER segment — the ``is_seg`` sort key pins that).
+
+    r14 (VERDICT r13 #3 — guide §2.4): both union arms now come from ONE
+    events scan. A segment start is exactly a run-boundary row
+    (``prev_type IS NULL OR prev_type <> event_type``): within a run the
+    type is constant, so ``first(event_type)`` is the boundary row's
+    type, and under the (ts, event_id) window order the boundary row's
+    ts IS ``min(ts)`` of the run — i.e. scd2_user_segments' groupBy adds
+    nothing the boundary row doesn't already carry. Each event therefore
+    EXPLODES into its probe role (always) plus a segment-start role
+    (boundary rows only) — the r13 blocked-pair one-explode device —
+    producing the identical union multiset from one scan, and both
+    windows share the same hashpartitioning(user_id) exchange. Plan:
+    4 scans / 4 exchanges / 1 aggregate → 1 scan / 1 exchange / 0
+    aggregates (plans/r14/pit_join_scd2_{before,after}.txt). The SCD2
+    dimension builder itself (scd2_user_segments) is untouched — this
+    inlines only what the probe query needs."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tagged = (
+        ev.select("user_id", "ts", "event_type", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn(
+            "is_seg_start",
+            F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")),
+        )
     )
-    probes = load_table(spark, "events", sf_dir).select(
+    roles = tagged.select(
         "user_id",
-        F.expr(f"timestampadd(MINUTE, {PIT_SHIFT_MIN}, ts)").alias("t"),
+        "ts",
+        "event_type",
         "event_id",
-        F.lit(0).alias("is_seg"),
+        F.explode(
+            F.when(F.col("is_seg_start"), F.array(F.lit(0), F.lit(1))).otherwise(
+                F.array(F.lit(0))
+            )
+        ).alias("is_seg"),
     )
-    unioned = seg.select(
-        "user_id", "t", "segment", "is_seg", F.lit(None).cast("long").alias("event_id")
-    ).unionByName(probes.withColumn("segment", F.lit(None).cast("string")))
-    w = Window.partitionBy("user_id").orderBy(
+    unioned = roles.select(
+        "user_id",
+        F.when(F.col("is_seg") == 1, F.col("ts"))
+        .otherwise(F.expr(f"timestampadd(MINUTE, {PIT_SHIFT_MIN}, ts)"))
+        .alias("t"),
+        F.when(F.col("is_seg") == 1, F.col("event_type")).alias("segment"),
+        "is_seg",
+        F.when(F.col("is_seg") == 0, F.col("event_id")).alias("event_id"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
         F.col("t").asc(), F.col("is_seg").desc()
     ).rowsBetween(Window.unboundedPreceding, 0)
     return (
-        unioned.withColumn("seg_at_t", F.last("segment", ignorenulls=True).over(w))
+        unioned.withColumn("seg_at_t", F.last("segment", ignorenulls=True).over(w2))
         .filter(F.col("is_seg") == 0)
         .select("event_id", "user_id", F.col("t").alias("probe_ts"), F.col("seg_at_t").alias("segment"))
         .orderBy("event_id")

@@ -1138,7 +1138,16 @@ def test_size_gate_floor_calibrated_for_measured_layout(
 # ---------------------------------------------------------------------------
 # r13 structural pins: kernels and dimension-sized aggregates must execute
 # once per query, not once per reference (cache re-prints keep their node
-# id in the formatted plan; a real duplicate subtree gets its own)
+# id in the formatted plan; a real duplicate subtree gets its own).
+#
+# VERSION PIN (ADVICE r13): these regexes rely on EXPLAIN FORMATTED
+# re-printing a cached/shared subtree under its ORIGINAL node id — true on
+# Spark 4.1 (calibrated here) and 3.5, but an undocumented formatting
+# artifact. If a Spark upgrade ever assigns fresh ids to re-printed
+# subtrees, every count below inflates and these pins fail LOUDLY (never
+# silently weaken). The companion InMemoryTableScan >= 2 assertions below
+# check the cache is actually read from both references, independent of
+# the id-reuse behavior.
 
 
 def _distinct_scan_nodes(df) -> set:
@@ -1147,6 +1156,12 @@ def _distinct_scan_nodes(df) -> set:
 
 def _distinct_kernel_nodes(df) -> set:
     return set(re.findall(r"\((\d+)\) MapInPandas", _formatted(df)))
+
+
+def _imts_mentions(df) -> int:
+    """InMemoryTableScan mentions in the TREE section — one per cache
+    reference, so >= 2 proves both references read the cache."""
+    return _plan(df).count("InMemoryTableScan")
 
 
 def test_multimodal_pair_kernels_run_once(spark, sf_dir):
@@ -1160,9 +1175,9 @@ def test_multimodal_pair_kernels_run_once(spark, sf_dir):
     for fn in (multimodal_image_dhash_pairs, multimodal_audio_fingerprint_pairs):
         df = fn(spark, sf_dir)
         # exactly one synth + one hash kernel node; both join sides read
-        # the InMemoryRelation
+        # the InMemoryRelation (>= 2 cache reads, ADVICE r13)
         assert len(_distinct_kernel_nodes(df)) == 2, fn.__name__
-        assert "InMemoryTableScan" in _plan(df), fn.__name__
+        assert _imts_mentions(df) >= 2, fn.__name__
 
 
 def test_single_fact_scan_via_cached_aggregate(spark, sf_dir):
@@ -1185,3 +1200,19 @@ def test_single_fact_scan_via_cached_aggregate(spark, sf_dir):
     for fn, max_scans in specs:
         got = len(_distinct_scan_nodes(fn(spark, sf_dir)))
         assert got <= max_scans, f"{fn.__name__}: {got} > {max_scans}"
+
+
+def test_pit_join_scd2_single_scan_no_aggregate(spark, sf_dir):
+    """r14: the point-in-time probe derives BOTH union arms (segment
+    starts + probes) from one events scan via the explode-roles device —
+    the plan must show exactly one parquet scan, no aggregate (the old
+    groupBy run-collapse is subsumed by the boundary-row identity), and
+    both windows sharing one user_id exchange (1 hash exchange + the
+    final orderBy's range exchange)."""
+    from collimate_spark.operators.dataeng import pit_join_scd2
+
+    df = pit_join_scd2(spark, sf_dir)
+    plan = _formatted(df)
+    assert len(_distinct_scan_nodes(df)) == 1
+    assert "HashAggregate" not in plan
+    assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) == 2
